@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect). Headline set per BASELINE.md: the flagship
+interpolation query, the binned-percentile query, and the enrichment join,
+plus the relational coverage queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from time_series_and_data_lakes_spark import get_spark
+from time_series_and_data_lakes_spark import queries as Q
+
+HEADLINE = [
+    "q1_flagship_interpolate",
+    "g5_binned_percentiles",
+    "g6_top_sensors_recent_max",
+    "a1_enrichment_join",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "melt_narrow",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="tsdl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths so timings measure the queries, not startup.
+    Q.load(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

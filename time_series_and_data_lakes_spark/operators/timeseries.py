@@ -1,0 +1,239 @@
+"""Time-series operators: the signature capability of the engine.
+
+Re-implements Timestream's gap-filling trio (SURVEY.md §2.5) Spark-first:
+
+- ``CREATE_TIME_SERIES(time, value)``  → :func:`create_time_series`
+  (`timestream-queries/queries.txt:5,8,25,28,37-38` in the reference)
+- ``SEQUENCE(min(time), max(time), step)`` → :func:`sequence_grid`
+  (`queries.txt:6,9,26,29`)
+- ``INTERPOLATE_LINEAR`` / ``INTERPOLATE_LOCF`` → :func:`resample`
+  (`queries.txt:4-9,24-29`)
+- ``CROSS JOIN UNNEST(ts) AS t(time, value)`` → :func:`unnest_time_series`
+  (`queries.txt:16-17`)
+- ``bin(time, interval)`` → :func:`time_bin`
+  (`grafana-dashboard/...json:121,392,518`)
+
+Scale notes (100 TB posture)
+----------------------------
+:func:`resample` is the scale path: it is pure JVM (no Python UDFs), costs one
+hash exchange on the series keys plus two window sorts (forward + backward
+pass share the exchange), and never materializes a whole series on the driver.
+Grid densification happens executor-side via ``explode(sequence(...))`` so a
+1000-executor cluster densifies 10^9 series in parallel. The array-valued
+``create_time_series`` form is for parity with Timestream's nested
+``timeseries`` value and for per-window series that are small by construction
+(the reference's are ≤ 15 min at 1 s cadence, `queries.txt:11`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def create_time_series(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str = "time",
+    value_col: str = "value",
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Aggregate each key group into an ordered (time, value) array — the
+    Spark mapping of Timestream's first-class ``timeseries`` value.
+
+    Polymorphic in the value type (the reference builds it over double
+    temperature *and* varchar status, `queries.txt:5,8`). Output column is
+    named ``ts``; pass ``extra_aggs`` for companion aggregates (e.g. the
+    min/max feeding a grid).
+    """
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.struct(F.col(time_col).alias("time"), F.col(value_col).alias("value")))
+        ).alias("ts")
+    ]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def unnest_time_series(
+    df: DataFrame,
+    ts_col: str = "ts",
+    time_name: str = "time",
+    value_name: str = "value",
+) -> DataFrame:
+    """``CROSS JOIN UNNEST(ts) AS t(time, value)`` — flatten a timeseries
+    array back to rows (`queries.txt:16-17`)."""
+    exploded = df.withColumn("__e", F.explode(F.col(ts_col))).drop(ts_col)
+    return exploded.select(
+        *[c for c in exploded.columns if c != "__e"],
+        F.col("__e.time").alias(time_name),
+        F.col("__e.value").alias(value_name),
+    )
+
+
+def sequence_grid(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str = "time",
+    step: str = "INTERVAL 1 SECOND",
+) -> DataFrame:
+    """Per-key dense timestamp grid ``SEQUENCE(min(time), max(time), step)``
+    (`queries.txt:6,9`). Step granularity is the user knob — the reference
+    suggests 1 s / 10 s / 60 s (`mwaa/datawrangler/airflow-query.py:30-33`).
+
+    Returns one row per (key, grid timestamp). Densification happens in the
+    executors via ``explode(sequence(...))``, after a single partial-agg
+    (map-side combined) min/max shuffle.
+    """
+    bounds = df.groupBy(*keys).agg(
+        F.min(time_col).alias("__tmin"), F.max(time_col).alias("__tmax")
+    )
+    return bounds.select(
+        *keys,
+        F.explode(F.sequence("__tmin", "__tmax", F.expr(step))).alias(time_col),
+    )
+
+
+def resample(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str = "time",
+    step: str = "INTERVAL 1 SECOND",
+    linear: dict[str, str] | None = None,
+    locf: dict[str, str] | None = None,
+    keep_observations: bool = False,
+) -> DataFrame:
+    """Resample per-key series onto a dense grid — the engine's
+    ``INTERPOLATE_LINEAR`` + ``INTERPOLATE_LOCF`` in one fused pass.
+
+    Implements `queries.txt:4-9`: per key, build the grid
+    ``SEQUENCE(min(time), max(time), step)``, then for each output→input pair
+    in ``linear`` emit the linearly interpolated value at every grid point,
+    and for each pair in ``locf`` carry the last observation forward
+    (works on varchar series — the reference LOCFs ``status``).
+
+    The fusion is the plan a query author would hand-write: observations and
+    grid points are unioned, a single forward window pass produces all
+    last-observation state (LOCF values + lerp left endpoints), a single
+    backward pass produces lerp right endpoints. One exchange on ``keys``,
+    two sorts, zero Python. Rows before the first / after the last
+    observation of a key cannot occur because the grid spans [min, max].
+    """
+    linear = dict(linear or {})
+    locf = dict(locf or {})
+    if not linear and not locf:
+        raise ValueError("resample needs at least one of linear= / locf=")
+    value_cols = sorted({*linear.values(), *locf.values()})
+
+    obs = df.select(
+        *keys,
+        F.col(time_col).alias("__t"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.lit(0).alias("__is_grid"),
+    )
+    grid = sequence_grid(df, keys, time_col, step).select(
+        *keys,
+        F.col(time_col).alias("__t"),
+        *[F.lit(None).cast(obs.schema[f"__v_{c}"].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(1).alias("__is_grid"),
+    )
+    # Observations order before grid points at equal timestamps, so a grid
+    # point that coincides with an observation sees it as its "previous"
+    # neighbor and the lerp degenerates to the exact observed value.
+    unioned = obs.unionByName(grid)
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    out_cols: list[Column] = []
+    for out_name, in_name in locf.items():
+        out_cols.append(F.last(f"__v_{in_name}", ignorenulls=True).over(fwd).alias(out_name))
+    for out_name, in_name in linear.items():
+        v = F.col(f"__v_{in_name}")
+        obs_t = F.when(v.isNotNull(), F.col("__t"))
+        v_prev = F.last(f"__v_{in_name}", ignorenulls=True).over(fwd)
+        t_prev = F.last(obs_t, ignorenulls=True).over(fwd)
+        v_next = F.first(f"__v_{in_name}", ignorenulls=True).over(bwd)
+        t_next = F.first(obs_t, ignorenulls=True).over(bwd)
+        # lerp in epoch-microsecond space. A grid point that lands exactly on
+        # an observation returns it verbatim — this covers the final grid
+        # point (which has no following observation, so t_next is null) and
+        # single-observation keys. Off-observation points with a missing
+        # neighbor cannot occur (grid spans [min, max]) but yield null rather
+        # than extrapolating.
+        frac = (F.unix_micros(F.col("__t")) - F.unix_micros(t_prev)) / (
+            F.unix_micros(t_next) - F.unix_micros(t_prev)
+        )
+        lerp = (
+            F.when(t_prev == F.col("__t"), v_prev)
+            .when(t_prev.isNull() | t_next.isNull(), F.lit(None))
+            .otherwise(v_prev + (v_next - v_prev) * frac)
+        )
+        out_cols.append(lerp.alias(out_name))
+
+    resampled = unioned.select(*keys, "__t", "__is_grid", *out_cols)
+    if not keep_observations:
+        resampled = resampled.filter(F.col("__is_grid") == 1)
+    return resampled.select(*keys, F.col("__t").alias(time_col), *[c for c in (*locf, *linear)])
+
+
+def align_series(
+    interpolated: DataFrame,
+    keys: Sequence[str],
+    time_col: str = "time",
+    agg: dict[str, Column] | None = None,
+) -> DataFrame:
+    """The flagship query's re-aggregation step (J1+A4, `queries.txt:14-19`):
+    after two per-key series are aligned on the same grid, collapse duplicates
+    with ``min(status)`` / ``avg(temp)`` per (key, time).
+
+    The reference expresses alignment as two ``CROSS JOIN UNNEST`` + a
+    ``t.time = s.time`` filter. Because both series share one ``SEQUENCE``
+    grid, that join is a zip — :func:`resample` already produced the zipped
+    shape, so all that remains is the duplicate-collapsing group-by (which is
+    a no-op on unique grids but preserved for fidelity, including the
+    lexicographic ``min`` on varchar status: 'ERROR' < 'OK' < 'WARNING').
+    """
+    agg = agg or {}
+    return interpolated.groupBy(*keys, time_col).agg(
+        *[expr.alias(name) for name, expr in agg.items()]
+    )
+
+
+def time_bin(col: Column | str, step: str = "30 seconds") -> Column:
+    """Timestream's ``bin(time, interval)`` (`grafana…json:121,392,518`):
+    floor a timestamp to a multiple of ``step`` since the Unix epoch.
+
+    Implemented as epoch-microsecond floor arithmetic (identical semantics to
+    DuckDB ``make_timestamp(epoch_us(ts) - epoch_us(ts) % step)``) so oracle
+    comparison is exact and the expression stays inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    step_us = F.lit(_interval_micros(step))
+    us = F.unix_micros(c)
+    return F.timestamp_micros(us - F.pmod(us, step_us))
+
+
+def _interval_micros(step: str) -> int:
+    """Parse '30 seconds' / '1 hour' / '5 minutes' / '1 day' to microseconds."""
+    parts = step.strip().lower().replace("interval", "").strip().split()
+    qty, unit = float(parts[0].strip("'\"")), parts[1].rstrip("s")
+    scale = {
+        "microsecond": 1,
+        "millisecond": 1_000,
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[unit]
+    return int(qty * scale)

@@ -1,0 +1,487 @@
+"""Query catalog: every implemented operator from SURVEY.md §2, expressed
+twice — as a Spark DataFrame program and as ANSI SQL a DuckDB oracle can run
+on the same parquet tables.
+
+Mapping of the driver testdata onto the reference data model (FIXTURES.md §8):
+``events(user_id→sensor_id, ts→time, value→temperature, event_type→status)``.
+The reference's relative-time predicates (``ago(15m)``, `queries.txt:11`) are
+anchored at ``max(time)`` of the table so runs are deterministic/replayable.
+Grid step is 1 hour (the reference's granularity knob scaled to the 30-day
+fixture span; `mwaa/datawrangler/airflow-query.py:30-33`).
+
+Column-name contract: every computed column is aliased identically in the
+Spark program and the oracle SQL (driver hashes columns sorted by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators.melt import melt, pivot_measures
+from time_series_and_data_lakes_spark.operators.timeseries import (
+    align_series,
+    create_time_series,
+    resample,
+    time_bin,
+    unnest_time_series,
+)
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+GRID_STEP = "INTERVAL 1 HOUR"
+GRID_STEP_SQL = "INTERVAL 1 HOUR"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read it as a long and floor-convert to microsecond
+        # timestamps — the same truncation DuckDB applies, so oracle
+        # comparisons stay exact.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def sensor_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → the reference's observation shape (FIXTURES.md §8)."""
+    return load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("sensor_id"),
+        F.col("ts").alias("time"),
+        F.col("value").alias("temperature"),
+        F.col("event_type").alias("status"),
+    )
+
+
+def _anchored(df: DataFrame, time_col: str, lookback: str) -> DataFrame:
+    """``time >= ago(lookback)`` with now() anchored at max(time) (P5).
+
+    The 1-row anchor aggregate is broadcast so the filter costs no shuffle.
+    """
+    anchor = df.agg(F.max(time_col).alias("__now"))
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .filter(F.col(time_col) >= F.col("__now") - F.expr(lookback))
+        .drop("__now")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1 — flagship interpolate + align (`timestream-queries/queries.txt:2-19`,
+# also the Airflow export query `dags/timestream-airflow-demo.py:45-64`).
+# --------------------------------------------------------------------------
+
+
+def q1_flagship_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = sensor_obs(spark, sf_dir)
+    interpolated = resample(
+        obs,
+        keys=["sensor_id"],
+        time_col="time",
+        step=GRID_STEP,
+        linear={"temperature": "temperature"},
+        locf={"status": "status"},
+    )
+    return align_series(
+        interpolated,
+        keys=["sensor_id"],
+        time_col="time",
+        agg={"status": F.min("status"), "temperature": F.avg("temperature")},
+    ).select("sensor_id", "time", "status", "temperature")
+
+
+# Shared oracle CTE implementing the same resample semantics: grid =
+# SEQUENCE(min,max,step) per key; lerp in epoch-microsecond space; LOCF via
+# last_value ignore nulls; observations order before grid rows at equal
+# timestamps so on-grid observations are returned exactly.
+_INTERP_CTE = f"""
+WITH obs AS (
+  SELECT user_id AS sensor_id, ts AS time, value AS temperature, event_type AS status
+  FROM events
+), bounds AS (
+  SELECT sensor_id, min(time) AS tmin, max(time) AS tmax FROM obs GROUP BY sensor_id
+), grid AS (
+  SELECT sensor_id, unnest(generate_series(tmin, tmax, {GRID_STEP_SQL})) AS time FROM bounds
+), unioned AS (
+  SELECT sensor_id, time, temperature, status, 0 AS is_grid FROM obs
+  UNION ALL
+  SELECT sensor_id, time, NULL AS temperature, NULL AS status, 1 AS is_grid FROM grid
+), w AS (
+  SELECT sensor_id, time, is_grid,
+    last_value(temperature IGNORE NULLS) OVER fwd AS v_prev,
+    last_value(CASE WHEN temperature IS NOT NULL THEN time END IGNORE NULLS) OVER fwd AS t_prev,
+    first_value(temperature IGNORE NULLS) OVER bwd AS v_next,
+    first_value(CASE WHEN temperature IS NOT NULL THEN time END IGNORE NULLS) OVER bwd AS t_next,
+    last_value(status IGNORE NULLS) OVER fwd AS locf_status
+  FROM unioned
+  WINDOW
+    fwd AS (PARTITION BY sensor_id ORDER BY time, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    bwd AS (PARTITION BY sensor_id ORDER BY time, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), interp AS (
+  SELECT sensor_id, time, locf_status,
+    CASE WHEN t_prev = time THEN v_prev
+         WHEN t_prev IS NULL OR t_next IS NULL THEN NULL
+         ELSE v_prev + (v_next - v_prev) *
+              ((epoch_us(time) - epoch_us(t_prev)) / (epoch_us(t_next) - epoch_us(t_prev)))
+    END AS lerp_temperature
+  FROM w WHERE is_grid = 1
+)
+"""
+
+Q1_ORACLE = (
+    _INTERP_CTE
+    + """
+SELECT sensor_id, time, min(locf_status) AS status, avg(lerp_temperature) AS temperature
+FROM interp
+GROUP BY sensor_id, time
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Q2 — interpolated series without the re-agg (`queries.txt:23-32`), flat form.
+# --------------------------------------------------------------------------
+
+
+def q2_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = sensor_obs(spark, sf_dir)
+    return resample(
+        obs,
+        keys=["sensor_id"],
+        time_col="time",
+        step=GRID_STEP,
+        linear={"interpolated_temperature": "temperature"},
+        locf={"locf_status": "status"},
+    ).select("sensor_id", "time", "locf_status", "interpolated_temperature")
+
+
+Q2_ORACLE = (
+    _INTERP_CTE
+    + """
+SELECT sensor_id, time, locf_status, lerp_temperature AS interpolated_temperature
+FROM interp
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Q3 — raw timeseries build + unnest round-trip with ago() recency filter
+# (`queries.txt:36-41`: CREATE_TIME_SERIES over time >= ago(1m)).
+# --------------------------------------------------------------------------
+
+
+def q3_timeseries_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = _anchored(sensor_obs(spark, sf_dir), "time", "INTERVAL 7 DAYS")
+    ts = create_time_series(obs, keys=["sensor_id"], time_col="time", value_col="temperature")
+    return unnest_time_series(ts, "ts", time_name="time", value_name="temperature").select(
+        "sensor_id", "time", "temperature"
+    )
+
+
+Q3_ORACLE = """
+SELECT user_id AS sensor_id, ts AS time, value AS temperature
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+"""
+
+
+# --------------------------------------------------------------------------
+# Grafana panel pack (SURVEY.md §2: G3 raw feed, G4 status counts,
+# G5 binned avg+percentiles, G6 per-sensor recent max top-N).
+# --------------------------------------------------------------------------
+
+
+def g3_raw_feed_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `grafana…json:285`: SELECT * ... ORDER BY time
+    return sensor_obs(spark, sf_dir).orderBy("time").select(
+        "sensor_id", "time", "temperature", "status"
+    )
+
+
+G3_ORACLE = """
+SELECT user_id AS sensor_id, ts AS time, value AS temperature, event_type AS status
+FROM events ORDER BY time
+"""
+
+
+def g4_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `grafana…json:337`: COUNT(*) ... GROUP BY status
+    return sensor_obs(spark, sf_dir).groupBy("status").agg(F.count("*").alias("status_count"))
+
+
+G4_ORACLE = """
+SELECT event_type AS status, count(*) AS status_count FROM events GROUP BY event_type
+"""
+
+
+def g5_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `grafana…json:392`: bin(time, $__interval_ms) + ROUND(AVG) + percentiles.
+    # Exact percentile here so the DuckDB oracle can match; the approximate
+    # variant (Timestream APPROX_PERCENTILE → percentile_approx) is exercised
+    # in bench/tests where no cross-engine hash is required.
+    obs = sensor_obs(spark, sf_dir)
+    return (
+        obs.groupBy(time_bin("time", "1 day").alias("time_bin"))
+        .agg(
+            F.round(F.avg("temperature"), 6).alias("avg_temperature"),
+            F.round(F.expr("percentile(temperature, 0.9)"), 6).alias("p90_temperature"),
+            F.round(F.expr("percentile(temperature, 0.75)"), 6).alias("p75_temperature"),
+        )
+        .orderBy(F.desc("time_bin"))
+    )
+
+
+G5_ORACLE = """
+SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS time_bin,
+       round(avg(value), 6) AS avg_temperature,
+       round(quantile_cont(value, 0.9), 6) AS p90_temperature,
+       round(quantile_cont(value, 0.75), 6) AS p75_temperature
+FROM events
+GROUP BY 1 ORDER BY time_bin DESC
+"""
+
+
+def g6_top_sensors_recent_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `grafana…json:518`: per-sensor MAX over time BETWEEN ago(10s) AND now(),
+    # ORDER BY latest desc (+ deterministic key tie-break, LIMIT 10 ≡ O2+O4).
+    obs = _anchored(sensor_obs(spark, sf_dir), "time", "INTERVAL 10 DAYS")
+    return (
+        obs.groupBy("sensor_id")
+        .agg(F.max("temperature").alias("max_temperature"))
+        .orderBy(F.desc("max_temperature"), "sensor_id")
+        .limit(10)
+    )
+
+
+G6_ORACLE = """
+SELECT user_id AS sensor_id, max(value) AS max_temperature
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 10 DAY FROM events)
+GROUP BY user_id
+ORDER BY max_temperature DESC, sensor_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Storage-model reshaping: melt (A12, `cdk/load_data_fn/app.py:54-67`) and
+# pivot (A10, `grafana…json:121`) — melt∘pivot = identity.
+# --------------------------------------------------------------------------
+
+_LINEITEM_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def melt_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return melt(
+        li,
+        dims=["l_orderkey", "l_linenumber", "l_returnflag"],
+        measures=_LINEITEM_MEASURES,
+    )
+
+
+MELT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       'l_quantity' AS measure_name, CAST(l_quantity AS DOUBLE) AS measure_value_double
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_returnflag, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_returnflag, 'l_discount', CAST(l_discount AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_returnflag, 'l_tax', CAST(l_tax AS DOUBLE)
+FROM lineitem
+"""
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    narrow = melt_narrow(spark, sf_dir)
+    return pivot_measures(
+        narrow,
+        group_cols=["l_orderkey", "l_linenumber"],
+        measures=_LINEITEM_MEASURES,
+    )
+
+
+# pivot(melt(lineitem)): (l_orderkey, l_linenumber) is not unique in the
+# synthetic data, so the pivot's MAX collapse is visible — mirror it in SQL.
+PIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       max(CAST(l_quantity AS DOUBLE)) AS l_quantity,
+       max(CAST(l_extendedprice AS DOUBLE)) AS l_extendedprice,
+       max(CAST(l_discount AS DOUBLE)) AS l_discount,
+       max(CAST(l_tax AS DOUBLE)) AS l_tax
+FROM lineitem
+GROUP BY l_orderkey, l_linenumber
+"""
+
+
+# --------------------------------------------------------------------------
+# Lake-side enrichment joins (J2/J3 + A5, `README.md:411-449`): fact × small
+# dims, explicit broadcast — the Athena join re-expressed.
+# --------------------------------------------------------------------------
+
+
+def a1_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+A1_ORACLE = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       count(*) AS event_count, round(sum(value), 4) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational coverage (A5-A10, O1-O4 over the TPC-H-ish tables).
+# --------------------------------------------------------------------------
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+TPCH_Q3_ORACLE = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry — the driver contract (__spark_entry__.queries / oracle_sql).
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_flagship_interpolate": q1_flagship_interpolate,
+    "q2_interpolated_series": q2_interpolated_series,
+    "q3_timeseries_roundtrip": q3_timeseries_roundtrip,
+    "g3_raw_feed_ordered": g3_raw_feed_ordered,
+    "g4_status_counts": g4_status_counts,
+    "g5_binned_percentiles": g5_binned_percentiles,
+    "g6_top_sensors_recent_max": g6_top_sensors_recent_max,
+    "melt_narrow": melt_narrow,
+    "pivot_wide": pivot_wide,
+    "a1_enrichment_join": a1_enrichment_join,
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_top_orders": tpch_q3_top_orders,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_flagship_interpolate": Q1_ORACLE,
+    "q2_interpolated_series": Q2_ORACLE,
+    "q3_timeseries_roundtrip": Q3_ORACLE,
+    "g3_raw_feed_ordered": G3_ORACLE,
+    "g4_status_counts": G4_ORACLE,
+    "g5_binned_percentiles": G5_ORACLE,
+    "g6_top_sensors_recent_max": G6_ORACLE,
+    "melt_narrow": MELT_ORACLE,
+    "pivot_wide": PIVOT_ORACLE,
+    "a1_enrichment_join": A1_ORACLE,
+    "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
+    "tpch_q3_top_orders": TPCH_Q3_ORACLE,
+}
