@@ -1,0 +1,160 @@
+"""Streaming tests (SURVEY.md §5.2.4): replay fixture events through the
+ingest and CEP jobs with AvailableNow triggers and assert the store/stream
+results equal the batch-computed answers; idempotent-export re-runs are
+byte-stable."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from tests.fixtures import sensor_readings
+from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
+from time_series_and_data_lakes_spark.sources.export import export_window
+from time_series_and_data_lakes_spark.streaming import (
+    match_error_pattern_stream,
+    melt_stream,
+    read_json_stream,
+    start_narrow_store_sink,
+)
+from time_series_and_data_lakes_spark.streaming.retention import expire_partitions
+
+
+def _write_json_batches(tmp_path, rows, n_batches=4):
+    src = tmp_path / "src"
+    src.mkdir()
+    per = (len(rows) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        chunk = rows[b * per : (b + 1) * per]
+        if chunk:
+            path = src / f"batch-{b:03d}.json"
+            with open(path, "w") as f:
+                for r in chunk:
+                    f.write(json.dumps(r) + "\n")
+            # The file source orders batches by modification time; pin
+            # strictly increasing mtimes so arrival order == event order
+            # (the CEP NFA is arrival-order-sensitive, like the reference's
+            # ORDER BY ptime).
+            import os
+
+            os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
+    return str(src)
+
+
+def test_ingest_stream_equals_batch_melt(spark, tmp_path):
+    rows = sensor_readings(seed=1, sensors=5, span_seconds=60)
+    src = _write_json_batches(tmp_path, rows)
+    store = str(tmp_path / "store")
+
+    wide = read_json_stream(spark, src)
+    narrow = melt_stream(wide)
+    q = start_narrow_store_sink(narrow, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(store)
+    assert got.count() == len(rows)
+    # exactly-once: restarting the finished stream appends nothing
+    q2 = start_narrow_store_sink(
+        melt_stream(read_json_stream(spark, src)), store, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(store).count() == len(rows)
+
+    # store shape: narrow model columns + partition cols, correct values
+    one = got.filter(F.col("sensor_id") == rows[0]["sensor_id"]).filter(
+        F.col("time") == F.timestamp_millis(F.lit(rows[0]["event_time"]))
+    )
+    r = one.collect()[0]
+    assert r["measure_name"] == "temperature"
+    assert r["measure_value_double"] == rows[0]["temperature"]
+    assert r["status"] == rows[0]["status"]
+
+
+def test_streaming_cep_equals_batch(spark, tmp_path):
+    rows = sensor_readings(seed=2, sensors=6, span_seconds=120)
+    src = _write_json_batches(tmp_path, rows, n_batches=6)
+
+    wide = read_json_stream(spark, src, max_files_per_trigger=1)
+    typed = wide.select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+    matches = match_error_pattern_stream(typed, within="INTERVAL 1 MINUTE")
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in spark.table("cep_out").collect()
+    )
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                r["sensor_id"],
+                dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0),
+                r["status"],
+                r["temperature"],
+            )
+            for r in rows
+        ],
+        "sensor_id string, time timestamp, status string, temperature double",
+    )
+    want = sorted(
+        tuple(r)
+        for r in match_error_pattern(batch_df, within="INTERVAL 1 MINUTE").collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture must actually exercise the pattern
+
+
+def test_export_window_idempotent(spark, tmp_path):
+    rows = sensor_readings(seed=3, sensors=4, span_seconds=60)
+    df = spark.createDataFrame(
+        [
+            (r["sensor_id"], dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0), r["temperature"])
+            for r in rows
+        ],
+        "sensor_id string, time timestamp, temperature double",
+    )
+    start = dt.datetime.utcfromtimestamp(1_700_000_000)
+    end = start + dt.timedelta(seconds=30)
+    base = str(tmp_path / "lake")
+
+    p1 = export_window(df, base, start, end)
+    first = sorted(tuple(r) for r in spark.read.parquet(p1).collect())
+    p2 = export_window(df, base, start, end)  # re-run same window
+    assert p1 == p2 and p1.endswith(start.strftime("%Y-%m-%dT%H-%M"))
+    second = sorted(tuple(r) for r in spark.read.parquet(p2).collect())
+    assert first == second
+    # window filter is half-open
+    n_in_window = sum(1 for r in rows if start <= dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0) < end)
+    assert len(first) == n_in_window
+
+
+def test_retention_expires_old_partitions(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [
+            ("s1", dt.datetime(2024, 1, 1, 12), "OK", "temperature", 1.0),
+            ("s1", dt.datetime(2024, 1, 20, 12), "OK", "temperature", 2.0),
+        ],
+        "sensor_id string, time timestamp, status string, measure_name string, measure_value_double double",
+    )
+    (
+        df.withColumn("date", F.to_date("time"))
+        .write.partitionBy("measure_name", "date")
+        .parquet(store)
+    )
+    removed = expire_partitions(store, dt.date(2024, 1, 10))
+    assert len(removed) == 1 and "date=2024-01-01" in removed[0]
+    left = spark.read.parquet(store)
+    assert [r["measure_value_double"] for r in left.collect()] == [2.0]

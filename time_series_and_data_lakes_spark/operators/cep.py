@@ -1,0 +1,241 @@
+"""Complex-event-processing operator: the reference's Flink MATCH_RECOGNIZE
+query re-expressed Spark-first (SURVEY.md §2.8 T2-T5).
+
+Reference semantics (`kinesis-studio-notebook/notebook.txt:47-68`):
+
+    PARTITION BY sensor_id ORDER BY ptime
+    PATTERN (A B{1,5} C) WITHIN INTERVAL '1' MINUTES
+    DEFINE A AS status =  'ERROR',
+           B AS status <> 'ERROR',
+           C AS status =  'ERROR'
+    AFTER MATCH SKIP PAST LAST ROW
+    MEASURES A.event_time, COUNT(*)-2 AS non_errors,
+             CONCAT_WS('-', FIRST(B.status,0..4)) AS history,
+             MIN/ROUND(AVG(),2)/MAX(temperature),
+             (C.event_time - A.event_time)/1000 AS elapsed
+
+Why this is declarative, not an NFA
+-----------------------------------
+Because B excludes ERROR rows, every candidate match is a pair of
+*consecutive* ERROR rows with 1..max_b non-error rows between them, within
+the time bound. ``AFTER MATCH SKIP PAST LAST ROW`` then reduces to a greedy
+alternating selection along runs of consecutively-valid pairs: a pair is
+selected iff it is valid and the previous pair was not selected. Within each
+maximal run of valid pairs that is simply "every other one, starting with the
+first" — computable with a cumulative-invalid-count run id plus row_number
+parity. The whole operator is therefore window functions + one aggregation:
+one hash exchange on the key, no Python, no driver loop — it scales to any
+number of keys and is the batch oracle for the streaming NFA
+(:mod:`time_series_and_data_lakes_spark.streaming.cep_stream`).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def match_error_pattern(
+    df: DataFrame,
+    key: str = "sensor_id",
+    time_col: str = "time",
+    status_col: str = "status",
+    value_col: str = "temperature",
+    error_value: str = "ERROR",
+    min_b: int = 1,
+    max_b: int = 5,
+    within: str = "INTERVAL 1 MINUTE",
+    round_avg: int = 2,
+) -> DataFrame:
+    """Detect ``(A B{min_b,max_b} C) WITHIN within`` per key, skip-past-last-row.
+
+    Returns the CEP record shape (`notebook.txt:20-29`): one row per match
+    with ``(key, event_time, non_errors, history, min_temperature,
+    avg_temperature, max_temperature, elapsed)``. ``event_time`` is A's
+    timestamp; ``elapsed`` is whole seconds C-A (matching the reference's
+    ``ROUND((C.event_time - A.event_time)/1000)`` on epoch millis).
+
+    Batch ordering is by ``time_col`` (event time). The reference orders by
+    processing time (`notebook.txt:52`) — equivalent whenever the stream is
+    replayed in event order; the streaming variant documents the divergence.
+    """
+    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+
+    within_us = _interval_micros(within)
+
+    w_key = Window.partitionBy(key).orderBy("__t")
+    rows = df.select(
+        key,
+        F.col(time_col).alias("__t"),
+        F.col(status_col).alias("__status"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__is_err", (F.col("__status") == error_value).cast("int"))
+    # Running count of error rows, inclusive: for an error row this is its
+    # 1-based error index k; non-error rows carry the index of the error
+    # segment they follow.
+    rows = rows.withColumn(
+        "__err_seq",
+        F.sum("__is_err").over(
+            Window.partitionBy(key).orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("__pos", F.row_number().over(w_key))
+
+    # B-segment aggregates: non-error rows between error k and error k+1
+    # share __err_seq = k. History preserves arrival order via pos-sorted
+    # collect; min/max/sum feed the full-match MEASURES.
+    segs = (
+        rows.filter((F.col("__is_err") == 0) & (F.col("__err_seq") >= 1))
+        .groupBy(key, "__err_seq")
+        .agg(
+            F.count("*").alias("__b_count"),
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__status"))),
+                    lambda x: x["__status"],
+                ),
+            ).alias("history"),
+            F.min("__v").alias("__b_min"),
+            F.max("__v").alias("__b_max"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
+                lambda x: x["__v"],
+            ).alias("__b_temps"),
+        )
+    )
+
+    errs = rows.filter(F.col("__is_err") == 1).select(
+        key,
+        F.col("__err_seq").alias("__k"),
+        F.col("__t").alias("__t_a"),
+        F.col("__pos").alias("__pos_a"),
+        F.col("__v").alias("__v_a"),
+    )
+    w_err = Window.partitionBy(key).orderBy("__k")
+    pairs = (
+        errs.withColumn("__t_c", F.lead("__t_a").over(w_err))
+        .withColumn("__pos_c", F.lead("__pos_a").over(w_err))
+        .withColumn("__v_c", F.lead("__v_a").over(w_err))
+        .filter(F.col("__t_c").isNotNull())
+    )
+    n_b = F.col("__pos_c") - F.col("__pos_a") - 1
+    pairs = pairs.withColumn(
+        "__valid",
+        (
+            (n_b >= min_b)
+            & (n_b <= max_b)
+            & ((F.unix_micros("__t_c") - F.unix_micros("__t_a")) <= within_us)
+        ).cast("int"),
+    )
+    # SKIP PAST LAST ROW: run id = invalid pairs seen so far; within a run,
+    # odd-ranked valid pairs are the greedy picks.
+    pairs = pairs.withColumn(
+        "__run",
+        F.sum(F.lit(1) - F.col("__valid")).over(
+            Window.partitionBy(key).orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    selected = (
+        pairs.filter(F.col("__valid") == 1)
+        .withColumn("__rn", F.row_number().over(Window.partitionBy(key, "__run").orderBy("__k")))
+        .filter(F.pmod(F.col("__rn"), F.lit(2)) == 1)
+    )
+
+    out = selected.join(
+        segs,
+        on=[selected[key] == segs[key], selected["__k"] == segs["__err_seq"]],
+        how="inner",
+    ).select(
+        selected[key].alias(key),
+        selected["__t_a"].alias("event_time"),
+        F.col("__b_count").alias("non_errors"),
+        F.col("history"),
+        F.least("__b_min", "__v_a", "__v_c").alias("min_temperature"),
+        # Fold the match temperatures in row order (A, B..., C) and round via
+        # an explicit floor(x*10^n + 0.5)/10^n: both the fold order and the
+        # rounding are then single IEEE expression trees, deterministic and
+        # identical across Spark / DuckDB / the streaming NFA (engine-native
+        # round() implementations disagree on boundary doubles).
+        (
+            F.floor(
+                F.aggregate(
+                    F.concat(
+                        F.array(F.col("__v_a")), F.col("__b_temps"), F.array(F.col("__v_c"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("__b_count") + F.lit(2))
+                * F.lit(float(10**round_avg))
+                + F.lit(0.5)
+            )
+            / F.lit(float(10**round_avg))
+        ).alias("avg_temperature"),
+        F.greatest("__b_max", "__v_a", "__v_c").alias("max_temperature"),
+        # Flink's `/` on BIGINT is integer division, so the reference's
+        # ROUND((C.event_time - A.event_time) / 1000) is floor seconds.
+        F.floor(
+            (F.unix_millis(selected["__t_c"]) - F.unix_millis(selected["__t_a"]))
+            / F.lit(1000)
+        )
+        .cast("bigint")
+        .alias("elapsed"),
+    )
+    return out
+
+
+def brute_force_matches(
+    rows: list[tuple],
+    error_value: str = "ERROR",
+    min_b: int = 1,
+    max_b: int = 5,
+    within_seconds: float = 60.0,
+    round_avg: int = 2,
+) -> list[dict]:
+    """Reference matcher for property tests (FIXTURES.md §3): a literal
+    left-to-right NFA scan over (time, status, value) tuples of ONE key,
+    non-overlapping matches, skip past last row. O(n) driver-side Python —
+    test oracle only, never part of a query plan.
+    """
+    rows = sorted(rows)
+    out: list[dict] = []
+    i = 0
+    n = len(rows)
+    while i < n:
+        if rows[i][1] != error_value:
+            i += 1
+            continue
+        # A anchored at i; B rows must be non-error; C the next error.
+        j = i + 1
+        while j < n and rows[j][1] != error_value:
+            j += 1
+        b_count = j - i - 1
+        if (
+            j < n
+            and min_b <= b_count <= max_b
+            and (rows[j][0] - rows[i][0]).total_seconds() <= within_seconds
+        ):
+            match = rows[i : j + 1]
+            temps = [r[2] for r in match]
+            delta = rows[j][0] - rows[i][0]
+            factor = float(10**round_avg)
+            out.append(
+                {
+                    "event_time": rows[i][0],
+                    "non_errors": b_count,
+                    "history": "-".join(r[1] for r in match[1:-1]),
+                    "min_temperature": min(temps),
+                    # same floor-based rounding as the distributed operator
+                    "avg_temperature": math.floor(sum(temps) / len(temps) * factor + 0.5)
+                    / factor,
+                    "max_temperature": max(temps),
+                    # floor seconds (timedelta normalizes micros separately)
+                    "elapsed": delta.days * 86400 + delta.seconds,
+                }
+            )
+            i = j + 1  # skip past last row
+        else:
+            i += 1
+    return out

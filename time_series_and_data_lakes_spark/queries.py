@@ -453,6 +453,121 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# F2 — MATCH_RECOGNIZE CEP (`kinesis-studio-notebook/notebook.txt:47-68`),
+# batch form. Pattern (A B{1,5} C) WITHIN bound, skip past last row; the
+# within-bound is 7 days because the fixture's per-key event cadence is
+# ~1/10h (the reference's 1-minute bound at 1 Hz scales likewise).
+# --------------------------------------------------------------------------
+
+CEP_WITHIN = "INTERVAL 7 DAYS"
+_CEP_WITHIN_US = 7 * 86_400_000_000
+
+
+def f2_cep_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
+
+    obs = sensor_obs(spark, sf_dir)
+    return match_error_pattern(
+        obs,
+        key="sensor_id",
+        time_col="time",
+        status_col="status",
+        value_col="temperature",
+        error_value="error",
+        min_b=1,
+        max_b=5,
+        within=CEP_WITHIN,
+    )
+
+
+F2_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id AS sensor_id, ts AS time, event_type AS status, value AS temperature
+  FROM events
+), rows_ AS (
+  SELECT sensor_id, time, status, temperature,
+    CASE WHEN status = 'error' THEN 1 ELSE 0 END AS is_err,
+    sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY sensor_id ORDER BY time
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_seq,
+    row_number() OVER (PARTITION BY sensor_id ORDER BY time) AS pos
+  FROM obs
+), segs AS (
+  SELECT sensor_id, err_seq, count(*) AS b_count,
+    string_agg(status, '-' ORDER BY pos) AS history,
+    min(temperature) AS b_min, max(temperature) AS b_max,
+    list(temperature ORDER BY pos) AS b_temps
+  FROM rows_ WHERE is_err = 0 AND err_seq >= 1
+  GROUP BY sensor_id, err_seq
+), errs AS (
+  SELECT sensor_id, err_seq AS k, time AS t_a, pos AS pos_a, temperature AS v_a,
+    lead(time) OVER w AS t_c, lead(pos) OVER w AS pos_c, lead(temperature) OVER w AS v_c
+  FROM rows_ WHERE is_err = 1
+  WINDOW w AS (PARTITION BY sensor_id ORDER BY err_seq)
+), pairs AS (
+  SELECT *, CASE WHEN pos_c - pos_a - 1 BETWEEN 1 AND 5
+                  AND epoch_us(t_c) - epoch_us(t_a) <= {_CEP_WITHIN_US}
+             THEN 1 ELSE 0 END AS valid
+  FROM errs WHERE t_c IS NOT NULL
+), runs AS (
+  SELECT *, sum(1 - valid) OVER (PARTITION BY sensor_id ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM pairs
+), sel AS (
+  SELECT *, row_number() OVER (PARTITION BY sensor_id, run ORDER BY k) AS rn
+  FROM runs WHERE valid = 1
+)
+SELECT s.sensor_id, s.t_a AS event_time, g.b_count AS non_errors, g.history,
+  least(g.b_min, s.v_a, s.v_c) AS min_temperature,
+  floor(list_reduce(list_concat(list_concat([s.v_a], g.b_temps), [s.v_c]),
+                    (acc, x) -> acc + x) / (g.b_count + 2) * 100.0 + 0.5) / 100.0
+    AS avg_temperature,
+  greatest(g.b_max, s.v_a, s.v_c) AS max_temperature,
+  (epoch_ms(s.t_c) - epoch_ms(s.t_a)) // 1000 AS elapsed
+FROM sel s JOIN segs g ON s.sensor_id = g.sensor_id AND s.k = g.err_seq
+WHERE s.rn % 2 = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# G1 — CEP narrow-table pivot by bin (`grafana…json:121`): melt the CEP
+# matches into the narrow store shape, then pivot back per (sensor, bin).
+# --------------------------------------------------------------------------
+
+
+def g1_cep_pivot_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cep = f2_cep_match_recognize(spark, sf_dir)
+    narrow = melt(
+        cep.withColumn("time", F.col("event_time")),
+        dims=["sensor_id"],
+        measures=["min_temperature", "avg_temperature", "max_temperature", "elapsed"],
+        time_col="time",
+    )
+    return (
+        pivot_measures(
+            narrow.withColumn("time_bin", time_bin("time", "1 day")),
+            group_cols=["sensor_id", "time_bin"],
+            measures=["min_temperature", "avg_temperature", "max_temperature", "elapsed"],
+        )
+        .orderBy("sensor_id", "time_bin")
+    )
+
+
+G1_ORACLE = (
+    "WITH cep AS (" + F2_ORACLE + """)
+SELECT sensor_id,
+       make_timestamp(epoch_us(event_time) - epoch_us(event_time) % 86400000000) AS time_bin,
+       max(CAST(min_temperature AS DOUBLE)) AS min_temperature,
+       max(CAST(avg_temperature AS DOUBLE)) AS avg_temperature,
+       max(CAST(max_temperature AS DOUBLE)) AS max_temperature,
+       max(CAST(elapsed AS DOUBLE)) AS elapsed
+FROM cep
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Registry — the driver contract (__spark_entry__.queries / oracle_sql).
 # --------------------------------------------------------------------------
 
@@ -469,6 +584,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_enrichment_join": a1_enrichment_join,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_top_orders": tpch_q3_top_orders,
+    "f2_cep_match_recognize": f2_cep_match_recognize,
+    "g1_cep_pivot_by_bin": g1_cep_pivot_by_bin,
 }
 
 ORACLES: dict[str, str] = {
@@ -484,4 +601,6 @@ ORACLES: dict[str, str] = {
     "a1_enrichment_join": A1_ORACLE,
     "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
     "tpch_q3_top_orders": TPCH_Q3_ORACLE,
+    "f2_cep_match_recognize": F2_ORACLE,
+    "g1_cep_pivot_by_bin": G1_ORACLE,
 }

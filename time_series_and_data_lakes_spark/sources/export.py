@@ -1,0 +1,71 @@
+"""Idempotent windowed lake export (SURVEY.md S9/T10/T12).
+
+The reference's Airflow DAG runs the flagship query every 5 minutes for the
+window [execution_date, next_execution_date) and writes CSV under a path
+derived from the window start — "must be an idempotent value" so re-runs and
+backfills overwrite the same prefix (`mwaa/mwaa-cdk/dags/
+timestream-airflow-demo.py:33-44,69`; backfill `dags/timestream-backfill.py`).
+
+Here the window-derived deterministic path + ``mode('overwrite')`` gives the
+same exactly-once-per-window contract. Production shape is partitioned
+Parquet; a CSV writer is kept for fidelity with the reference's lake layout
+(headered CSV, crawler-typed — `README.md:411-425`).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_path(base: str, window_start: dt.datetime) -> str:
+    """`{base}/{yyyy-mm-ddThh-mm}/` — minute-resolution window prefix, the
+    reference's rule (`dags/timestream-airflow-demo.py:41`: first 16 chars of
+    the execution timestamp). The reference's literal ``hh:mm`` works on S3
+    but a colon is a URI scheme separator to Hadoop paths, so ``-`` stands in
+    — still deterministic per window, which is all idempotency needs."""
+    return f"{base}/{window_start.strftime('%Y-%m-%dT%H-%M')}"
+
+
+def export_window(
+    df: DataFrame,
+    base: str,
+    window_start: dt.datetime,
+    window_end: dt.datetime,
+    time_col: str = "time",
+    fmt: str = "parquet",
+) -> str:
+    """Filter to [window_start, window_end) and overwrite the window's
+    deterministic prefix. Returns the path written."""
+    path = window_path(base, window_start)
+    windowed = df.filter(
+        (F.col(time_col) >= F.lit(window_start)) & (F.col(time_col) < F.lit(window_end))
+    )
+    writer = windowed.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        writer.parquet(path)
+    return path
+
+
+def backfill(
+    query_fn,
+    base: str,
+    start: dt.datetime,
+    end: dt.datetime,
+    step: dt.timedelta,
+    time_col: str = "time",
+    fmt: str = "parquet",
+) -> list[str]:
+    """Historical re-run over past windows (T12): same deterministic-path
+    writer per window, so repeats are byte-stable."""
+    paths = []
+    w = start
+    while w < end:
+        w_end = min(w + step, end)
+        paths.append(export_window(query_fn(w, w_end), base, w, w_end, time_col, fmt))
+        w = w_end
+    return paths

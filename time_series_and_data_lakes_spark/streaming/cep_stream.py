@@ -1,0 +1,172 @@
+"""Streaming CEP: the MATCH_RECOGNIZE-subset NFA as a custom stateful
+operator (SURVEY.md §2.8 T2-T6) via ``applyInPandasWithState``.
+
+Per-key state is the live candidate: the anchored A row plus buffered B rows.
+Because B excludes ERROR rows, the NFA needs no backtracking — each incoming
+row either extends, completes, kills, or re-anchors the candidate, so state
+is O(max_b) per key regardless of stream length. ``AFTER MATCH SKIP PAST
+LAST ROW`` falls out naturally: the C row of an emitted match is consumed and
+cannot re-anchor.
+
+Ordering: the reference orders by processing time (`notebook.txt:52` —
+``ORDER BY ptime``), making its results replay-sensitive. This operator
+processes rows in ascending ``time_col`` *within* each micro-batch and
+carries state across batches, so feeding event-ordered batches reproduces
+the batch operator (:func:`...operators.cep.match_error_pattern`) exactly —
+that batch form is this operator's oracle in tests. The WITHIN bound also
+acts as the state timeout: a candidate older than the bound can never
+complete and is dropped on the next row (T3's timer semantics without
+wall-clock timers, so replays stay deterministic).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CEP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("non_errors", T.LongType()),
+        T.StructField("history", T.StringType()),
+        T.StructField("min_temperature", T.DoubleType()),
+        T.StructField("avg_temperature", T.DoubleType()),
+        T.StructField("max_temperature", T.DoubleType()),
+        T.StructField("elapsed", T.LongType()),
+    ]
+)
+
+# Candidate state: A's epoch-micros + temperature, B statuses and temps.
+CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("a_time_us", T.LongType()),
+        T.StructField("a_temp", T.DoubleType()),
+        T.StructField("b_statuses", T.ArrayType(T.StringType())),
+        T.StructField("b_temps", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _nfa_step(
+    state: tuple[int | None, float | None, list[str], list[float]],
+    t_us: int,
+    status: str,
+    temp: float,
+    error_value: str,
+    min_b: int,
+    max_b: int,
+    within_us: int,
+    round_avg: int,
+) -> tuple[tuple, dict | None]:
+    """Advance the per-key NFA by one row; return (new_state, emitted_match)."""
+    a_time, a_temp, b_statuses, b_temps = state
+    if status == error_value:
+        if (
+            a_time is not None
+            and min_b <= len(b_statuses) <= max_b
+            and t_us - a_time <= within_us
+        ):
+            temps = [a_temp, *b_temps, temp]
+            factor = float(10**round_avg)
+            match = {
+                "a_time_us": a_time,
+                "non_errors": len(b_statuses),
+                "history": "-".join(b_statuses),
+                "min_temperature": min(temps),
+                # floor-based rounding, identical to the batch operator
+                "avg_temperature": math.floor(sum(temps) / len(temps) * factor + 0.5)
+                / factor,
+                "max_temperature": max(temps),
+                # floor seconds, per Flink's integer division (notebook.txt:61)
+                "elapsed": (t_us // 1000 - a_time // 1000) // 1000,
+            }
+            return (None, None, [], []), match  # skip past last row
+        return (t_us, temp, [], []), None  # re-anchor A
+    if a_time is not None:
+        if len(b_statuses) >= max_b or t_us - a_time > within_us:
+            return (None, None, [], []), None  # candidate can never complete
+        return (a_time, a_temp, [*b_statuses, status], [*b_temps, temp]), None
+    return state, None
+
+
+def match_error_pattern_stream(
+    stream: DataFrame,
+    key: str = "sensor_id",
+    time_col: str = "time",
+    status_col: str = "status",
+    value_col: str = "temperature",
+    error_value: str = "ERROR",
+    min_b: int = 1,
+    max_b: int = 5,
+    within: str = "INTERVAL 1 MINUTE",
+    round_avg: int = 2,
+) -> DataFrame:
+    """Continuous ``(A B{min_b,max_b} C) WITHIN within`` over a keyed stream
+    (T2-T5), emitting the CEP record shape in append mode (T6)."""
+    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+
+    within_us = _interval_micros(within)
+
+    def process(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_value,) = key_tuple
+        if state.exists:
+            st = state.get
+            current = (st[0], st[1], list(st[2]), list(st[3]))
+        else:
+            current = (None, None, [], [])
+
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            times_us = pdf[time_col].astype("datetime64[us]").astype("int64")
+            for t_us, status, temp in zip(
+                times_us, pdf[status_col], pdf[value_col], strict=True
+            ):
+                current, match = _nfa_step(
+                    current,
+                    int(t_us),
+                    status,
+                    float(temp),
+                    error_value,
+                    min_b,
+                    max_b,
+                    within_us,
+                    round_avg,
+                )
+                if match is not None:
+                    out.append(match)
+
+        state.update((current[0], current[1], current[2], current[3]))
+        if out:
+            result = pd.DataFrame(out)
+            result.insert(0, key, key_value)
+            result["event_time"] = pd.to_datetime(result.pop("a_time_us"), unit="us")
+            yield result[
+                [
+                    key,
+                    "event_time",
+                    "non_errors",
+                    "history",
+                    "min_temperature",
+                    "avg_temperature",
+                    "max_temperature",
+                    "elapsed",
+                ]
+            ]
+
+    return stream.groupBy(key).applyInPandasWithState(
+        process,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,84 @@
+"""Structured-Streaming ingest: the Kinesis→Lambda→Timestream path rebuilt
+as one exactly-once job (SURVEY.md §3.2, S3/S5/S6/T8/T9).
+
+Reference chain: JSON records keyed by sensor_id on a Kinesis shard
+(`random-data-generator/random_data_generator.py:37-50`), a Lambda polling
+with retries (`cdk/from_kds_to_timestream/from_kds_to_timestream.py:55-61`),
+melting each wide record to narrow rows and writing batches of 100
+(`cdk/load_data_fn/app.py:44-74`). Here: a file/Kafka JSON source →
+``from_json`` → melt → ``foreachBatch`` append into a partitioned store.
+Checkpointing replaces the at-least-once retry chain with exactly-once; the
+micro-batch IS the write batch.
+
+Store layout for 100 TB: partitioned by ``measure_name`` (the narrow model's
+vertical partition — makes P4 predicates partition-pruning) and ``date``
+derived from event time (makes P5-P8 time predicates prune). On a real
+cluster this is a Delta table with retention DELETE+VACUUM (S7); the
+container has no Delta, so Parquet + directory-partition TTL implements the
+same contract (:mod:`time_series_and_data_lakes_spark.streaming.retention`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from time_series_and_data_lakes_spark.model import SENSOR_READING_SCHEMA
+from time_series_and_data_lakes_spark.operators.melt import melt
+
+
+def read_json_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema=SENSOR_READING_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """JSON-lines file stream → typed wide records (S3).
+
+    ``LATEST`` start position ≡ ``latestFirst``/checkpoint semantics; the
+    computed processing-time column mirrors Flink's ``PROCTIME()``
+    (`notebook.txt:7`) — event time stays payload, as in the reference.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(source_dir)
+    return raw.withColumn("ptime", F.current_timestamp())
+
+
+def melt_stream(wide: DataFrame) -> DataFrame:
+    """Wide→narrow melt of the stream (the Lambda's job, `app.py:54-67`):
+    epoch-millis ``event_time`` becomes the store's ``time``; ``status``
+    rides along as a dimension."""
+    return melt(
+        wide.withColumn("time", F.timestamp_millis(F.col("event_time"))),
+        dims=["sensor_id", "status"],
+        measures=["temperature"],
+        time_col="time",
+    )
+
+
+def start_narrow_store_sink(
+    narrow: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append the narrow stream into the partitioned store via foreachBatch
+    (S6). Partition columns: measure_name, date(time)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("date", F.to_date("time"))
+            .write.partitionBy("measure_name", "date")
+            .mode("append")
+            .parquet(store_path)
+        )
+
+    writer = narrow.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
