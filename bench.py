@@ -27,6 +27,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "melt_narrow",
+    "f2_cep_match_recognize",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Semantic probes for the LLM-pipeline operators — independent of the
+DuckDB oracle (which, being expression-identical, cannot catch a bug written
+into both sides)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from time_series_and_data_lakes_spark.operators.similarity import cosine_topk, lsh_bucket_pairs
+from time_series_and_data_lakes_spark.operators.text import (
+    predicted_lang,
+    quality_score,
+    token_count,
+)
+
+DOCS = "doc_id long, text string"
+
+
+def test_exact_dedup_groups_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], DOCS
+    )
+    got = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_dup_only(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)  # one-word edit
+    other = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, near.strip()), (3, other.strip())], DOCS
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(df, threshold=0.5).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_simhash_word_order_invariant(spark):
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(reversed(words)))], DOCS
+    )
+    (pair,) = simhash_dedup(df, n_bits=48, max_hamming=0).collect()
+    assert (pair["doc_a"], pair["doc_b"], pair["hamming"]) == (1, 2, 0)
+
+
+def test_cosine_topk_hand_checked(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    assert abs(got[0]["score"] - 0.9 / (0.81 + 0.01) ** 0.5) < 1e-9
+
+
+def test_lsh_bucket_pairs_finds_identical_vectors(spark):
+    vecs = [
+        (0, [1.0] * 64),
+        (1, [1.0] * 64),             # identical → same bucket, cosine 1
+        (2, [(-1.0) ** i for i in range(64)]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_bucket_pairs(df, threshold=0.99).collect()}
+    assert (0, 1) in pairs
+
+
+def test_lang_id_picks_stopword_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and the dog is in the house"),
+            (2, "der hund ist nicht die katze und das haus ist der ort"),
+            (3, "el gato y la casa en que vivo es un lugar"),
+        ],
+        DOCS,
+    )
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", predicted_lang(F.col("text")).alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es"}
+
+
+def test_quality_and_tokens(spark):
+    good = "this is a reasonably long clean document " * 5
+    df = spark.createDataFrame([(1, good.strip()), (2, "x!!! ??? @@@")], DOCS)
+    rows = {
+        r["doc_id"]: (r["q"], r["n"])
+        for r in df.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q"),
+            token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert rows[1][0] > rows[2][0]  # clean long doc scores higher
+    assert rows[1][1] == 35  # 7 words x 5 repeats

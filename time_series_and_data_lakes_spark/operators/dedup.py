@@ -1,0 +1,243 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Four techniques over the ``documents`` table, each designed for the 100 TB
+path and each with a DuckDB-oracle-exact formulation:
+
+- exact:   content-hash group-by (one shuffle on a 128-bit key)
+- MinHash+LSH: shingle → per-doc minhash signature (computed with array
+  higher-order functions — NO explode/shuffle per shingle) → band → bucket
+  join for candidates → exact-Jaccard verify on candidates only
+- SimHash: token-hash bit-vote fingerprint → byte-band bucket join →
+  Hamming filter (``bit_count(xor)``)
+- embedding cosine: see :mod:`...operators.similarity`
+
+Determinism contract: every hash is the md5-derived 60-bit integer
+``conv(substr(md5(seed || ':' || s), 1, 15), 16, 10)`` which DuckDB
+reproduces as ``('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT``, so
+signatures, buckets, and similarity scores are bit-identical across engines.
+
+Scale notes: signatures are per-row array expressions (whole-stage codegen,
+no Python, no shuffle); the only exchanges are the band-bucket join (skewed
+buckets handled by AQE skew-join) and the candidate-verify join. Candidate
+count — not corpus² — bounds the quadratic stage, which is the point of LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def spread_small(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer partitions than cores —
+    small reference files otherwise serialize heavy per-row expressions onto
+    one core. No-op (no added shuffle) on properly-sized inputs at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def h64(col: Column, seed: int | str = 0) -> Column:
+    """Deterministic 60-bit hash, identical in Spark and DuckDB (see module
+    docstring). Positive range [0, 2^60), safe for bigint arithmetic."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def let(bound: Column, fn) -> Column:
+    """Evaluate ``fn`` with ``bound`` computed exactly once per row, via
+    higher-order-function lambda binding (transform over a 1-element array).
+
+    Catalyst's CollapseProject inlines sub-expressions into every reference,
+    and HOF-bearing projections run interpreted (no codegen, no subexpression
+    elimination) — so an expression referenced k times is computed k times.
+    A signature referenced by every band turns O(hashes) work into
+    O(bands x rows x hashes). Lambda-binding restores let-semantics."""
+    return F.element_at(F.transform(F.array(bound), fn), 1)
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (single-space corpus; regex-free so both
+    engines split identically)."""
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (no explode)."""
+    toks = tokens_col(text)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, make).otherwise(F.array()))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 content hash → representative (min id) + copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """Per-document minhash signature as an array<bigint>: the shingle array
+    is let-bound, then min-hashed once per seed."""
+    return let(
+        shingles_col(text, shingle_n),
+        lambda sh: F.array(
+            *[
+                F.array_min(F.transform(sh, lambda s, j=j: h64(s, j)))
+                for j in range(num_hashes)
+            ]
+        ),
+    )
+
+
+def lsh_bands(sig: Column, bands: int = 4, rows_per_band: int = 2) -> Column:
+    """Band signatures: md5 of 'band_index|mh1,mh2' — a doc pair collides on
+    a band iff that band's minhashes all agree. The signature is let-bound so
+    it is computed once, not once per band reference."""
+    return let(
+        sig,
+        lambda mh: F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.lit(f"{b}|"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(mh, b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                    )
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH-banded candidates, verified with exact
+    Jaccard over the shingle sets. Returns (doc_a, doc_b, jaccard >= thr)."""
+    rows_per_band = num_hashes // bands
+    # Signatures are the expensive stage (num_hashes x shingles md5 folds per
+    # row) and are consumed three times (both bucket-join sides + verify) —
+    # materialize them once. spread_small guards against tiny inputs
+    # collapsing onto one core; at scale the scan already has parallelism.
+    sigs = spread_small(df).select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+        lsh_bands(
+            minhash_signature(F.col(text_col), num_hashes, shingle_n), bands, rows_per_band
+        ).alias("bands"),
+    ).persist()
+    # Candidate generation stays slim: ids + band signature only, so the
+    # bucket self-join shuffles no arrays.
+    buckets = sigs.select("doc_id", F.explode("bands").alias("band_sig"))
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), on="band_sig", how="inner")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Verify only the candidates: shingle arrays join in here, bounded by the
+    # candidate count, not corpus².
+    sh = sigs.select("doc_id", "sh")
+    pairs = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_col(text: Column, n_bits: int = 32) -> Column:
+    """Token-frequency SimHash: per bit, vote +1/-1 by the token-hash bit,
+    then pack the sign bits. Word-order invariant by construction. The
+    token-hash array is let-bound — otherwise every bit's vote re-hashes
+    every token (n_bits x tokens md5 calls per row)."""
+
+    def pack(hs: Column) -> Column:
+        bit = lambda b: F.when(  # noqa: E731
+            F.aggregate(
+                hs,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
+            >= 0,
+            F.lit(2**b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        out = F.lit(0).cast("bigint")
+        for b in range(n_bits):
+            out = out + bit(b)
+        return out
+
+    return let(F.transform(tokens_col(text), lambda t: h64(t, 0)), pack)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: byte-band bucket join (pigeonhole:
+    <= max_hamming differing bits with n_bands > max_hamming bands means at
+    least one band collides), then exact Hamming filter."""
+    assert n_bands > max_hamming, "need more bands than allowed bit flips"
+    bits_per_band = n_bits // n_bands
+    mask = (1 << bits_per_band) - 1
+    base = spread_small(df).select(
+        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col), n_bits).alias("sim")
+    ).persist()
+    bands = base.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(i)),
+                        F.shiftright("sim", i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band_key")
+    return (
+        a.join(b, on="band_key", how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,162 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side architecture is real and tested — schema contract, typed
+metadata struct, partition-preserving batch iteration, bounded batch sizes —
+while the codec step itself is STUBBED: this container has no image/audio
+libraries, so :func:`decode_media` routes to a clearly-marked deterministic
+fake parser of our own header layout, and raises ``NotImplementedError`` for
+real codecs. Swapping in PIL/ffmpeg later changes only ``_decode_payload``.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches through Python
+without materializing a partition; ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` bounds peak memory per batch, so executor memory sizing
+is independent of blob sizes × partition row counts. Blobs stay opaque bytes
+end-to-end (no JVM<->Python string copies), and feature extraction emits
+fixed-width vectors so downstream similarity ops (:mod:`.similarity`) apply
+unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+# Fake header layout for the deterministic stub codec: magic 'TSDL' +
+# uint16 width + uint16 height + uint16 frames, big-endian.
+_MAGIC = b"TSDL"
+_HEADER = ">HHH"
+
+
+def pack_fake_payload(width: int, height: int, frames: int, body: bytes = b"") -> bytes:
+    """Test helper: build a payload in the stub codec's header layout."""
+    return _MAGIC + struct.pack(_HEADER, width, height, frames) + body
+
+
+def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
+    """STUB decode. Real image/audio codecs are unavailable in this
+    environment — only the deterministic 'tsdl-fake' header parse is
+    implemented; anything else is explicitly not implemented."""
+    if codec != "tsdl-fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real decoders (PIL/ffmpeg/soundfile) are stubbed out"
+        )
+    if payload[:4] != _MAGIC:
+        return (0, 0, 0)
+    w, h, f = struct.unpack(_HEADER, payload[4:10])
+    return (w, h, f)
+
+
+def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Decode payload headers into typed columns via mapInPandas (Arrow
+    record-batch streaming; one output row per input row)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _decode_payload(p, c)
+                for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "n_frames": pd.Series([d[2] for d in dims], dtype="int32"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Deterministic fake feature extraction: byte-histogram folded to a
+    FEATURE_DIM vector — the real embedding model slots in here. Output
+    shape matches the ``embeddings`` table so similarity ops compose."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                hist = [0.0] * FEATURE_DIM
+                for b in p:
+                    hist[b % FEATURE_DIM] += 1.0
+                total = sum(hist) or 1.0
+                rows.append([v / total for v in hist])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": rows})
+
+    return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling (1 row per kept frame) — demonstrates the
+    row-expanding mapInPandas shape; frame payloads are stub slices."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx = [], []
+            for mid, p, c in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
+            ):
+                _, _, frames = _decode_payload(p, c)
+                for i in range(0, frames, every_n):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_index": pd.Series(out_idx, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(sample, schema=schema)

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths over the ``embeddings`` table:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, dot/norm via array higher-order functions (pure
+  JVM, codegen), rank per query. The baseline and the rerank primitive.
+- :func:`lsh_bucket_pairs` — the scale path: deterministic random-hyperplane
+  signatures bucket the corpus; only same-bucket pairs are scored. Turns the
+  O(n²) pair space into O(sum of bucket²); AQE skew-join absorbs hot buckets.
+
+Determinism contract: hyperplane weights are md5-derived ±1 per (plane, dim)
+(:func:`...operators.dedup.h64` parity), and cosine is evaluated as one
+fixed-association IEEE expression tree (sequential fold over the dims), so
+scores and bucket ids are bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold of a·b — deterministic association."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-pairs excluded).
+
+    The query side is broadcast — at 100 TB the corpus streams through the
+    scan while each task scores its partition against the in-memory queries;
+    the only shuffle is the final per-query top-k (tiny). Ties break on
+    neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights from md5 parity of 'plane{p}:{d}'
+    — computed once at plan-build time and embedded as literals in both the
+    Spark plan and the DuckDB oracle SQL, so the engines share planes by
+    construction (and no per-row hashing happens at execution)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[:15], 16) & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p is the sign of w_p·v."""
+    sig = F.lit(0).cast("bigint")
+    for p, w in enumerate(weights):
+        w_lit = F.array(*[F.lit(x) for x in w])
+        proj = dot(vec, w_lit)
+        sig = sig + F.when(proj >= 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sig
+
+
+def lsh_bucket_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same-bucket candidates scored with
+    exact cosine, kept when >= threshold. Returns (id_a, id_b, score)."""
+    weights = plane_weights(n_planes, dim)
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", hyperplane_signature(F.col("v"), weights))
+    a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, on="bucket", how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -588,6 +588,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_cep_pivot_by_bin": g1_cep_pivot_by_bin,
 }
 
+# LLM-pipeline extension operators (dedup / similarity / text analysis).
+from time_series_and_data_lakes_spark.queries_ext import (  # noqa: E402
+    EXT_ORACLES,
+    EXT_QUERIES,
+)
+
+QUERIES.update(EXT_QUERIES)
+
 ORACLES: dict[str, str] = {
     "q1_flagship_interpolate": Q1_ORACLE,
     "q2_interpolated_series": Q2_ORACLE,
@@ -604,3 +612,5 @@ ORACLES: dict[str, str] = {
     "f2_cep_match_recognize": F2_ORACLE,
     "g1_cep_pivot_by_bin": G1_ORACLE,
 }
+
+ORACLES.update(EXT_ORACLES)

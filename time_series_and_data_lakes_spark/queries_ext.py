@@ -1,0 +1,344 @@
+"""Extension query catalog: the LLM-training-data-pipeline operators
+(dedup, similarity search, text analysis) as driver-contract queries with
+DuckDB oracles (BASELINE.json north star; SURVEY.md §7 phase 6).
+
+Every oracle SQL here is generated to mirror the Spark expression tree
+token-for-token where floats are involved (same fold association, same hash
+derivation, same literals), so value hashes match bit-exactly — the
+determinism contract is documented in each operator module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators import dedup as D
+from time_series_and_data_lakes_spark.operators import similarity as S
+from time_series_and_data_lakes_spark.operators import text as X
+
+# shared SQL fragments ------------------------------------------------------
+
+_H64 = "('0x' || substr(md5({seed} || ':' || {s}), 1, 15))::BIGINT"
+
+
+def _h64_sql(s: str, seed: int | str = 0) -> str:
+    return _H64.format(seed=f"'{seed}'", s=s)
+
+
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(0, len(toks) - 3), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))"
+)
+_FOLD_SUM = "list_reduce({lst}, (acc, x) -> acc + x)"
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    prods = f"list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i])"
+    return _FOLD_SUM.format(lst=prods)
+
+
+def _cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"{_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)}))"
+    )
+
+
+def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_and_data_lakes_spark.operators.dedup import spread_small
+
+    return spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_and_data_lakes_spark.operators.dedup import spread_small
+
+    return spread_small(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_load_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(_load_docs(spark, sf_dir), threshold=0.8)
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.8) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_h64_sql('s', j)}))" for j in range(num_hashes)
+    )
+    band_sigs = ", ".join(
+        "md5('{b}|' || {parts})".format(
+            b=b,
+            parts=" || ',' || ".join(f"mh[{b * r + i + 1}]::VARCHAR" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), sig AS (
+  SELECT doc_id, sh, [{mins}] AS mh FROM sh
+), bands AS (
+  SELECT doc_id, unnest([{band_sigs}]) AS band_sig FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+FROM verified WHERE inter / (na + nb - inter) >= {threshold}
+"""
+
+
+DEDUP_MINHASH_ORACLE = _minhash_oracle()
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 48 bits: more discriminative on a shared-vocabulary corpus (32-bit
+    # fingerprints collide broadly there), still safely inside bigint.
+    out = D.simhash_dedup(_load_docs(spark, sf_dir), n_bits=48, max_hamming=2)
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+def _simhash_oracle(n_bits: int = 32, max_hamming: int = 3, n_bands: int = 4) -> str:
+    bpb = n_bits // n_bands
+    mask = (1 << bpb) - 1
+    band_keys = ", ".join(
+        f"('{i}' || '|' || ((sim >> {i * bpb}) & {mask})::VARCHAR)" for i in range(n_bands)
+    )
+    tok_hash = _h64_sql("t", 0)
+    return f"""
+WITH ht AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> {tok_hash}) AS hs FROM documents
+), sim AS (
+  SELECT doc_id, {_FOLD_SUM.format(lst=f'''list_transform(generate_series(0, {n_bits - 1}), b ->
+    CASE WHEN {_FOLD_SUM.format(lst="list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)")} >= 0
+         THEN (1::BIGINT << b) ELSE 0::BIGINT END)''')} AS sim
+  FROM ht
+), bands AS (
+  SELECT doc_id, sim, unnest([{band_keys}]) AS band_key FROM sim
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+DEDUP_SIMHASH_ORACLE = _simhash_oracle(n_bits=48, max_hamming=2)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).cast("bigint").alias("n_tokens"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        (F.length(t) / X.token_count(t)).alias("mean_token_len"),
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       length(text) AS n_chars,
+       length(text) / len({_TOKS}) AS mean_token_len
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        X.predicted_lang(t).alias("predicted_lang"),
+    )
+
+
+def _lang_oracle() -> str:
+    langs = sorted(X.LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t))) / len(toks) AS s_{lang}"
+        )
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH sc AS (
+  SELECT doc_id, lang, {', '.join(score_cols)}
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+), mx AS (
+  SELECT doc_id, lang, {m} AS m, * EXCLUDE (doc_id, lang) FROM sc
+)
+SELECT doc_id, lang, {case} AS predicted_lang FROM mx
+"""
+
+
+TEXT_LANG_ORACLE = _lang_oracle()
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir)
+    return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+TEXT_QUALITY_ORACLE = f"""
+SELECT doc_id,
+  (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
+  + (CASE WHEN length(text) / len({_TOKS}) >= 3.0
+          AND length(text) / len({_TOKS}) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3
+  AS quality
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_md5"),
+        X.fingerprint(F.col("text")).alias("fp_minshingle"),
+    )
+
+
+TEXT_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, md5(text) AS fp_md5,
+       list_min(list_transform(sh, s -> {_h64_sql('s', 0)})) AS fp_minshingle
+FROM (SELECT doc_id, text, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents))
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_N_QUERIES = 20
+_TOP_K = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_embeddings(spark, sf_dir)
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_TOP_K)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+ANN_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cosine_sql('qv', 'c.v')} AS score
+  FROM v c, q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+_N_PLANES = 8
+_DIM = 64
+# The fixture embeddings are near-orthogonal (max pairwise cosine ~0.51), so
+# the pair threshold is set where bucket-biased candidates actually land.
+_COS_THRESHOLD = 0.25
+
+
+def ann_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_embeddings(spark, sf_dir)
+    return S.lsh_bucket_pairs(
+        emb, n_planes=_N_PLANES, dim=_DIM, threshold=_COS_THRESHOLD
+    )
+
+
+def _lsh_pairs_oracle() -> str:
+    weights = S.plane_weights(_N_PLANES, _DIM)
+    proj_terms = []
+    for p, w in enumerate(weights):
+        w_lit = "[" + ", ".join(str(x) for x in w) + "]"
+        proj = _FOLD_SUM.format(
+            lst=f"list_transform(generate_series(1, {_DIM}), i -> v[i] * ({w_lit})[i])"
+        )
+        proj_terms.append(
+            f"(CASE WHEN {proj} >= 0 THEN {2**p}::BIGINT ELSE 0::BIGINT END)"
+        )
+    bucket = " + ".join(proj_terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), bk AS (
+  SELECT vec_id, v, 0::BIGINT + {bucket} AS bucket FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.v', 'b.v')} AS score
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.v', 'b.v')} >= {_COS_THRESHOLD}
+"""
+
+
+ANN_LSH_PAIRS_ORACLE = _lsh_pairs_oracle()
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_stats": text_stats,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
+}
+
+EXT_ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_simhash": DEDUP_SIMHASH_ORACLE,
+    "text_stats": TEXT_STATS_ORACLE,
+    "text_lang_id": TEXT_LANG_ORACLE,
+    "text_quality": TEXT_QUALITY_ORACLE,
+    "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "ann_cosine_topk": ANN_TOPK_ORACLE,
+    "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
+}
