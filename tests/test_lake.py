@@ -1,0 +1,106 @@
+"""Lake-side fidelity tests (SURVEY.md §2.1 S8-S12, P10; FIXTURES.md §5-7):
+CSV dimension tables, the enrichment join + view, the Athena-style untyped
+re-read of an exported CSV, and the pandas hand-off."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.sources.catalog import crawl_and_register
+from time_series_and_data_lakes_spark.sources.csv_tables import (
+    CUSTOMER_DATA_SCHEMA,
+    SENSOR_MAPPING_SCHEMA,
+    read_headered_csv,
+    register_view,
+)
+from time_series_and_data_lakes_spark.sources.export import export_window
+
+
+def _write_reference_shaped_dims(tmp_path):
+    """Reference-shaped dimension CSVs (FIXTURES.md §5-6): 100 sensors
+    mapped onto customers 1001-1005; 5 customers with quoted fields."""
+    mapping = tmp_path / "sensor_mapping.csv"
+    lines = ["sensor_id,customer_id"]
+    lines += [f"sensor-{i:02d},{1001 + i % 5}" for i in range(100)]
+    mapping.write_text("\n".join(lines) + "\n")
+
+    customers = tmp_path / "customer_data.csv"
+    rows = ["customer_id,company_name,contact_person,contract_type"]
+    for i in range(5):
+        rows.append(f'{1001 + i},"Company {i}","Person {i}",{"premium" if i % 2 == 0 else "basic"}')
+    customers.write_text("\n".join(rows) + "\n")
+    return str(mapping), str(customers)
+
+
+def test_csv_dims_and_enrichment_join(spark, tmp_path):
+    mapping_path, customer_path = _write_reference_shaped_dims(tmp_path)
+    mapping = read_headered_csv(spark, mapping_path, SENSOR_MAPPING_SCHEMA)
+    customers = read_headered_csv(spark, customer_path, CUSTOMER_DATA_SCHEMA)
+    assert mapping.count() == 100 and customers.count() == 5
+    # all-string typing, as the Athena DDL declares (README.md:359-406)
+    assert all(f.dataType.simpleString() == "string" for f in mapping.schema.fields)
+
+    # J2 (x100 dim) + J3 (USING-style, x5 dim), both broadcast-sized
+    enriched = mapping.join(F.broadcast(customers), on="customer_id", how="inner")
+    assert enriched.count() == 100
+    register_view(enriched, "sensor_customer")
+    premium = spark.sql(
+        "SELECT count(*) AS n FROM sensor_customer WHERE contract_type = 'premium'"
+    ).collect()[0]["n"]
+    assert premium == 60  # 3 of 5 customers premium x 20 sensors each
+
+
+def test_export_csv_untyped_reread_retype(spark, tmp_path):
+    """The reference's schema-on-read wart (`README.md:411-425`): the crawler
+    types the exported CSV as strings, consumers re-type with CAST and strip
+    embedded header rows with substr(col,1,1)='2'. Round-trip must equal the
+    typed original."""
+    rows = [
+        ("sensor-00", dt.datetime(2024, 1, 1, 0, 0, i), "OK", 10.0 + i) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, status string, temperature double"
+    )
+    base = str(tmp_path / "lake")
+    start, end = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 0, 1)
+    path = export_window(df, base, start, end, fmt="csv")
+
+    # untyped re-read: header NOT honored -> header rows become data rows
+    untyped = (
+        spark.read.option("header", False)
+        .csv(path)
+        .toDF("col0", "col1", "col2", "col3")
+    )
+    assert all(f.dataType.simpleString() == "string" for f in untyped.schema.fields)
+    retyped = (
+        untyped.filter(F.substring("col1", 1, 1) == "2")  # strip header rows (P10)
+        .select(
+            F.col("col0").alias("sensor_id"),
+            F.col("col1").cast("timestamp").alias("time"),
+            F.col("col2").alias("status"),
+            F.col("col3").cast("double").alias("temperature"),
+        )
+    )
+    want = sorted(map(tuple, df.filter(F.col("time") < F.lit(end)).collect()))
+    got = sorted(map(tuple, retyped.collect()))
+    assert got == want
+
+
+def test_crawl_and_register_infers_schema(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.5, "x")], "a long, b double, c string")
+    path = str(tmp_path / "crawled")
+    df.write.mode("overwrite").parquet(path)
+    out = crawl_and_register(spark, path, "crawled_tbl")
+    assert spark.sql("SELECT a, b, c FROM crawled_tbl").collect()[0][:3] == (1, 2.5, "x")
+
+
+def test_topandas_arrow_handoff(spark, sf_dir):
+    """S8: query result -> typed pandas DataFrame via Arrow."""
+    from time_series_and_data_lakes_spark import queries as Q
+
+    pdf = Q.g4_status_counts(spark, sf_dir).toPandas()
+    assert set(pdf.columns) == {"status", "status_count"}
+    assert pdf["status_count"].dtype.kind in "iu"
+    assert pdf["status_count"].sum() == 1000

@@ -155,22 +155,38 @@ def resample(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
-    out_cols: list[Column] = []
+    # Stage 1: each distinct window aggregate exactly once, as a named
+    # column. Referencing `.over()` Columns repeatedly inside the lerp would
+    # put duplicate window expressions into the physical Window operator
+    # (Catalyst does not dedupe them), roughly doubling the window pass.
+    w_cols: list[Column] = []
     for out_name, in_name in locf.items():
-        out_cols.append(F.last(f"__v_{in_name}", ignorenulls=True).over(fwd).alias(out_name))
+        w_cols.append(
+            F.last(f"__v_{in_name}", ignorenulls=True).over(fwd).alias(f"__locf_{out_name}")
+        )
+    lin_vals = sorted(set(linear.values()))
+    for c in lin_vals:
+        obs_t = F.when(F.col(f"__v_{c}").isNotNull(), F.col("__t"))
+        w_cols += [
+            F.last(f"__v_{c}", ignorenulls=True).over(fwd).alias(f"__vp_{c}"),
+            F.last(obs_t, ignorenulls=True).over(fwd).alias(f"__tp_{c}"),
+            F.first(f"__v_{c}", ignorenulls=True).over(bwd).alias(f"__vn_{c}"),
+            F.first(obs_t, ignorenulls=True).over(bwd).alias(f"__tn_{c}"),
+        ]
+    staged = unioned.select(*keys, "__t", "__is_grid", *w_cols)
+
+    # Stage 2: lerp in epoch-microsecond space from the named neighbors. A
+    # grid point that lands exactly on an observation returns it verbatim —
+    # this covers the final grid point (no following observation, t_next
+    # null) and single-observation keys. Off-observation points with a
+    # missing neighbor cannot occur (grid spans [min, max]) but yield null
+    # rather than extrapolating.
+    out_cols = []
+    for out_name in locf:
+        out_cols.append(F.col(f"__locf_{out_name}").alias(out_name))
     for out_name, in_name in linear.items():
-        v = F.col(f"__v_{in_name}")
-        obs_t = F.when(v.isNotNull(), F.col("__t"))
-        v_prev = F.last(f"__v_{in_name}", ignorenulls=True).over(fwd)
-        t_prev = F.last(obs_t, ignorenulls=True).over(fwd)
-        v_next = F.first(f"__v_{in_name}", ignorenulls=True).over(bwd)
-        t_next = F.first(obs_t, ignorenulls=True).over(bwd)
-        # lerp in epoch-microsecond space. A grid point that lands exactly on
-        # an observation returns it verbatim — this covers the final grid
-        # point (which has no following observation, so t_next is null) and
-        # single-observation keys. Off-observation points with a missing
-        # neighbor cannot occur (grid spans [min, max]) but yield null rather
-        # than extrapolating.
+        v_prev, t_prev = F.col(f"__vp_{in_name}"), F.col(f"__tp_{in_name}")
+        v_next, t_next = F.col(f"__vn_{in_name}"), F.col(f"__tn_{in_name}")
         frac = (F.unix_micros(F.col("__t")) - F.unix_micros(t_prev)) / (
             F.unix_micros(t_next) - F.unix_micros(t_prev)
         )
@@ -181,10 +197,10 @@ def resample(
         )
         out_cols.append(lerp.alias(out_name))
 
-    resampled = unioned.select(*keys, "__t", "__is_grid", *out_cols)
+    resampled = staged
     if not keep_observations:
         resampled = resampled.filter(F.col("__is_grid") == 1)
-    return resampled.select(*keys, F.col("__t").alias(time_col), *[c for c in (*locf, *linear)])
+    return resampled.select(*keys, F.col("__t").alias(time_col), *out_cols)
 
 
 def align_series(

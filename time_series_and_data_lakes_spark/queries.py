@@ -281,6 +281,153 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# G2 — measure series through the NARROW store with Grafana macro
+# substitution (`grafana…json:203`: measure_value::double WHERE
+# measure_name = '$__measure' AND $__timeFilter). Exercises the melt->narrow
+# model (P3/P4) and the macro layer (P8) end-to-end through Spark SQL.
+# --------------------------------------------------------------------------
+
+
+def g2_measure_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_and_data_lakes_spark.functions import grafana_macros
+
+    obs = sensor_obs(spark, sf_dir)
+    narrow = melt(
+        obs.select(F.col("time"), F.col("sensor_id"), F.col("status"), F.col("temperature")),
+        dims=["sensor_id", "status"],
+        measures=["temperature"],
+        time_col="time",
+    )
+    narrow.createOrReplaceTempView("ts_raw_narrow")
+    sql = grafana_macros(
+        "SELECT sensor_id, time, measure_value_double AS temperature "
+        "FROM ts_raw_narrow WHERE measure_name = $__measure AND $__timeFilter "
+        "ORDER BY time",
+        start="2024-01-05 00:00:00",
+        finish="2024-01-20 00:00:00",
+        interval_ms=30000,
+        measure="temperature",
+    )
+    return spark.sql(sql)
+
+
+G2_ORACLE = """
+SELECT user_id AS sensor_id, ts AS time, value AS temperature
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY time
+"""
+
+
+# --------------------------------------------------------------------------
+# G4b — conditional-aggregate status pivot (`grafana…json:337` uses
+# CASE WHEN ... ELSE NULL END inside aggregates; null-skipping COUNT).
+# --------------------------------------------------------------------------
+
+
+def g4b_status_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = sensor_obs(spark, sf_dir)
+    statuses = ["click", "error", "purchase", "signup", "view"]
+    return obs.agg(
+        *[
+            F.count(F.when(F.col("status") == s, F.lit(1)).otherwise(F.lit(None))).alias(
+                f"{s}_count"
+            )
+            for s in statuses
+        ]
+    )
+
+
+G4B_ORACLE = """
+SELECT count(CASE WHEN event_type = 'click' THEN 1 ELSE NULL END) AS click_count,
+       count(CASE WHEN event_type = 'error' THEN 1 ELSE NULL END) AS error_count,
+       count(CASE WHEN event_type = 'purchase' THEN 1 ELSE NULL END) AS purchase_count,
+       count(CASE WHEN event_type = 'signup' THEN 1 ELSE NULL END) AS signup_count,
+       count(CASE WHEN event_type = 'view' THEN 1 ELSE NULL END) AS view_count
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# G5b — APPROX percentile variant (A9: Timestream APPROX_PERCENTILE ->
+# percentile_approx). Approximate by design, so no cross-engine value oracle
+# — the driver records the weaker rows-only check; the exact-percentile
+# variant (g5) carries the value gate.
+# --------------------------------------------------------------------------
+
+
+def g5b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = sensor_obs(spark, sf_dir)
+    return (
+        obs.groupBy(time_bin("time", "1 day").alias("time_bin"))
+        .agg(
+            F.round(F.avg("temperature"), 2).alias("avg_temperature"),
+            F.percentile_approx("temperature", 0.9).alias("p90_approx"),
+            F.percentile_approx("temperature", 0.75).alias("p75_approx"),
+        )
+        .orderBy(F.desc("time_bin"))
+    )
+
+
+# --------------------------------------------------------------------------
+# G7 — per-sensor interval max (`grafana…json:614`): bin + per-sensor MAX,
+# ordered by the latest value.
+# --------------------------------------------------------------------------
+
+
+def g7_per_sensor_interval_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = sensor_obs(spark, sf_dir)
+    return (
+        obs.groupBy(F.col("sensor_id"), time_bin("time", "1 day").alias("time_bin"))
+        .agg(F.max("temperature").alias("max_temperature"))
+        .orderBy(F.desc("max_temperature"), "sensor_id", "time_bin")
+    )
+
+
+G7_ORACLE = """
+SELECT user_id AS sensor_id,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS time_bin,
+       max(value) AS max_temperature
+FROM events
+GROUP BY 1, 2
+ORDER BY max_temperature DESC, sensor_id, time_bin
+"""
+
+
+# --------------------------------------------------------------------------
+# A2 — enrichment view + ordered select (`README.md:430-449`): CREATE VIEW
+# over the join, then read through it (S12).
+# --------------------------------------------------------------------------
+
+
+def a2_enrichment_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer")
+    events.createOrReplaceTempView("events_v")
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW sensor_enriched_data AS
+        SELECT e.event_id, e.user_id AS sensor_id, e.ts AS time,
+               e.event_type AS status, e.value AS temperature,
+               c.c_name AS customer_name, c.c_mktsegment AS segment
+        FROM events_v e INNER JOIN customer_v c ON e.user_id = c.c_custkey
+        """
+    )
+    return spark.sql(
+        "SELECT * FROM sensor_enriched_data ORDER BY event_id LIMIT 10"
+    )
+
+
+A2_ORACLE = """
+SELECT event_id, user_id AS sensor_id, ts AS time, event_type AS status,
+       value AS temperature, c_name AS customer_name, c_mktsegment AS segment
+FROM events JOIN customer ON user_id = c_custkey
+ORDER BY event_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Storage-model reshaping: melt (A12, `cdk/load_data_fn/app.py:54-67`) and
 # pivot (A10, `grafana…json:121`) — melt∘pivot = identity.
 # --------------------------------------------------------------------------
@@ -575,10 +722,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_flagship_interpolate": q1_flagship_interpolate,
     "q2_interpolated_series": q2_interpolated_series,
     "q3_timeseries_roundtrip": q3_timeseries_roundtrip,
+    "g2_measure_series": g2_measure_series,
     "g3_raw_feed_ordered": g3_raw_feed_ordered,
     "g4_status_counts": g4_status_counts,
+    "g4b_status_case_pivot": g4b_status_case_pivot,
     "g5_binned_percentiles": g5_binned_percentiles,
+    "g5b_approx_percentiles": g5b_approx_percentiles,
     "g6_top_sensors_recent_max": g6_top_sensors_recent_max,
+    "g7_per_sensor_interval_max": g7_per_sensor_interval_max,
+    "a2_enrichment_view": a2_enrichment_view,
     "melt_narrow": melt_narrow,
     "pivot_wide": pivot_wide,
     "a1_enrichment_join": a1_enrichment_join,
@@ -600,10 +752,14 @@ ORACLES: dict[str, str] = {
     "q1_flagship_interpolate": Q1_ORACLE,
     "q2_interpolated_series": Q2_ORACLE,
     "q3_timeseries_roundtrip": Q3_ORACLE,
+    "g2_measure_series": G2_ORACLE,
     "g3_raw_feed_ordered": G3_ORACLE,
     "g4_status_counts": G4_ORACLE,
+    "g4b_status_case_pivot": G4B_ORACLE,
     "g5_binned_percentiles": G5_ORACLE,
     "g6_top_sensors_recent_max": G6_ORACLE,
+    "g7_per_sensor_interval_max": G7_ORACLE,
+    "a2_enrichment_view": A2_ORACLE,
     "melt_narrow": MELT_ORACLE,
     "pivot_wide": PIVOT_ORACLE,
     "a1_enrichment_join": A1_ORACLE,
