@@ -1,0 +1,89 @@
+"""Physical-plan quality gates: the properties that make these operators
+survive a 100x scale-up, asserted on the actual plans so regressions in
+pruning / broadcast / shuffle count fail loudly (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark import queries as Q
+from time_series_and_data_lakes_spark.operators import resample
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their detail header '(N) <name>' — the tree
+    section prints every node a second time."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
+def test_enrichment_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(Q.a1_enrichment_join(spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") == 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_dim_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(Q.tpch_q3_top_orders(spark, sf_dir))
+    # the BUILDING segment predicate must reach the customer parquet scan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_column_pruning_in_grid_branch(spark, sf_dir):
+    plan = _plan(Q.q1_flagship_interpolate(spark, sf_dir))
+    # the bounds/grid branch must scan only (ts, user_id), not all 6 columns
+    assert "ReadSchema: struct<ts:bigint,user_id:bigint>" in plan
+
+
+def test_resample_costs_two_exchanges(spark, sf_dir):
+    # one exchange for the per-key bounds aggregate, one for the unioned
+    # window pass — anything more means a plan regression
+    obs = Q.sensor_obs(spark, sf_dir)
+    out = resample(
+        obs,
+        ["sensor_id"],
+        step="INTERVAL 1 HOUR",
+        linear={"temperature": "temperature"},
+        locf={"status": "status"},
+    )
+    assert _nodes(_plan(out), "Exchange") == 2
+
+
+def test_flagship_reagg_reuses_partitioning(spark, sf_dir):
+    # the final groupBy(sensor, time) must NOT add a third exchange: hash
+    # partitioning on sensor_id already co-locates every (sensor, time) group
+    plan = _plan(Q.q1_flagship_interpolate(spark, sf_dir))
+    assert _nodes(plan, "Exchange") == 2
+
+
+def test_store_partition_pruning(spark, tmp_path):
+    # measure_name = '...' AND date filter must prune partitions, not scan
+    df = spark.createDataFrame(
+        [
+            ("s1", dt.datetime(2024, 1, d, 12), "OK", m, 1.0)
+            for d in (1, 2)
+            for m in ("temperature", "elapsed")
+        ],
+        "sensor_id string, time timestamp, status string, measure_name string, measure_value_double double",
+    )
+    store = str(tmp_path / "store")
+    df.withColumn("date", F.to_date("time")).write.partitionBy(
+        "measure_name", "date"
+    ).parquet(store)
+    q = spark.read.parquet(store).filter(
+        (F.col("measure_name") == "temperature") & (F.col("date") == "2024-01-02")
+    )
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    # pruned to exactly one of the four partitions
+    assert q.count() == 1
+    assert "isnotnull(measure_name" in plan

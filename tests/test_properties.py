@@ -1,0 +1,140 @@
+"""Property tests (SURVEY.md §5.2.3) with independent oracles:
+
+- resample's linear interpolation vs numpy.interp on random gapped series
+- interpolation = identity when the grid equals the observations
+- LOCF idempotence (re-LOCF of an already-dense series is a no-op)
+- melt ∘ pivot = identity on unique keys
+- array-valued interpolators (Timestream call shape) ≡ relational resample
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators import (
+    create_time_series,
+    melt,
+    pivot_measures,
+    resample,
+)
+from time_series_and_data_lakes_spark.operators.timeseries import (
+    interpolate_linear_ts,
+    interpolate_locf_ts,
+    sequence_ts,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=s)
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),  # whole-second offsets
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda p: p[0],
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(series_strategy)
+def test_resample_linear_matches_numpy(spark, series):
+    rows = [("k", _ts(s), float(v)) for s, v in sorted(series)]
+    df = spark.createDataFrame(rows, "sensor_id string, time timestamp, temperature double")
+    out = resample(
+        df, ["sensor_id"], step="INTERVAL 1 SECOND", linear={"temperature": "temperature"}
+    ).collect()
+    xs = np.array([s for s, _ in sorted(series)], dtype=float)
+    ys = np.array([v for _, v in sorted(series)], dtype=float)
+    grid = np.arange(xs.min(), xs.max() + 1)
+    want = np.interp(grid, xs, ys)
+    got = {r["time"]: r["temperature"] for r in out}
+    assert len(got) == len(grid)
+    for g, w in zip(grid, want):
+        assert abs(got[_ts(float(g))] - w) < 1e-9, (g, got[_ts(float(g))], w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(series_strategy)
+def test_locf_identity_and_idempotence(spark, series):
+    rows = [("k", _ts(s), f"v{v:.0f}") for s, v in sorted(series)]
+    df = spark.createDataFrame(rows, "sensor_id string, time timestamp, status string")
+    once = resample(df, ["sensor_id"], step="INTERVAL 1 SECOND", locf={"status": "status"})
+    # idempotence: LOCF over the already-dense output changes nothing
+    twice = resample(once, ["sensor_id"], step="INTERVAL 1 SECOND", locf={"status": "status"})
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # identity at observation timestamps
+    obs = {r[1]: r[2] for r in ((x["sensor_id"], x["time"], x["status"]) for x in df.collect())}
+    for _, t, s in a:
+        if t in obs:
+            assert s == obs[t]
+
+
+def test_melt_pivot_roundtrip_identity(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), float(i * 2), float(i * 3)) for i in range(50)],
+        "id long, m1 double, m2 double, m3 double",
+    )
+    narrow = melt(df, dims=["id"], measures=["m1", "m2", "m3"])
+    wide = pivot_measures(narrow, group_cols=["id"], measures=["m1", "m2", "m3"])
+    got = sorted(map(tuple, wide.collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert got == want
+
+
+def test_array_interpolators_equal_resample(spark):
+    rows = [
+        ("a", _ts(0), 10.0, "OK"),
+        ("a", _ts(4), 30.0, "WARN"),
+        ("a", _ts(9), 5.0, "OK"),
+        ("b", _ts(2), 7.0, "ERR"),
+    ]
+    df = spark.createDataFrame(rows, "sensor_id string, time timestamp, temperature double, status string")
+
+    # Timestream call shape: INTERPOLATE_*(CREATE_TIME_SERIES(...), SEQUENCE(...))
+    temp_ts = create_time_series(
+        df, ["sensor_id"], "time", "temperature",
+        extra_aggs={"tmin": F.min("time"), "tmax": F.max("time")},
+    )
+    stat_ts = create_time_series(df, ["sensor_id"], "time", "status").withColumnRenamed("ts", "sts")
+    joined = temp_ts.join(stat_ts, "sensor_id")
+    grid = sequence_ts(F.col("tmin"), F.col("tmax"), "INTERVAL 1 SECOND")
+    arr = joined.select(
+        "sensor_id",
+        interpolate_linear_ts(F.col("ts"), grid).alias("lin"),
+        interpolate_locf_ts(F.col("sts"), grid).alias("locf"),
+    )
+    flat = (
+        arr.select("sensor_id", F.explode(F.arrays_zip("lin", "locf")).alias("z"))
+        .select(
+            "sensor_id",
+            F.col("z.lin.time").alias("time"),
+            F.col("z.lin.value").alias("temperature"),
+            F.col("z.locf.value").alias("status"),
+        )
+    )
+    got = sorted(map(tuple, flat.collect()))
+    want = sorted(
+        map(
+            tuple,
+            resample(
+                df,
+                ["sensor_id"],
+                step="INTERVAL 1 SECOND",
+                linear={"temperature": "temperature"},
+                locf={"status": "status"},
+            ).select("sensor_id", "time", "temperature", "status").collect(),
+        )
+    )
+    assert got == want

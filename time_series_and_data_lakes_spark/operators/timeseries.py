@@ -203,6 +203,51 @@ def resample(
     return resampled.select(*keys, F.col("__t").alias(time_col), *out_cols)
 
 
+def sequence_ts(tmin: Column, tmax: Column, step: str = "INTERVAL 1 SECOND") -> Column:
+    """Timestream's ``SEQUENCE(min(time), max(time), step)`` as an array
+    value (`queries.txt:6`), for use with the array-valued interpolators."""
+    return F.sequence(tmin, tmax, F.expr(step))
+
+
+def interpolate_linear_ts(ts: Column, grid: Column) -> Column:
+    """Array-valued ``INTERPOLATE_LINEAR(timeseries, grid)`` — the exact
+    Timestream call shape (`queries.txt:4-6`): input is a sorted
+    array<struct<time,value>> (from :func:`create_time_series`), output is
+    array<struct<time,value>> on the grid timestamps.
+
+    Per grid point this scans the series array (O(|grid| x |ts|) per group),
+    which is the right trade for the reference's per-window series (≤ ~900
+    points); for unbounded series use :func:`resample`, the relational form.
+    Same lerp expression tree as resample, so both agree bit-exactly.
+    """
+
+    def at(t: Column) -> Column:
+        before = F.filter(ts, lambda o: o["time"] <= t)
+        after = F.filter(ts, lambda o: o["time"] >= t)
+        prev = F.element_at(before, -1)
+        nxt = F.element_at(after, 1)
+        frac = (F.unix_micros(t) - F.unix_micros(prev["time"])) / (
+            F.unix_micros(nxt["time"]) - F.unix_micros(prev["time"])
+        )
+        return (
+            F.when(prev["time"] == t, prev["value"])
+            .when(prev.isNull() | nxt.isNull(), F.lit(None))
+            .otherwise(prev["value"] + (nxt["value"] - prev["value"]) * frac)
+        )
+
+    return F.transform(grid, lambda t: F.struct(t.alias("time"), at(t).alias("value")))
+
+
+def interpolate_locf_ts(ts: Column, grid: Column) -> Column:
+    """Array-valued ``INTERPOLATE_LOCF(timeseries, grid)`` (`queries.txt:7-9`)
+    — works on varchar series (the reference LOCFs status)."""
+
+    def at(t: Column) -> Column:
+        return F.element_at(F.filter(ts, lambda o: o["time"] <= t), -1)["value"]
+
+    return F.transform(grid, lambda t: F.struct(t.alias("time"), at(t).alias("value")))
+
+
 def align_series(
     interpolated: DataFrame,
     keys: Sequence[str],
