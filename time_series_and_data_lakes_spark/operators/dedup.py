@@ -82,16 +82,47 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for the universal-hash family
+    ``h_j(x) = (a_j * (x % 2^31) + b_j) % (2^61 - 1)`` — md5-derived at
+    plan-build time and embedded as literals in both engines. Bounds keep
+    every intermediate < 2^62, safe under ANSI bigint arithmetic."""
+    import hashlib
+
+    def _c(tag: str, lo: int, hi: int) -> int:
+        return lo + int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) % (hi - lo)
+
+    return [
+        (_c(f"mh_a{j}", 1, 1 << 30), _c(f"mh_b{j}", 0, 1 << 30))
+        for j in range(num_hashes)
+    ]
+
+
+MERSENNE_61 = (1 << 61) - 1
+
+
 def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
-    """Per-document minhash signature as an array<bigint>: the shingle array
-    is let-bound, then min-hashed once per seed."""
+    """Per-document minhash signature as an array<bigint>: shingles are
+    md5-hashed ONCE, then the hash family is derived arithmetically
+    (universal hashing) — one md5 per shingle instead of num_hashes, the
+    dominant cost in interpreted HOF evaluation. Shingle and base-hash
+    arrays are let-bound so each is computed once per row."""
+    params = minhash_params(num_hashes)
+
+    def _uhash(a: int, b: int):
+        # closure, NOT lambda default-args: Spark counts default parameters
+        # toward the HOF lambda arity
+        return lambda x: F.pmod(
+            F.lit(a).cast("bigint") * x + F.lit(b), F.lit(MERSENNE_61)
+        )
+
     return let(
-        shingles_col(text, shingle_n),
-        lambda sh: F.array(
-            *[
-                F.array_min(F.transform(sh, lambda s, j=j: h64(s, j)))
-                for j in range(num_hashes)
-            ]
+        let(
+            shingles_col(text, shingle_n),
+            lambda sh: F.transform(sh, lambda s: F.pmod(h64(s, 0), F.lit(1 << 31))),
+        ),
+        lambda hs: F.array(
+            *[F.array_min(F.transform(hs, _uhash(a, b))) for a, b in params]
         ),
     )
 

@@ -156,6 +156,55 @@ GROUP BY sensor_id, time
 
 
 # --------------------------------------------------------------------------
+# Q1-SQL — the flagship expressed in pure Spark SQL text (the SQL surface a
+# Timestream/Athena user would write), same semantics as the DataFrame form.
+# --------------------------------------------------------------------------
+
+_Q1_SPARK_SQL = """
+WITH obs AS (
+  SELECT user_id AS sensor_id, ts AS time, value AS temperature, event_type AS status
+  FROM events_raw
+), bounds AS (
+  SELECT sensor_id, min(time) AS tmin, max(time) AS tmax FROM obs GROUP BY sensor_id
+), grid AS (
+  SELECT sensor_id, explode(sequence(tmin, tmax, INTERVAL 1 HOUR)) AS time FROM bounds
+), unioned AS (
+  SELECT sensor_id, time, temperature, status, 0 AS is_grid FROM obs
+  UNION ALL
+  SELECT sensor_id, time, CAST(NULL AS DOUBLE), CAST(NULL AS STRING), 1 FROM grid
+), w AS (
+  SELECT sensor_id, time, is_grid,
+    last(temperature, true) OVER fwd AS v_prev,
+    last(CASE WHEN temperature IS NOT NULL THEN time END, true) OVER fwd AS t_prev,
+    first(temperature, true) OVER bwd AS v_next,
+    first(CASE WHEN temperature IS NOT NULL THEN time END, true) OVER bwd AS t_next,
+    last(status, true) OVER fwd AS locf_status
+  FROM unioned
+  WINDOW
+    fwd AS (PARTITION BY sensor_id ORDER BY time, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    bwd AS (PARTITION BY sensor_id ORDER BY time, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), interp AS (
+  SELECT sensor_id, time, locf_status,
+    CASE WHEN t_prev = time THEN v_prev
+         WHEN t_prev IS NULL OR t_next IS NULL THEN NULL
+         ELSE v_prev + (v_next - v_prev) *
+              ((unix_micros(time) - unix_micros(t_prev)) / (unix_micros(t_next) - unix_micros(t_prev)))
+    END AS lerp_temperature
+  FROM w WHERE is_grid = 1
+)
+SELECT sensor_id, time, min(locf_status) AS status, avg(lerp_temperature) AS temperature
+FROM interp GROUP BY sensor_id, time
+"""
+
+
+def q1_sql_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_raw")
+    return spark.sql(_Q1_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
 # Q2 — interpolated series without the re-agg (`queries.txt:23-32`), flat form.
 # --------------------------------------------------------------------------
 
@@ -720,6 +769,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_flagship_interpolate": q1_flagship_interpolate,
+    "q1_sql_flagship": q1_sql_flagship,
     "q2_interpolated_series": q2_interpolated_series,
     "q3_timeseries_roundtrip": q3_timeseries_roundtrip,
     "g2_measure_series": g2_measure_series,
@@ -750,6 +800,7 @@ QUERIES.update(EXT_QUERIES)
 
 ORACLES: dict[str, str] = {
     "q1_flagship_interpolate": Q1_ORACLE,
+    "q1_sql_flagship": Q1_ORACLE,
     "q2_interpolated_series": Q2_ORACLE,
     "q3_timeseries_roundtrip": Q3_ORACLE,
     "g2_measure_series": G2_ORACLE,

@@ -80,9 +80,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.8) -> str:
+    from time_series_and_data_lakes_spark.operators.dedup import (
+        MERSENNE_61,
+        minhash_params,
+    )
+
     r = num_hashes // bands
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> {_h64_sql('s', j)}))" for j in range(num_hashes)
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MERSENNE_61}))"
+        for a, b in minhash_params(num_hashes)
     )
     band_sigs = ", ".join(
         "md5('{b}|' || {parts})".format(
@@ -91,12 +97,15 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.8)
         )
         for b in range(bands)
     )
+    base_hash = _h64_sql("s", 0)
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS sh
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {base_hash} % 2147483648) AS hs FROM sh
 ), sig AS (
-  SELECT doc_id, sh, [{mins}] AS mh FROM sh
+  SELECT doc_id, sh, [{mins}] AS mh FROM hashed
 ), bands AS (
   SELECT doc_id, unnest([{band_sigs}]) AS band_sig FROM sig
 ), cand AS (
