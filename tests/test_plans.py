@@ -38,15 +38,10 @@ def test_dim_filter_pushed_to_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
 
 
-def test_column_pruning_in_grid_branch(spark, sf_dir):
-    plan = _plan(Q.q1_flagship_interpolate(spark, sf_dir))
-    # the bounds/grid branch must scan only (ts, user_id), not all 6 columns
-    assert "ReadSchema: struct<ts:bigint,user_id:bigint>" in plan
-
-
-def test_resample_costs_two_exchanges(spark, sf_dir):
-    # one exchange for the per-key bounds aggregate, one for the unioned
-    # window pass — anything more means a plan regression
+def test_resample_costs_one_exchange_one_scan(spark, sf_dir):
+    # interval-join densification: ONLY the observations are shuffled and
+    # sorted; grid slots are generated after the window inside codegen. A
+    # second exchange or a second scan of the input is a plan regression.
     obs = Q.sensor_obs(spark, sf_dir)
     out = resample(
         obs,
@@ -55,14 +50,16 @@ def test_resample_costs_two_exchanges(spark, sf_dir):
         linear={"temperature": "temperature"},
         locf={"status": "status"},
     )
-    assert _nodes(_plan(out), "Exchange") == 2
+    plan = _plan(out)
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Scan parquet") == 1
 
 
 def test_flagship_reagg_reuses_partitioning(spark, sf_dir):
-    # the final groupBy(sensor, time) must NOT add a third exchange: hash
+    # the final groupBy(sensor, time) must NOT add an exchange: hash
     # partitioning on sensor_id already co-locates every (sensor, time) group
     plan = _plan(Q.q1_flagship_interpolate(spark, sf_dir))
-    assert _nodes(plan, "Exchange") == 2
+    assert _nodes(plan, "Exchange") == 1
 
 
 def test_store_partition_pruning(spark, tmp_path):

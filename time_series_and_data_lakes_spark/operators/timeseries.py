@@ -127,80 +127,87 @@ def resample(
     if not linear and not locf:
         raise ValueError("resample needs at least one of linear= / locf=")
     value_cols = sorted({*linear.values(), *locf.values()})
+    step_us = _interval_micros(step)
 
+    # Interval-join densification. Each observation owns the grid slots in
+    # [t_i, t_{i+1}): slot indices k (relative to the key's min time, the
+    # grid phase — Timestream's SEQUENCE starts at min(time)) are generated
+    # per observation and lerped against the lead neighbor. Compared to the
+    # union-the-grid-then-window formulation this shuffles and sorts ONLY
+    # the observations (grid densification happens after the window, inside
+    # codegen), which at scale cuts the exchanged volume by the
+    # grid-to-observation ratio. Values are assumed non-null (nulls are
+    # non-observations; drop them upstream).
+    w = Window.partitionBy(*keys).orderBy("__t")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     obs = df.select(
         *keys,
         F.col(time_col).alias("__t"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-        F.lit(0).alias("__is_grid"),
     )
-    grid = sequence_grid(df, keys, time_col, step).select(
-        *keys,
-        F.col(time_col).alias("__t"),
-        *[F.lit(None).cast(obs.schema[f"__v_{c}"].dataType).alias(f"__v_{c}") for c in value_cols],
-        F.lit(1).alias("__is_grid"),
-    )
-    # Observations order before grid points at equal timestamps, so a grid
-    # point that coincides with an observation sees it as its "previous"
-    # neighbor and the lerp degenerates to the exact observed value.
-    unioned = obs.unionByName(grid)
-    fwd = (
-        Window.partitionBy(*keys)
-        .orderBy("__t", "__is_grid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bwd = (
-        Window.partitionBy(*keys)
-        .orderBy("__t", "__is_grid")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-
-    # Stage 1: each distinct window aggregate exactly once, as a named
-    # column. Referencing `.over()` Columns repeatedly inside the lerp would
-    # put duplicate window expressions into the physical Window operator
-    # (Catalyst does not dedupe them), roughly doubling the window pass.
-    w_cols: list[Column] = []
-    for out_name, in_name in locf.items():
-        w_cols.append(
-            F.last(f"__v_{in_name}", ignorenulls=True).over(fwd).alias(f"__locf_{out_name}")
-        )
     lin_vals = sorted(set(linear.values()))
-    for c in lin_vals:
-        obs_t = F.when(F.col(f"__v_{c}").isNotNull(), F.col("__t"))
-        w_cols += [
-            F.last(f"__v_{c}", ignorenulls=True).over(fwd).alias(f"__vp_{c}"),
-            F.last(obs_t, ignorenulls=True).over(fwd).alias(f"__tp_{c}"),
-            F.first(f"__v_{c}", ignorenulls=True).over(bwd).alias(f"__vn_{c}"),
-            F.first(obs_t, ignorenulls=True).over(bwd).alias(f"__tn_{c}"),
-        ]
-    staged = unioned.select(*keys, "__t", "__is_grid", *w_cols)
+    staged = obs.select(
+        *keys,
+        F.unix_micros("__t").alias("__t_us"),
+        F.unix_micros(F.first("__t").over(w_run)).alias("__min_us"),
+        F.unix_micros(F.lead("__t").over(w)).alias("__next_t_us"),
+        *[F.col(f"__v_{c}") for c in value_cols],
+        *[F.lead(f"__v_{c}").over(w).alias(f"__next_{c}") for c in lin_vals],
+    )
 
-    # Stage 2: lerp in epoch-microsecond space from the named neighbors. A
-    # grid point that lands exactly on an observation returns it verbatim —
-    # this covers the final grid point (no following observation, t_next
-    # null) and single-observation keys. Off-observation points with a
-    # missing neighbor cannot occur (grid spans [min, max]) but yield null
-    # rather than extrapolating.
-    out_cols = []
-    for out_name in locf:
-        out_cols.append(F.col(f"__locf_{out_name}").alias(out_name))
+    d = F.col("__t_us") - F.col("__min_us")
+    k_start = F.floor((d + F.lit(step_us - 1)) / F.lit(step_us))  # ceil(d/step)
+    # interior rows: slots strictly before the next observation; final row:
+    # only its own timestamp, iff grid-aligned (floor(d/step) == ceil(d/step))
+    k_end = F.when(
+        F.col("__next_t_us").isNotNull(),
+        F.floor((F.col("__next_t_us") - F.lit(1) - F.col("__min_us")) / F.lit(step_us)),
+    ).otherwise(F.floor(d / F.lit(step_us)))
+    slots = F.when(
+        k_start <= k_end, F.sequence(k_start.cast("bigint"), k_end.cast("bigint"))
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    dense = staged.select(
+        *keys,
+        "__t_us",
+        "__min_us",
+        "__next_t_us",
+        *[F.col(f"__v_{c}") for c in value_cols],
+        *[F.col(f"__next_{c}") for c in lin_vals],
+        F.explode(slots).alias("__k"),
+    ).withColumn("__g_us", F.col("__min_us") + F.col("__k") * F.lit(step_us))
+
+    out_cols: list[Column] = []
+    for out_name, in_name in locf.items():
+        out_cols.append(F.col(f"__v_{in_name}").alias(out_name))
     for out_name, in_name in linear.items():
-        v_prev, t_prev = F.col(f"__vp_{in_name}"), F.col(f"__tp_{in_name}")
-        v_next, t_next = F.col(f"__vn_{in_name}"), F.col(f"__tn_{in_name}")
-        frac = (F.unix_micros(F.col("__t")) - F.unix_micros(t_prev)) / (
-            F.unix_micros(t_next) - F.unix_micros(t_prev)
+        v, v_next = F.col(f"__v_{in_name}"), F.col(f"__next_{in_name}")
+        # same IEEE expression tree as the oracle: lerp in epoch micros; a
+        # slot exactly on the observation returns it verbatim (covers the
+        # final grid point and single-observation keys)
+        frac = (F.col("__g_us") - F.col("__t_us")) / (
+            F.col("__next_t_us") - F.col("__t_us")
         )
         lerp = (
-            F.when(t_prev == F.col("__t"), v_prev)
-            .when(t_prev.isNull() | t_next.isNull(), F.lit(None))
-            .otherwise(v_prev + (v_next - v_prev) * frac)
+            F.when(F.col("__g_us") == F.col("__t_us"), v)
+            .when(F.col("__next_t_us").isNull(), F.lit(None))
+            .otherwise(v + (v_next - v) * frac)
         )
         out_cols.append(lerp.alias(out_name))
 
-    resampled = staged
-    if not keep_observations:
-        resampled = resampled.filter(F.col("__is_grid") == 1)
-    return resampled.select(*keys, F.col("__t").alias(time_col), *out_cols)
+    resampled = dense.select(
+        *keys, F.timestamp_micros("__g_us").alias(time_col), *out_cols
+    )
+    if keep_observations:
+        on_grid = F.pmod(F.col("__t_us") - F.col("__min_us"), F.lit(step_us)) == 0
+        obs_rows = staged.filter(~on_grid).select(
+            *keys,
+            F.timestamp_micros("__t_us").alias(time_col),
+            *[F.col(f"__v_{in_name}").alias(out) for out, in_name in locf.items()],
+            *[F.col(f"__v_{in_name}").alias(out) for out, in_name in linear.items()],
+        )
+        resampled = resampled.unionByName(obs_rows)
+    return resampled
 
 
 def sequence_ts(tmin: Column, tmax: Column, step: str = "INTERVAL 1 SECOND") -> Column:
