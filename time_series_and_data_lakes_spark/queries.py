@@ -764,6 +764,103 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# J1 json — the ingest path's JSON decode surface (SURVEY §2.9: the melt
+# Lambda json-decodes every record) applied to the events.props payload:
+# extract, type, aggregate.
+# --------------------------------------------------------------------------
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select(F.col("event_type").alias("status"), k.alias("k"))
+        .groupBy("status")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("status")
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT event_type AS status,
+       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Additional relational coverage: highly selective pushed filter (Q6 shape)
+# and a multi-hop join chain with region filter (Q5 shape).
+# --------------------------------------------------------------------------
+
+
+def tpch_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+TPCH_Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10
+"""
+
+
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation_name")
+    )
+
+
+TPCH_Q5_ORACLE = """
+SELECT n_name AS nation_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1 ORDER BY revenue DESC, nation_name
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry — the driver contract (__spark_entry__.queries / oracle_sql).
 # --------------------------------------------------------------------------
 
@@ -786,6 +883,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_enrichment_join": a1_enrichment_join,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_top_orders": tpch_q3_top_orders,
+    "tpch_q5_region_revenue": tpch_q5_region_revenue,
+    "tpch_q6_selective": tpch_q6_selective,
+    "json_props_extract": json_props_extract,
     "f2_cep_match_recognize": f2_cep_match_recognize,
     "g1_cep_pivot_by_bin": g1_cep_pivot_by_bin,
 }
@@ -816,6 +916,9 @@ ORACLES: dict[str, str] = {
     "a1_enrichment_join": A1_ORACLE,
     "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
     "tpch_q3_top_orders": TPCH_Q3_ORACLE,
+    "tpch_q5_region_revenue": TPCH_Q5_ORACLE,
+    "tpch_q6_selective": TPCH_Q6_ORACLE,
+    "json_props_extract": JSON_PROPS_ORACLE,
     "f2_cep_match_recognize": F2_ORACLE,
     "g1_cep_pivot_by_bin": G1_ORACLE,
 }
