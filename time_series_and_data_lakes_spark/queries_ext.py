@@ -51,6 +51,7 @@ def _cosine_sql(a: str, b: str, dim: int = 64) -> str:
 def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_and_data_lakes_spark.operators.dedup import spread_small
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
