@@ -28,8 +28,12 @@ HEADLINE = [
     "tpch_q3_top_orders",
     "melt_narrow",
     "f2_cep_match_recognize",
+    "g2_measure_series",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_dup_pairs",
+    "multimodal_decode_stats",
 ]
 
 

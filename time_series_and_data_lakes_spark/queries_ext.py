@@ -329,6 +329,65 @@ WHERE {_cosine_sql('a.v', 'b.v')} >= {_COS_THRESHOLD}
 ANN_LSH_PAIRS_ORACLE = _lsh_pairs_oracle()
 
 
+# --------------------------------------------------------------------------
+# Multimodal: synthesize binary payloads from the documents table (header
+# fields are pure functions of doc_id/text), push them through the real
+# binary-column plumbing (mapInPandas decode), and verify the decoded
+# metadata against the same arithmetic in DuckDB — the codec is the stub,
+# the Spark-side pipeline is fully exercised and value-gated.
+# --------------------------------------------------------------------------
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        pack_fake_payload,
+    )
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": ["image"] * len(pdf),
+                    "payload": [
+                        pack_fake_payload(
+                            int(100 + d % 1820), int(100 + d % 980), int(1 + d % 30),
+                            t.encode("utf-8"),
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": [{"source": "docs", "codec": "tsdl-fake"}] * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(build, schema=MEDIA_SCHEMA)
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        "n_bytes",
+    )
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       100 + doc_id % 1820 AS width,
+       100 + doc_id % 980 AS height,
+       1 + doc_id % 30 AS n_frames,
+       10 + octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -339,6 +398,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
+    "multimodal_decode_stats": multimodal_decode_stats,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -351,4 +411,5 @@ EXT_ORACLES: dict[str, str] = {
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
+    "multimodal_decode_stats": MULTIMODAL_ORACLE,
 }
