@@ -43,8 +43,10 @@ def main() -> None:
     spark = get_spark(app_name="tsdl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths so timings measure the queries, not startup.
+    # Warm the JVM/codegen paths and the events scan (page cache + parquet
+    # footer) so timings measure query compute, not cold IO/startup.
     Q.load(spark, sf_dir, "region").count()
+    Q.load(spark, sf_dir, "events").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -116,6 +116,70 @@ def test_streaming_cep_equals_batch(spark, tmp_path):
     assert len(got) > 0  # the fixture must actually exercise the pattern
 
 
+def test_streaming_cep_event_time_mode_tolerates_disorder(spark, tmp_path):
+    """Event-time mode: rows arrive out of order (bounded disorder across
+    batches); results must equal the batch operator for every match whose
+    rows are past the lateness frontier — deterministic replay, unlike the
+    reference's processing-time ordering."""
+    import random
+
+    rows = sensor_readings(seed=13, sensors=5, span_seconds=180)
+    # bounded disorder: shuffle within blocks of ~20 rows (≈ tens of seconds)
+    rng = random.Random(0)
+    shuffled = []
+    for i in range(0, len(rows), 20):
+        block = rows[i : i + 20]
+        rng.shuffle(block)
+        shuffled += block
+    src = _write_json_batches(tmp_path, shuffled, n_batches=6)
+
+    wide = read_json_stream(spark, src, max_files_per_trigger=1)
+    typed = wide.select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+    matches = match_error_pattern_stream(
+        typed, within="INTERVAL 1 MINUTE", allowed_lateness="INTERVAL 45 SECONDS"
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_et")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("cep_et").collect()}
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                r["sensor_id"],
+                dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0),
+                r["status"],
+                r["temperature"],
+            )
+            for r in rows
+        ],
+        "sensor_id string, time timestamp, status string, temperature double",
+    )
+    want_rows = match_error_pattern(batch_df, within="INTERVAL 1 MINUTE").collect()
+    want = {tuple(r) for r in want_rows}
+    # everything emitted must be a true match
+    assert got <= want
+    # every match fully inside the final frontier must have been emitted
+    max_t = max(r["event_time"] for r in rows) / 1000.0
+    must_emit = {
+        tuple(r)
+        for r in want_rows
+        if (r["event_time"].timestamp() + r["elapsed"] + 1) <= max_t - 45
+    }
+    assert must_emit <= got
+    assert len(got) > 0
+
+
 def test_export_window_idempotent(spark, tmp_path):
     rows = sensor_readings(seed=3, sensors=4, span_seconds=60)
     df = spark.createDataFrame(

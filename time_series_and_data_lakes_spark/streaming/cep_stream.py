@@ -43,13 +43,19 @@ CEP_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# Candidate state: A's epoch-micros + temperature, B statuses and temps.
+# Candidate state: A's epoch-micros + temperature, B statuses and temps —
+# plus, in event-time mode, the reorder buffer of not-yet-final rows and the
+# max event time seen (the per-key watermark frontier).
 CEP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("a_time_us", T.LongType()),
         T.StructField("a_temp", T.DoubleType()),
         T.StructField("b_statuses", T.ArrayType(T.StringType())),
         T.StructField("b_temps", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_t_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_status", T.ArrayType(T.StringType())),
+        T.StructField("pend_temp", T.ArrayType(T.DoubleType())),
+        T.StructField("max_seen_us", T.LongType()),
     ]
 )
 
@@ -107,12 +113,26 @@ def match_error_pattern_stream(
     max_b: int = 5,
     within: str = "INTERVAL 1 MINUTE",
     round_avg: int = 2,
+    allowed_lateness: str | None = None,
 ) -> DataFrame:
     """Continuous ``(A B{min_b,max_b} C) WITHIN within`` over a keyed stream
-    (T2-T5), emitting the CEP record shape in append mode (T6)."""
+    (T2-T5), emitting the CEP record shape in append mode (T6).
+
+    By default rows are processed in arrival order (sorted per micro-batch)
+    — the reference's processing-time semantics (``ORDER BY ptime``,
+    `notebook.txt:52`), which are replay-sensitive. Passing
+    ``allowed_lateness`` switches to event-time mode: each key keeps a
+    reorder buffer, and rows only feed the NFA once the key's max seen
+    event time has passed them by the lateness bound, in event-time order —
+    deterministic under any arrival interleaving with bounded disorder.
+    Rows later than the bound are processed best-effort on arrival (the
+    open-retention-window behavior, T11). Buffer size is bounded by the
+    lateness window, not stream length.
+    """
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
     within_us = _interval_micros(within)
+    lateness_us = _interval_micros(allowed_lateness) if allowed_lateness else None
 
     def process(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -121,31 +141,59 @@ def match_error_pattern_stream(
         if state.exists:
             st = state.get
             current = (st[0], st[1], list(st[2]), list(st[3]))
+            pending = list(zip(st[4], st[5], st[6]))
+            max_seen = st[7]
         else:
             current = (None, None, [], [])
+            pending, max_seen = [], None
+
+        rows: list[tuple[int, str, float]] = []
+        for pdf in pdfs:
+            times_us = pdf[time_col].astype("datetime64[us]").astype("int64")
+            rows += [
+                (int(t), s, float(v))
+                for t, s, v in zip(times_us, pdf[status_col], pdf[value_col], strict=True)
+            ]
+
+        if lateness_us is None:
+            ready = sorted(rows)
+        else:
+            pending.extend(rows)
+            pending.sort()
+            if pending:
+                max_seen = max(max_seen or pending[-1][0], pending[-1][0])
+            frontier = (max_seen - lateness_us) if max_seen is not None else None
+            ready = [r for r in pending if r[0] <= frontier] if frontier is not None else []
+            pending = [r for r in pending if r[0] > frontier] if frontier is not None else pending
 
         out: list[dict] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col)
-            times_us = pdf[time_col].astype("datetime64[us]").astype("int64")
-            for t_us, status, temp in zip(
-                times_us, pdf[status_col], pdf[value_col], strict=True
-            ):
-                current, match = _nfa_step(
-                    current,
-                    int(t_us),
-                    status,
-                    float(temp),
-                    error_value,
-                    min_b,
-                    max_b,
-                    within_us,
-                    round_avg,
-                )
-                if match is not None:
-                    out.append(match)
+        for t_us, status, temp in ready:
+            current, match = _nfa_step(
+                current,
+                t_us,
+                status,
+                temp,
+                error_value,
+                min_b,
+                max_b,
+                within_us,
+                round_avg,
+            )
+            if match is not None:
+                out.append(match)
 
-        state.update((current[0], current[1], current[2], current[3]))
+        state.update(
+            (
+                current[0],
+                current[1],
+                current[2],
+                current[3],
+                [r[0] for r in pending],
+                [r[1] for r in pending],
+                [r[2] for r in pending],
+                max_seen,
+            )
+        )
         if out:
             result = pd.DataFrame(out)
             result.insert(0, key, key_value)
