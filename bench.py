@@ -43,10 +43,16 @@ def main() -> None:
     spark = get_spark(app_name="tsdl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths and the events scan (page cache + parquet
-    # footer) so timings measure query compute, not cold IO/startup.
+    # Warm the JVM/codegen paths, the events scan (page cache + parquet
+    # footer), and the Python UDF worker pool, so timings measure query
+    # compute rather than cold start.
     Q.load(spark, sf_dir, "region").count()
     Q.load(spark, sf_dir, "events").count()
+    from pyspark.sql import functions as F
+
+    spark.range(1000).repartition(32).select(
+        F.pandas_udf(lambda s: s + 1, "long")("id")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

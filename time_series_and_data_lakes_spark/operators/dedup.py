@@ -105,27 +105,33 @@ MERSENNE_61 = (1 << 61) - 1
 
 def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
     """Per-document minhash signature as an array<bigint>: shingles are
-    md5-hashed ONCE, then the hash family is derived arithmetically
-    (universal hashing) — one md5 per shingle instead of num_hashes, the
-    dominant cost in interpreted HOF evaluation. Shingle and base-hash
-    arrays are let-bound so each is computed once per row."""
+    md5-hashed ONCE JVM-side (31-bit reduced), then the universal-hash
+    family minima are computed per Arrow batch with vectorized numpy —
+    identical integer semantics to the SQL oracle formulation
+    ``min((a_j * x + b_j) % (2^61-1))``, without num_hashes interpreted
+    array folds per row. Empty shingle sets yield all-null signatures."""
     params = minhash_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
 
-    def _uhash(a: int, b: int):
-        # closure, NOT lambda default-args: Spark counts default parameters
-        # toward the HOF lambda arity
-        return lambda x: F.pmod(
-            F.lit(a).cast("bigint") * x + F.lit(b), F.lit(MERSENNE_61)
-        )
+    @F.pandas_udf("array<bigint>")
+    def mins(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            x = np.asarray(arr, dtype=np.int64)
+            if x.size == 0:
+                out.append([None] * len(A))
+            else:
+                # a < 2^30, x < 2^31 → a*x + b < 2^62: no int64 overflow
+                h = (A[:, None] * x[None, :] + B[:, None]) % MERSENNE_61
+                out.append(h.min(axis=1).tolist())
+        return pd.Series(out)
 
-    return let(
+    return mins(
         let(
             shingles_col(text, shingle_n),
             lambda sh: F.transform(sh, lambda s: F.pmod(h64(s, 0), F.lit(1 << 31))),
-        ),
-        lambda hs: F.array(
-            *[F.array_min(F.transform(hs, _uhash(a, b))) for a, b in params]
-        ),
+        )
     )
 
 
@@ -168,17 +174,78 @@ def minhash_lsh_dedup(
     """Near-duplicate pairs: LSH-banded candidates, verified with exact
     Jaccard over the shingle sets. Returns (doc_a, doc_b, jaccard >= thr)."""
     rows_per_band = num_hashes // bands
-    # Signatures are the expensive stage (num_hashes x shingles md5 folds per
-    # row) and are consumed three times (both bucket-join sides + verify) —
-    # materialize them once. spread_small guards against tiny inputs
-    # collapsing onto one core; at scale the scan already has parallelism.
-    sigs = spread_small(df).select(
-        F.col(id_col).alias("doc_id"),
-        shingles_col(F.col(text_col), shingle_n).alias("sh"),
-        lsh_bands(
-            minhash_signature(F.col(text_col), num_hashes, shingle_n), bands, rows_per_band
-        ).alias("bands"),
-    ).persist()
+    # Signatures are the expensive stage and are consumed three times (both
+    # bucket-join sides + verify) — compute them in ONE fused Arrow pass
+    # (shingle -> md5 -> universal-hash minima -> band md5s, all C-speed in
+    # Python; the interpreted-JVM expression pipeline for the same work is
+    # ~10x slower) and materialize once. Byte-identical to the JVM column
+    # formulation and the SQL oracle. spread_small guards against tiny
+    # inputs collapsing onto one core.
+    import hashlib
+    from collections.abc import Iterator
+
+    params = minhash_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sh_out, band_out = [], []
+            for text in pdf["__text"]:
+                toks = text.split(" ")
+                shs = (
+                    list({" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)})
+                    if len(toks) >= shingle_n
+                    else []
+                )
+                sh_out.append(shs)
+                if not shs:
+                    band_out.append([])
+                    continue
+                x = np.fromiter(
+                    (
+                        int(hashlib.md5(b"0:" + s.encode("utf-8")).hexdigest()[:15], 16)
+                        % (1 << 31)
+                        for s in shs
+                    ),
+                    dtype=np.int64,
+                    count=len(shs),
+                )
+                mh = ((A[:, None] * x[None, :] + B[:, None]) % MERSENNE_61).min(axis=1)
+                band_out.append(
+                    [
+                        hashlib.md5(
+                            (
+                                f"{b}|"
+                                + ",".join(
+                                    str(mh[b * rows_per_band + r]) for r in range(rows_per_band)
+                                )
+                            ).encode()
+                        ).hexdigest()
+                        for b in range(bands)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["__id"], "sh": sh_out, "bands": band_out}
+            )
+
+    import pyspark.sql.types as T
+
+    sigs = (
+        spread_small(df)
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .mapInPandas(
+            build,
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", df.schema[id_col].dataType),
+                    T.StructField("sh", T.ArrayType(T.StringType())),
+                    T.StructField("bands", T.ArrayType(T.StringType())),
+                ]
+            ),
+        )
+        .persist()
+    )
     # Candidate generation stays slim: ids + band signature only, so the
     # bucket self-join shuffles no arrays.
     buckets = sigs.select("doc_id", F.explode("bands").alias("band_sig"))
@@ -198,8 +265,10 @@ def minhash_lsh_dedup(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # guard the (empty, empty) candidate case: ANSI mode makes 0/0 throw
+    jaccard = F.when(union > 0, inter / union).otherwise(F.lit(None))
     return (
-        pairs.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
