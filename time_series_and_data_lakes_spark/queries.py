@@ -864,6 +864,119 @@ GROUP BY 1 ORDER BY revenue DESC, nation_name
 
 
 # --------------------------------------------------------------------------
+# Engine extensions: sessionization (gap-based dual of bin) and the as-of
+# join (batch analogue of LOCF alignment — SURVEY §2.3 note). DuckDB
+# oracles: identical window algebra / native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_and_data_lakes_spark.operators.sessions import sessionize
+
+    obs = sensor_obs(spark, sf_dir)
+    sessions = sessionize(obs, ["sensor_id"], "time", gap="INTERVAL 12 HOURS")
+    return (
+        sessions.groupBy("sensor_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("time").alias("session_start"),
+            F.max("time").alias("session_end"),
+            (
+                F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))
+            ).alias("duration_us"),
+        )
+        .orderBy("sensor_id", "session_id")
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH obs AS (
+  SELECT user_id AS sensor_id, ts AS time FROM events
+), marked AS (
+  SELECT sensor_id, time,
+    CASE WHEN lag(time) OVER w IS NULL
+           OR epoch_us(time) - epoch_us(lag(time) OVER w) > 43200000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM obs
+  WINDOW w AS (PARTITION BY sensor_id ORDER BY time)
+), sess AS (
+  SELECT sensor_id, time,
+    CAST(sum(new_session) OVER (PARTITION BY sensor_id ORDER BY time
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT sensor_id, session_id, count(*) AS n_events,
+       min(time) AS session_start, max(time) AS session_end,
+       epoch_us(max(time)) - epoch_us(min(time)) AS duration_us
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_and_data_lakes_spark.operators.sessions import asof_join
+
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), F.col("ts").alias("time"), "event_id"
+    )
+    # right side pre-aggregated to unique (key, time) — dup order dates per
+    # customer would otherwise make the carried value nondeterministic
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("time"))
+        .agg(F.max("o_totalprice").alias("latest_order_price"))
+    )
+    out = asof_join(
+        events,
+        orders,
+        keys=["custkey"],
+        left_time="time",
+        right_time="time",
+        right_values=["latest_order_price"],
+    )
+    return out.select("event_id", "custkey", "time", "latest_order_price")
+
+
+ASOF_ORACLE = """
+SELECT e.event_id, e.user_id AS custkey, e.ts AS time, o.latest_order_price
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS latest_order_price
+  FROM orders GROUP BY 1, 2
+) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+# --------------------------------------------------------------------------
+# Set-operation and semi/anti-join coverage (free from Spark SQL; §2.7).
+# --------------------------------------------------------------------------
+
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    with_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("custkey"), F.lit("has_orders").alias("bucket"))
+    without_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.lit("no_orders").alias("bucket"))
+    return with_orders.unionByName(without_orders).groupBy("bucket").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+SEMI_ANTI_ORACLE = """
+SELECT bucket, count(*) AS n_customers FROM (
+  SELECT c_custkey AS custkey, 'has_orders' AS bucket FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT c_custkey, 'no_orders' FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+) GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry — the driver contract (__spark_entry__.queries / oracle_sql).
 # --------------------------------------------------------------------------
 
@@ -889,6 +1002,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5_region_revenue": tpch_q5_region_revenue,
     "tpch_q6_selective": tpch_q6_selective,
     "json_props_extract": json_props_extract,
+    "sessionize_events": sessionize_events,
+    "asof_latest_order": asof_latest_order,
+    "semi_anti_customers": semi_anti_customers,
     "f2_cep_match_recognize": f2_cep_match_recognize,
     "g1_cep_pivot_by_bin": g1_cep_pivot_by_bin,
 }
@@ -922,6 +1038,9 @@ ORACLES: dict[str, str] = {
     "tpch_q5_region_revenue": TPCH_Q5_ORACLE,
     "tpch_q6_selective": TPCH_Q6_ORACLE,
     "json_props_extract": JSON_PROPS_ORACLE,
+    "sessionize_events": SESSIONIZE_ORACLE,
+    "asof_latest_order": ASOF_ORACLE,
+    "semi_anti_customers": SEMI_ANTI_ORACLE,
     "f2_cep_match_recognize": F2_ORACLE,
     "g1_cep_pivot_by_bin": G1_ORACLE,
 }
