@@ -864,6 +864,44 @@ GROUP BY 1 ORDER BY revenue DESC, nation_name
 
 
 # --------------------------------------------------------------------------
+# Classical OVER-clause analytics (the reference has none — SURVEY §2.5;
+# the engine provides them natively). Moving sums use exact DECIMAL
+# arithmetic rendered as strings: float moving windows are evaluated with
+# different association orders across engines (sliding add/subtract vs
+# segment trees), so doubles cannot hash-match — decimals can.
+# --------------------------------------------------------------------------
+
+
+def analytics_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    obs = sensor_obs(spark, sf_dir)
+    w = Window.partitionBy("sensor_id").orderBy("time")
+    w5 = w.rowsBetween(-4, 0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    dec = F.col("temperature").cast("decimal(12,2)")
+    return obs.select(
+        "sensor_id",
+        "time",
+        F.sum(dec).over(w5).cast("string").alias("moving_sum_5"),
+        F.count("*").over(wcum).alias("cum_events"),
+        F.row_number().over(w).cast("bigint").alias("event_seq"),
+    )
+
+
+ANALYTICS_ORACLE = """
+SELECT user_id AS sensor_id, ts AS time,
+  CAST(sum(CAST(value AS DECIMAL(12,2)))
+       OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS VARCHAR) AS moving_sum_5,
+  count(*) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS event_seq
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # Engine extensions: sessionization (gap-based dual of bin) and the as-of
 # join (batch analogue of LOCF alignment — SURVEY §2.3 note). DuckDB
 # oracles: identical window algebra / native ASOF LEFT JOIN.
@@ -1002,6 +1040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5_region_revenue": tpch_q5_region_revenue,
     "tpch_q6_selective": tpch_q6_selective,
     "json_props_extract": json_props_extract,
+    "analytics_moving_window": analytics_moving_window,
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
     "semi_anti_customers": semi_anti_customers,
@@ -1038,6 +1077,7 @@ ORACLES: dict[str, str] = {
     "tpch_q5_region_revenue": TPCH_Q5_ORACLE,
     "tpch_q6_selective": TPCH_Q6_ORACLE,
     "json_props_extract": JSON_PROPS_ORACLE,
+    "analytics_moving_window": ANALYTICS_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,
     "semi_anti_customers": SEMI_ANTI_ORACLE,
