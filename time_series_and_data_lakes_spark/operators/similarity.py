@@ -34,6 +34,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(v: Column) -> Column:
+    """``sqrt(v·v)`` — factor the self-norm out per vector *before* a pair
+    join so each interpreted-HOF dot product runs once per row, not once per
+    pair (3x less HOF work; bit-identical, since ``sqrt(dot(v,v))`` is the
+    same IEEE expression tree wherever it is evaluated)."""
+    return F.sqrt(dot(v, v))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,14 +58,14 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("score", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -108,16 +116,26 @@ def lsh_bucket_pairs(
     """Embedding near-duplicate pairs: same-bucket candidates scored with
     exact cosine, kept when >= threshold. Returns (id_a, id_b, score)."""
     weights = plane_weights(n_planes, dim)
-    base = corpus.select(
-        F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", hyperplane_signature(F.col("v"), weights))
-    a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    base = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("bucket", hyperplane_signature(F.col("v"), weights))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    a = base.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket"
+    )
     return (
         a.join(b, on="bucket", how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "score", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
