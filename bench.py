@@ -32,7 +32,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "ann_lsh_dup_pairs",
+    "rollup_pricing_totals",
     "multimodal_decode_stats",
 ]
 

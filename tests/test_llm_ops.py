@@ -11,7 +11,11 @@ from time_series_and_data_lakes_spark.operators.dedup import (
     minhash_lsh_dedup,
     simhash_dedup,
 )
-from time_series_and_data_lakes_spark.operators.similarity import cosine_topk, lsh_bucket_pairs
+from time_series_and_data_lakes_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_pairs,
+)
 from time_series_and_data_lakes_spark.operators.text import (
     predicted_lang,
     quality_score,
@@ -61,6 +65,57 @@ def test_cosine_topk_hand_checked(spark):
     order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert order == [1, 2, 3]
     assert abs(got[0]["score"] - 0.9 / (0.81 + 0.01) ** 0.5) < 1e-9
+
+
+def _synthetic_vectors(n, dim):
+    return [
+        (i, [float((i * 31 + d * 17) % 7 - 3) for d in range(dim)])
+        for i in range(n)
+    ]
+
+
+def test_ivf_probe_all_equals_exact_topk(spark):
+    # Probing every inverted list degrades IVF to brute force: results must
+    # equal cosine_topk row-for-row (same scores, same tie-breaks).
+    df = spark.createDataFrame(
+        _synthetic_vectors(30, 8), "vec_id long, embedding array<float>"
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    cent = df.filter(F.col("vec_id") < 4)
+    approx = ivf_topk(df, q, cent, k=4, n_probe=4).collect()
+    exact = cosine_topk(df, q, k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, approx), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, exact), key=lambda t: (t[0], t[3])
+    )
+    assert len(approx) == 3 * 4
+
+
+def test_ivf_single_probe_prunes_to_own_list(spark):
+    # Three well-separated clusters on orthogonal axes; with n_probe=1 a
+    # query only sees neighbors assigned to its nearest centroid's list.
+    def axis(d, scale=1.0, bump=0.0):
+        v = [0.0] * 9
+        v[d] = scale
+        v[(d + 3) % 9] = bump
+        return v
+
+    rows = []
+    for c in range(3):  # centroids 0..2 on axes 0..2
+        rows.append((c, axis(c)))
+    for c in range(3):  # two members per cluster, slightly off-axis
+        rows.append((10 + 2 * c, axis(c, 1.0, 0.1)))
+        rows.append((11 + 2 * c, axis(c, 1.0, 0.2)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_topk(
+        df,
+        df.filter(F.col("vec_id") == 10),
+        df.filter(F.col("vec_id") < 3),
+        k=5,
+        n_probe=1,
+    ).collect()
+    neighbors = {r["neighbor_id"] for r in got}
+    assert neighbors == {0, 11}  # cluster-0 members only, self excluded
 
 
 def test_lsh_bucket_pairs_finds_identical_vectors(spark):

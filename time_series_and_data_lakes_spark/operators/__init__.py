@@ -15,6 +15,7 @@ from time_series_and_data_lakes_spark.operators.dedup import (
 )
 from time_series_and_data_lakes_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_bucket_pairs,
 )
 
@@ -23,6 +24,7 @@ __all__ = [
     "cosine_topk",
     "create_time_series",
     "exact_dedup",
+    "ivf_topk",
     "lsh_bucket_pairs",
     "match_error_pattern",
     "melt",

@@ -75,6 +75,103 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the scale path for ANN.
+
+    Every corpus vector is assigned to its nearest centroid (one narrow
+    pass — the centroid list is aggregated to a single broadcast row, so
+    assignment is a map with no shuffle); each query probes only its
+    ``n_probe`` nearest centroids' lists. Search cost drops from O(N) to
+    ~O(N * n_probe / n_centroids) per query while the scan stays a single
+    pass at 100 TB. ``centroids`` is pluggable (k-means in production; any
+    deterministic subset for oracle-gated tests).
+
+    Ties break deterministically: assignment to the smallest centroid id,
+    ranking by neighbor id — and cosine is the same fixed-association fold
+    as :func:`cosine_topk`, so results are bit-reproducible cross-engine.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    # One row holding every centroid, ordered by cid: broadcast to make
+    # nearest-centroid assignment a pure projection.
+    cent_row = F.broadcast(
+        cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cv", "cn"))
+            ).alias("cents")
+        )
+    )
+
+    def scores(v, n):
+        # struct ordering does the argmax: max score, ties -> max negcid
+        # (= smallest cid).
+        return lambda c: F.struct(
+            (dot(v, c["cv"]) / (n * c["cn"])).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        )
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .crossJoin(cent_row)
+        .withColumn(
+            "list_id",
+            -F.array_max(
+                F.transform(F.col("cents"), scores(F.col("cv"), F.col("cn")))
+            )["negcid"],
+        )
+        .drop("cents")
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qn", norm(F.col("qv")))
+        .crossJoin(cent_row)
+        .withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.transform(
+                                F.col("cents"), scores(F.col("qv"), F.col("qn"))
+                            )
+                        )
+                    ),
+                    1,
+                    n_probe,
+                )
+            ),
+        )
+        .select("query_id", "qv", "qn", (-F.col("probe")["negcid"]).alias("list_id"))
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="list_id", how="inner")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane weights from md5 parity of 'plane{p}:{d}'
     — computed once at plan-build time and embedded as literals in both the

@@ -864,6 +864,75 @@ GROUP BY 1 ORDER BY revenue DESC, nation_name
 
 
 # --------------------------------------------------------------------------
+# Multi-level and distinct aggregation (SURVEY §2.4 lists these as absent
+# from the reference; the engine provides them natively). ROLLUP sums use
+# exact DECIMAL rendered as strings — float sums are order-nondeterministic
+# and subtotal rows re-accumulate in a different order than DuckDB's.
+# --------------------------------------------------------------------------
+
+
+def rollup_pricing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(returnflag, linestatus): per-pair, per-flag and grand
+    totals in one pass — Spark expands grouping sets map-side, so the 100 TB
+    cost is one shuffle keyed by (gid, flag, status), same as the flat agg."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("string").alias("sum_qty"),
+        F.sum(price).cast("string").alias("sum_price"),
+        F.count("*").alias("n_items"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+       count(*) AS n_items,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def distinct_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT ...) — expands to per-distinct-set
+    partial aggregates (Expand + two-phase agg), so distinct cardinality,
+    not row count, bounds the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — the 100 TB path (fixed-size sketch,
+    no distinct expansion, mergeable partials). Sketch values are
+    engine-specific, so this is rows-only checked; tests bound the error
+    against the exact counts (see tests/test_oracle_queries.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Classical OVER-clause analytics (the reference has none — SURVEY §2.5;
 # the engine provides them natively). Moving sums use exact DECIMAL
 # arithmetic rendered as strings: float moving windows are evaluated with
@@ -1040,6 +1109,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5_region_revenue": tpch_q5_region_revenue,
     "tpch_q6_selective": tpch_q6_selective,
     "json_props_extract": json_props_extract,
+    "rollup_pricing_totals": rollup_pricing_totals,
+    "distinct_part_suppliers": distinct_part_suppliers,
+    "approx_distinct_parts": approx_distinct_parts,
     "analytics_moving_window": analytics_moving_window,
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
@@ -1077,6 +1149,8 @@ ORACLES: dict[str, str] = {
     "tpch_q5_region_revenue": TPCH_Q5_ORACLE,
     "tpch_q6_selective": TPCH_Q6_ORACLE,
     "json_props_extract": JSON_PROPS_ORACLE,
+    "rollup_pricing_totals": ROLLUP_ORACLE,
+    "distinct_part_suppliers": DISTINCT_ORACLE,
     "analytics_moving_window": ANALYTICS_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,

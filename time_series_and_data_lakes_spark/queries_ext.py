@@ -288,6 +288,67 @@ SELECT query_id, neighbor_id, score, rank FROM (
 ) WHERE rank <= {_TOP_K}
 """
 
+_N_CENTROIDS = 16
+_N_PROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (SURVEY §7 phase 6 scale path): deterministic
+    centroid set (vec_id < _N_CENTROIDS stands in for k-means so the oracle
+    can replicate the quantizer), nearest-centroid inverted lists, n_probe
+    lists searched per query."""
+    emb = _load_embeddings(spark, sf_dir)
+    out = S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        centroids=emb.filter(F.col("vec_id") < _N_CENTROIDS),
+        k=_TOP_K,
+        n_probe=_N_PROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _ivf_oracle() -> str:
+    dot_vc = _dot_sql("n.v", "c.cv")
+    dot_qc = _dot_sql("q.v", "c.cv")
+    dot_qa = _dot_sql("p.qv", "a.v")
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM v0
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {_N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS list_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY {dot_vc} / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n, cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, qn, cid AS list_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {dot_qc} / (q.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n q, cent c WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {dot_qa} / (p.qn * a.nrm) AS score
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+ANN_IVF_ORACLE = _ivf_oracle()
+
 _N_PLANES = 8
 _DIM = 64
 # The fixture embeddings are near-orthogonal (max pairwise cosine ~0.51), so
@@ -397,6 +458,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
     "multimodal_decode_stats": multimodal_decode_stats,
 }
@@ -410,6 +472,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
+    "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
     "multimodal_decode_stats": MULTIMODAL_ORACLE,
 }
