@@ -62,6 +62,31 @@ def test_flagship_reagg_reuses_partitioning(spark, sf_dir):
     assert _nodes(plan, "Exchange") == 1
 
 
+def test_rollup_is_one_expand_one_exchange(spark, sf_dir):
+    # ROLLUP expands grouping sets map-side (Expand) and aggregates through
+    # ONE shuffle keyed by (gid, keys) — a per-level union/re-agg would show
+    # extra exchanges and scans.
+    plan = _plan(Q.rollup_pricing_totals(spark, sf_dir))
+    assert _nodes(plan, "Expand") == 1
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    # Corpus-to-centroid assignment must be a broadcast pass: the only HASH
+    # exchange of real data is the final per-query rank window. The
+    # remaining exchanges are scale-no-ops: spread_small's round-robin
+    # (skipped on properly-sized scans) and the 16-row centroid collect's
+    # SinglePartition agg. The probe join is broadcast, never sort-merge.
+    import re
+
+    plan = _plan(Q.QUERIES["ann_ivf_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") == 1  # candidate ⋈ probes
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert hash_exchanges == ["query_id"]
+
+
 def test_store_partition_pruning(spark, tmp_path):
     # measure_name = '...' AND date filter must prune partitions, not scan
     df = spark.createDataFrame(
