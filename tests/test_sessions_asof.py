@@ -56,3 +56,70 @@ def test_asof_join_backward_inclusive_left(spark):
     assert out[("a", _t(20))] == (200, 3.0)      # latest right <= 20
     assert out[("b", _t(9))] == (400, None)      # key with no right rows
     assert len(out) == 4                          # left row count preserved
+
+
+def test_range_join_inclusive_bounds_and_bucket_spans(spark):
+    from time_series_and_data_lakes_spark.operators.intervals import range_join
+
+    # bucket_s=60: interval B spans 3 buckets; points sit exactly on the
+    # inclusive start/end bounds and on bucket edges.
+    points = spark.createDataFrame(
+        [("k1", _t(0)), ("k1", _t(1)), ("k1", _t(2.5)), ("k1", _t(3)),
+         ("k1", _t(3.001)), ("k2", _t(1))],
+        "key string, t timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("k1", "A", _t(0), _t(1)), ("k1", "B", _t(1), _t(3)), ("k2", "C", _t(2), _t(9))],
+        "key string, iv string, s timestamp, e timestamp",
+    )
+    got = range_join(points, intervals, "t", "s", "e", keys=["key"], bucket_s=60)
+    pairs = sorted((r["iv"], r["t"].minute, r["t"].second) for r in got.collect())
+    assert pairs == [
+        ("A", 0, 0),   # point at inclusive start
+        ("A", 1, 0),   # point at inclusive end
+        ("B", 1, 0),   # same point, second interval
+        ("B", 2, 30),  # interior, mid-bucket
+        ("B", 3, 0),   # inclusive end on a bucket edge
+    ]  # t(3.001) is outside B; k2's point t(1) is before C
+
+
+def test_range_join_pairs_are_unique(spark):
+    from time_series_and_data_lakes_spark.operators.intervals import range_join
+
+    # An interval spanning many buckets must still match each point once.
+    points = spark.createDataFrame([("k", _t(m)) for m in range(10)], "key string, t timestamp")
+    intervals = spark.createDataFrame([("k", _t(0), _t(9))], "key string, s timestamp, e timestamp")
+    got = range_join(points, intervals, "t", "s", "e", keys=["key"], bucket_s=60)
+    assert got.count() == 10
+    assert got.select("t").distinct().count() == 10
+
+
+def test_range_join_cep_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from time_series_and_data_lakes_spark import queries as Q
+    from time_series_and_data_lakes_spark.operators.intervals import range_join
+
+    # With no padding, the readings inside the match window are exactly the
+    # matched rows: A + B{1..5} + C = non_errors + 2. `elapsed` is truncated
+    # to whole seconds (reference semantics), so close the window at
+    # elapsed+1s-1µs to re-include C; the fixture's minimum inter-reading
+    # gap (~46 s) guarantees no extra reading can slip in.
+    cep = Q.f2_cep_match_recognize(spark, sf_dir)
+    iv = cep.select(
+        "sensor_id", "event_time", "non_errors",
+        F.col("event_time").alias("w_start"),
+        F.timestamp_micros(
+            F.unix_micros("event_time") + (F.col("elapsed") + 1) * 1_000_000 - 1
+        ).alias("w_end"),
+    )
+    obs = Q.sensor_obs(spark, sf_dir).select("sensor_id", "time")
+    counts = (
+        range_join(obs, iv, "time", "w_start", "w_end", keys=["sensor_id"])
+        .groupBy("sensor_id", "event_time", "non_errors")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = counts.collect()
+    assert rows, "expected CEP matches in the fixture"
+    for r in rows:
+        assert r["n"] == int(r["non_errors"]) + 2, r

@@ -6,6 +6,7 @@ from time_series_and_data_lakes_spark.operators.timeseries import (
     time_bin,
     unnest_time_series,
 )
+from time_series_and_data_lakes_spark.operators.intervals import range_join
 from time_series_and_data_lakes_spark.operators.melt import melt, pivot_measures
 from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
 from time_series_and_data_lakes_spark.operators.dedup import (
@@ -30,6 +31,7 @@ __all__ = [
     "melt",
     "minhash_lsh_dedup",
     "pivot_measures",
+    "range_join",
     "resample",
     "sequence_grid",
     "simhash_dedup",

@@ -767,6 +767,58 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Range (interval) join — SURVEY §2.3 notes the reference has no range
+# joins; the engine provides a bucketed one (`operators/intervals.py`).
+# Query: enrich every CEP match with the raw-reading traffic inside its
+# ±1 h-padded match window. Bounds are integer epoch-micros on both
+# engines, so parity is exact by construction.
+# --------------------------------------------------------------------------
+
+_RJ_PAD_S = 3600
+
+
+def range_join_cep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_and_data_lakes_spark.operators.intervals import range_join
+
+    cep = f2_cep_match_recognize(spark, sf_dir)
+    pad_us = _RJ_PAD_S * 1_000_000
+    iv = cep.select(
+        "sensor_id",
+        "event_time",
+        F.timestamp_micros(F.unix_micros("event_time") - pad_us).alias("w_start"),
+        F.timestamp_micros(
+            F.unix_micros("event_time") + (F.col("elapsed") + _RJ_PAD_S) * 1_000_000
+        ).alias("w_end"),
+    )
+    obs = sensor_obs(spark, sf_dir).select("sensor_id", "time", "status")
+    return (
+        range_join(obs, iv, "time", "w_start", "w_end", keys=["sensor_id"])
+        .groupBy("sensor_id", "event_time")
+        .agg(
+            F.count("*").alias("n_readings"),
+            F.sum((F.col("status") == "error").cast("int")).cast("bigint").alias(
+                "n_errors"
+            ),
+        )
+    )
+
+
+RANGE_JOIN_ORACLE = (
+    "WITH cep AS (" + F2_ORACLE + f""")
+SELECT c.sensor_id, c.event_time,
+       count(*) AS n_readings,
+       CAST(sum(CASE WHEN o.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM cep c JOIN events o ON o.user_id = c.sensor_id
+  AND epoch_us(o.ts) BETWEEN epoch_us(c.event_time) - {_RJ_PAD_S * 1_000_000}
+                         AND epoch_us(c.event_time)
+                             + (c.elapsed + {_RJ_PAD_S}) * 1000000
+GROUP BY 1, 2
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # J1 json — the ingest path's JSON decode surface (SURVEY §2.9: the melt
 # Lambda json-decodes every record) applied to the events.props payload:
 # extract, type, aggregate.
@@ -1118,6 +1170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_customers": semi_anti_customers,
     "f2_cep_match_recognize": f2_cep_match_recognize,
     "g1_cep_pivot_by_bin": g1_cep_pivot_by_bin,
+    "range_join_cep_context": range_join_cep_context,
 }
 
 # LLM-pipeline extension operators (dedup / similarity / text analysis).
@@ -1157,6 +1210,7 @@ ORACLES: dict[str, str] = {
     "semi_anti_customers": SEMI_ANTI_ORACLE,
     "f2_cep_match_recognize": F2_ORACLE,
     "g1_cep_pivot_by_bin": G1_ORACLE,
+    "range_join_cep_context": RANGE_JOIN_ORACLE,
 }
 
 ORACLES.update(EXT_ORACLES)
