@@ -222,3 +222,43 @@ def test_retention_expires_old_partitions(spark, tmp_path):
     assert len(removed) == 1 and "date=2024-01-01" in removed[0]
     left = spark.read.parquet(store)
     assert [r["measure_value_double"] for r in left.collect()] == [2.0]
+
+
+def test_compact_partitions_rewrites_small_files(spark, tmp_path):
+    from time_series_and_data_lakes_spark.streaming.retention import (
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [
+            ("s%d" % i, dt.datetime(2024, 1, 1 + (i % 2), 12), "OK", "temperature", float(i))
+            for i in range(64)
+        ],
+        "sensor_id string, time timestamp, status string, measure_name string, measure_value_double double",
+    )
+    # 8 files per leaf = the micro-batch small-files shape
+    (
+        df.withColumn("date", F.to_date("time"))
+        .repartition(8)
+        .write.partitionBy("measure_name", "date")
+        .parquet(store)
+    )
+    before = spark.read.parquet(store)
+    rows_before = sorted(r["measure_value_double"] for r in before.collect())
+    from pathlib import Path
+
+    leaves = sorted(Path(store).glob("measure_name=*/date=*"))
+    assert all(len(list(p.glob("*.parquet"))) == 8 for p in leaves)
+
+    compacted = compact_partitions(spark, store, target_file_bytes=1 << 30)
+    assert len(compacted) == 2
+    assert all(len(list(p.glob("*.parquet"))) == 1 for p in leaves)
+    assert not list(Path(store).glob("**/*__compact*"))
+
+    after = spark.read.parquet(store)
+    assert sorted(r["measure_value_double"] for r in after.collect()) == rows_before
+    # partition columns survive the rewrite (values live in dir names)
+    assert after.filter(
+        (F.col("measure_name") == "temperature") & (F.col("date") == "2024-01-02")
+    ).count() == 32

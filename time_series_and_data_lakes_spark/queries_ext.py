@@ -400,36 +400,9 @@ ANN_LSH_PAIRS_ORACLE = _lsh_pairs_oracle()
 
 
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
+    from time_series_and_data_lakes_spark.operators.multimodal import decode_media
 
-    import pandas as pd
-
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        decode_media,
-        pack_fake_payload,
-    )
-
-    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "media_type": ["image"] * len(pdf),
-                    "payload": [
-                        pack_fake_payload(
-                            int(100 + d % 1820), int(100 + d % 980), int(1 + d % 30),
-                            t.encode("utf-8"),
-                        )
-                        for d, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
-                    "meta": [{"source": "docs", "codec": "tsdl-fake"}] * len(pdf),
-                }
-            )
-
-    media = docs.mapInPandas(build, schema=MEDIA_SCHEMA)
+    media = _fake_media(spark, sf_dir)
     return decode_media(media).select(
         F.col("media_id").alias("doc_id"),
         F.col("width").cast("bigint").alias("width"),
@@ -449,6 +422,61 @@ FROM documents
 """
 
 
+def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media rows with stub-codec payloads (header fields are
+    pure functions of doc_id, so frame/metadata outputs stay oracle-able)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        pack_fake_payload,
+    )
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": ["video"] * len(pdf),
+                    "payload": [
+                        pack_fake_payload(
+                            int(100 + d % 1820), int(100 + d % 980), int(1 + d % 30),
+                            t.encode("utf-8"),
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": [{"source": "docs", "codec": "tsdl-fake"}] * len(pdf),
+                }
+            )
+
+    return docs.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+_FRAME_EVERY_N = 2
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding mapInPandas shape: one output row per sampled frame
+    (every _FRAME_EVERY_N-th of 1 + doc_id % 30 stub frames)."""
+    from time_series_and_data_lakes_spark.operators.multimodal import frame_sample
+
+    out = frame_sample(_fake_media(spark, sf_dir), every_n=_FRAME_EVERY_N)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("bigint").alias("frame_index"),
+    )
+
+
+FRAME_SAMPLE_ORACLE = f"""
+SELECT doc_id, unnest(range(0, 1 + doc_id % 30, {_FRAME_EVERY_N})) AS frame_index
+FROM documents
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -461,6 +489,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
     "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -475,4 +504,5 @@ EXT_ORACLES: dict[str, str] = {
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
     "multimodal_decode_stats": MULTIMODAL_ORACLE,
+    "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
 }

@@ -43,3 +43,51 @@ def cache_hot_window(
     df = spark.read.parquet(store_path).filter(f"date >= DATE'{since_date.isoformat()}'")
     df.cache()
     return df
+
+
+def compact_partitions(
+    spark: SparkSession,
+    store_path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 4,
+) -> list[str]:
+    """Compact small files inside each leaf partition (the micro-batch
+    ingest's small-files debt — Delta's OPTIMIZE, done directly on the
+    parquet store).
+
+    Streaming appends one file set per micro-batch, so a day-old partition
+    holds hundreds of KB-scale files; at 100 TB that destroys scan
+    parallelism bookkeeping (one task per tiny file) and parquet footer
+    reads start to dominate. Each leaf with >= ``min_files`` files is
+    rewritten into ``ceil(bytes / target_file_bytes)`` files. The rewrite
+    goes to a sibling temp dir first and is swapped in with two renames, so
+    a crash leaves either the old or the new file set, never a mix.
+    Returns the compacted partition paths.
+
+    Compact cold partitions only (run after the ingest watermark passes) —
+    the swap is not transactional against a concurrent writer to the SAME
+    leaf; Delta/Iceberg make this fully ACID at cluster scale.
+    """
+    compacted = []
+    for leaf in sorted(Path(store_path).glob("measure_name=*/date=*")):
+        files = [f for f in leaf.glob("*.parquet") if f.is_file()]
+        if len(files) < min_files:
+            continue
+        total = sum(f.stat().st_size for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        if len(files) <= n_out:
+            continue
+        tmp = leaf.with_name(leaf.name + ".__compact_tmp")
+        old = leaf.with_name(leaf.name + ".__compact_old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        # leaf-dir read: partition values live in the directory name and
+        # are re-derived on read; the rewrite preserves the leaf layout.
+        spark.read.parquet(str(leaf)).repartition(int(n_out)).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        leaf.rename(old)
+        tmp.rename(leaf)
+        shutil.rmtree(old)
+        compacted.append(str(leaf))
+    return compacted
