@@ -30,6 +30,7 @@ HEADLINE = [
     "f2_cep_match_recognize",
     "g2_measure_series",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -47,7 +48,10 @@ def main() -> None:
 
     # Warm the JVM/codegen paths, the events scan (page cache + parquet
     # footer), and the Python UDF worker pool, so timings measure query
-    # compute rather than cold start.
+    # compute rather than cold start. The window/explode/agg codegen caches
+    # are warmed by running the two heaviest query shapes against the tiny
+    # sf0.001 fixture (different data, same compiled plans) — measured runs
+    # at sf_dir still do all of their own data processing.
     Q.load(spark, sf_dir, "region").count()
     Q.load(spark, sf_dir, "events").count()
     from pyspark.sql import functions as F
@@ -55,6 +59,14 @@ def main() -> None:
     spark.range(1000).repartition(32).select(
         F.pandas_udf(lambda s: s + 1, "long")("id")
     ).write.format("noop").mode("overwrite").save()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
+        sf_dir
+    ):
+        for warm_q in ("q1_flagship_interpolate", "f2_cep_match_recognize"):
+            Q.QUERIES[warm_q](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from time_series_and_data_lakes_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
+    ngram_jaccard_pairs,
     simhash_dedup,
 )
 from time_series_and_data_lakes_spark.operators.similarity import (
@@ -42,6 +43,61 @@ def test_minhash_finds_planted_near_dup_only(spark):
     )
     pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(df, threshold=0.5).collect()}
     assert pairs == {(1, 2)}
+
+
+def _brute_jaccard(texts: dict[int, str], n: int = 3) -> dict[tuple[int, int], float]:
+    def sh(t: str) -> set[str]:
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh(texts[a]), sh(texts[b])
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union:
+                out[(a, b)] = inter / union
+    return out
+
+
+def test_ngram_jaccard_matches_brute_force(spark):
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy cat today",
+        3: "the quick brown fox leaps over the lazy dog today",
+        4: "completely different words with no shared trigrams at all here",
+    }
+    df = spark.createDataFrame(list(texts.items()), DOCS)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    want = {k: v for k, v in _brute_jaccard(texts).items() if v >= 0.3}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_ngram_jaccard_max_df_drops_stock_phrase_candidates(spark):
+    # Docs 1-3 share only the stock phrase "lorem ipsum dolor"; with that
+    # shingle stop-listed (df 3 > max_df 2) they generate no candidates,
+    # while the genuine near-dup pair (4, 5) survives.
+    stock = "lorem ipsum dolor"
+    texts = {
+        1: f"{stock} alpha beta gamma",
+        2: f"{stock} delta epsilon zeta",
+        3: f"{stock} eta theta iota",
+        4: "red green blue cyan magenta yellow black",
+        5: "red green blue cyan magenta yellow white",
+    }
+    df = spark.createDataFrame(list(texts.items()), DOCS)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=2).collect()
+    }
+    assert got == {(4, 5)}
 
 
 def test_simhash_word_order_invariant(spark):

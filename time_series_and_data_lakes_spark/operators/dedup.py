@@ -274,6 +274,76 @@ def minhash_lsh_dedup(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via an inverted index — the
+    ground-truth counterpart to the MinHash/SimHash approximations.
+
+    Plan: shingle arrays once (codegen, no Python) → slim posting list
+    (id, shingle) → self-join on shingle → count common shingles per pair
+    (one map-side-combinable groupBy) → join per-doc sizes → exact
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Finds every pair with jaccard >= threshold
+    (any such pair shares a shingle, so the inverted index loses nothing).
+
+    Scale: shuffle volume is the total posting count, not corpus². The
+    hazard is shingle-frequency skew (stock phrases appearing in millions of
+    docs → quadratic bucket blowup); ``max_df`` stop-lists shingles whose
+    document frequency exceeds it *in both index sides symmetrically*. With
+    ``max_df`` set the join becomes the standard DF-pruned approximation
+    (common shingles no longer generate candidates, but still count toward
+    union sizes, so reported jaccard is a lower bound); ``None`` keeps it
+    exact and leans on AQE skew-join splitting.
+    """
+    # The shingle table feeds four consumers (both join sides + both size
+    # lookups); without materialization each one re-scans the text and
+    # re-builds the arrays. Persist the slim (id, shingles) projection once
+    # (MEMORY_AND_DISK default — spills rather than OOMs at scale), exactly
+    # as minhash_lsh_dedup does with its signature table.
+    base = (
+        spread_small(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles_col(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .persist()
+    )
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
+    post = base.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        df_counts = post.groupBy("shingle").agg(F.count("*").alias("df"))
+        post = post.join(
+            F.broadcast(df_counts.filter(F.col("df") > max_df)),
+            "shingle",
+            "left_anti",
+        )
+    common = (
+        post.alias("a")
+        .join(post.alias("b"), on="shingle", how="inner")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    pairs = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
 def simhash_col(text: Column, n_bits: int = 32) -> Column:
     """Token-frequency SimHash: per bit, vote +1/-1 by the token-hash bit,
     then pack the sign bits. Word-order invariant by construction.

@@ -128,6 +128,37 @@ FROM verified WHERE inter / (na + nb - inter) >= {threshold}
 DEDUP_MINHASH_ORACLE = _minhash_oracle()
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (inverted index) — ground truth
+    for the MinHash/SimHash approximations, threshold 0.5."""
+    return D.ngram_jaccard_pairs(_load_docs(spark, sf_dir), threshold=0.5)
+
+
+def _ngram_jaccard_oracle(threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), sz AS (
+  SELECT doc_id, len(sh) AS n FROM sh
+), post AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common / (sa.n + sb.n - common) AS jaccard
+FROM common
+JOIN sz sa ON common.doc_a = sa.doc_id
+JOIN sz sb ON common.doc_b = sb.doc_id
+WHERE common / (sa.n + sb.n - common) >= {threshold}
+"""
+
+
+DEDUP_NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle()
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 48 bits: more discriminative on a shared-vocabulary corpus (32-bit
     # fingerprints collide broadly there), still safely inside bigint.
@@ -480,6 +511,7 @@ FROM documents
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -495,6 +527,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
