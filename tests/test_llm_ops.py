@@ -211,3 +211,12 @@ def test_quality_and_tokens(spark):
     }
     assert rows[1][0] > rows[2][0]  # clean long doc scores higher
     assert rows[1][1] == 35  # 7 words x 5 repeats
+
+
+def test_bpe_token_count_splits_runs_and_marks(spark):
+    from time_series_and_data_lakes_spark.operators.text import bpe_token_count
+
+    # hello(1) ,(1) world(1) !(1) abc(1) 123(1) x(1) 9(1) .(1) .(1) = 10
+    df = spark.createDataFrame([(1, "hello, world! abc123 x9 ..")], DOCS)
+    (row,) = df.select(bpe_token_count(F.col("text")).alias("n")).collect()
+    assert row["n"] == 10

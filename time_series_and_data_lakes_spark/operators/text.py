@@ -31,6 +31,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# Letter runs | digit runs | single non-alphanumeric marks: a GPT-2-style
+# pre-tokenization, minus the lookahead/contraction constructs, so the same
+# pattern runs under both Java regex (Spark) and RE2 (DuckDB). The three
+# branches match disjoint character classes, so alternation-order semantics
+# cannot differ between engines.
+BPE_SPLIT_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-pre-tokenizer token count (BPE-ish): counts the non-overlapping
+    matches of :data:`BPE_SPLIT_RE` — the unit a BPE vocabulary would split
+    further. Pure JVM regexp, no UDF."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE))
+
+
 def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
     """Fraction of tokens that are stopwords — int/int division, exact."""
     toks = tokens_col(text)

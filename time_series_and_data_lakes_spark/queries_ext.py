@@ -205,6 +205,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         X.token_count(t).cast("bigint").alias("n_tokens"),
+        X.bpe_token_count(t).cast("bigint").alias("n_bpe_tokens"),
         F.length(t).cast("bigint").alias("n_chars"),
         (F.length(t) / X.token_count(t)).alias("mean_token_len"),
     )
@@ -213,6 +214,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_STATS_ORACLE = f"""
 SELECT doc_id,
        len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '{X.BPE_SPLIT_RE}')) AS n_bpe_tokens,
        length(text) AS n_chars,
        length(text) / len({_TOKS}) AS mean_token_len
 FROM documents
