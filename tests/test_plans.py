@@ -109,3 +109,27 @@ def test_store_partition_pruning(spark, tmp_path):
     # pruned to exactly one of the four partitions
     assert q.count() == 1
     assert "isnotnull(measure_name" in plan
+
+
+def test_q4_semi_join_carries_keys_only(spark, sf_dir):
+    # the EXISTS side must reach the scan as (key, pushed filter) — the
+    # exchange then carries 8 bytes/row however big lineitem gets
+    plan = _plan(Q.tpch_q4_priority_with_returns(spark, sf_dir))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q10_date_range_pushed_to_orders_scan(spark, sf_dir):
+    plan = _plan(Q.tpch_q10_returned_revenue(spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "LessThan(o_orderdate," in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_having_is_partial_agg_single_scan(spark, sf_dir):
+    # sum(qty) > 300 must evaluate as partial agg (map-side) + final agg
+    # after ONE exchange over one lineitem scan — not a join back to a
+    # second scan of lineitem
+    plan = _plan(Q.tpch_q18_large_orders(spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 3  # lineitem, orders, customer
+    assert "partial_sum" in plan

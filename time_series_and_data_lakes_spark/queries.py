@@ -915,6 +915,227 @@ GROUP BY 1 ORDER BY revenue DESC, nation_name
 """
 
 
+def tpch_q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelated to a semi join): count orders per
+    priority that have at least one returned line in a quarter. Both sides
+    are facts, so the semi join shuffles on the order key — no broadcast;
+    the lineitem side is pre-filtered and projected to the key column only,
+    so the exchange carries 8 bytes/row at any scale."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returns in a
+    quarter. lineitem⋈orders shuffles on the order key, the result⋈customer
+    shuffles on the customer key (customer is a fact at 100 TB — not
+    broadcast); nation is broadcast. Revenue is summed in exact DECIMAL so
+    the top-20 cutoff and hash match any engine's summation order."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.desc("_rev"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation_name",
+            F.col("_rev").cast("string").alias("revenue"),
+        )
+    )
+
+
+TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name AS nation_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS VARCHAR) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) DESC,
+         c_custkey
+LIMIT 20
+"""
+
+
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of a month's revenue from PROMO parts.
+    lineitem⋈part equi-joins on the part key (both facts at 100 TB — shuffle
+    join; AQE broadcasts the filtered part side when it is small enough).
+    Numerator/denominator are exact DECIMAL sums; the ratio is computed in
+    double from those exact sums so it is engine-order-independent."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    agg = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.col("_promo").cast("string").alias("promo_revenue"),
+        F.col("_total").cast("string").alias("total_revenue"),
+    )
+
+
+TPCH_Q14_ORACLE = """
+SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS promo_revenue_pct,
+       CAST(promo AS VARCHAR) AS promo_revenue,
+       CAST(total AS VARCHAR) AS total_revenue
+FROM (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END)
+           AS promo,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+"""
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer. The HAVING subquery is a pre-aggregation of
+    lineitem on the order key — partial aggregation runs map-side, so the
+    exchange carries one row per order, and the survivors (p99+ of orders)
+    join back to orders/customer on their keys."""
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 300)
+    )
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sum_qty").cast("string").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+TPCH_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS VARCHAR) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def setops_priority_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7 — absent from the reference, native in
+    Spark SQL): customers with URGENT orders vs customers with LOW orders,
+    combined with UNION / INTERSECT / EXCEPT distinct semantics. Each leg is
+    a distinct-project of orders (map-side partial distinct, one exchange on
+    the customer key); the set ops reuse that partitioning."""
+    orders = load(spark, sf_dir, "orders")
+
+    def cohort(priority: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == priority)
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    urgent, low = cohort("1-URGENT"), cohort("5-LOW")
+    legs = [
+        ("either", urgent.union(low).distinct()),
+        ("both", urgent.intersect(low)),
+        ("urgent_only", urgent.exceptAll(low.distinct())),
+    ]
+    out = None
+    for name, leg in legs:
+        row = leg.agg(F.count("*").alias("n_customers")).select(
+            F.lit(name).alias("cohort"), "n_customers"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SETOPS_ORACLE = """
+WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     low AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+SELECT 'either' AS cohort, count(*) AS n_customers
+FROM (SELECT o_custkey FROM urgent UNION SELECT o_custkey FROM low)
+UNION ALL
+SELECT 'both', count(*)
+FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM low)
+UNION ALL
+SELECT 'urgent_only', count(*)
+FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM low)
+"""
+
+
 # --------------------------------------------------------------------------
 # Multi-level and distinct aggregation (SURVEY §2.4 lists these as absent
 # from the reference; the engine provides them natively). ROLLUP sums use
@@ -1160,6 +1381,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_top_orders": tpch_q3_top_orders,
     "tpch_q5_region_revenue": tpch_q5_region_revenue,
     "tpch_q6_selective": tpch_q6_selective,
+    "tpch_q4_priority_with_returns": tpch_q4_priority_with_returns,
+    "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
+    "tpch_q14_promo_effect": tpch_q14_promo_effect,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+    "setops_priority_cohorts": setops_priority_cohorts,
     "json_props_extract": json_props_extract,
     "rollup_pricing_totals": rollup_pricing_totals,
     "distinct_part_suppliers": distinct_part_suppliers,
@@ -1201,6 +1427,11 @@ ORACLES: dict[str, str] = {
     "tpch_q3_top_orders": TPCH_Q3_ORACLE,
     "tpch_q5_region_revenue": TPCH_Q5_ORACLE,
     "tpch_q6_selective": TPCH_Q6_ORACLE,
+    "tpch_q4_priority_with_returns": TPCH_Q4_ORACLE,
+    "tpch_q10_returned_revenue": TPCH_Q10_ORACLE,
+    "tpch_q14_promo_effect": TPCH_Q14_ORACLE,
+    "tpch_q18_large_orders": TPCH_Q18_ORACLE,
+    "setops_priority_cohorts": SETOPS_ORACLE,
     "json_props_extract": JSON_PROPS_ORACLE,
     "rollup_pricing_totals": ROLLUP_ORACLE,
     "distinct_part_suppliers": DISTINCT_ORACLE,
