@@ -262,3 +262,60 @@ def test_compact_partitions_rewrites_small_files(spark, tmp_path):
     assert after.filter(
         (F.col("measure_name") == "temperature") & (F.col("date") == "2024-01-02")
     ).count() == 32
+
+
+def test_streaming_cep_tws_equals_batch(spark, tmp_path):
+    """Same NFA on Spark 4's transformWithStateInPandas typed-state API —
+    the streaming output must equal the batch operator (and therefore the
+    applyInPandasWithState binding) on in-order replays.
+
+    The state-server protocol of transformWithStateInPandas needs protobuf
+    at runtime; skip where it isn't installed (the NFA itself is identical
+    code to the applyInPandasWithState binding tested above)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires protobuf")
+    from time_series_and_data_lakes_spark.streaming import match_error_pattern_tws
+
+    rows = sensor_readings(seed=2, sensors=6, span_seconds=120)
+    src = _write_json_batches(tmp_path, rows, n_batches=6)
+
+    wide = read_json_stream(spark, src, max_files_per_trigger=1)
+    typed = wide.select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+    matches = match_error_pattern_tws(typed, within="INTERVAL 1 MINUTE")
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_tws")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table("cep_tws").collect())
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                r["sensor_id"],
+                dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0),
+                r["status"],
+                r["temperature"],
+            )
+            for r in rows
+        ],
+        "sensor_id string, time timestamp, status string, temperature double",
+    )
+    want = sorted(
+        tuple(r)
+        for r in match_error_pattern(batch_df, within="INTERVAL 1 MINUTE").collect()
+    )
+    assert got == want
+    assert len(got) > 0

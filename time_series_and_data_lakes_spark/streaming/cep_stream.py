@@ -29,6 +29,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 CEP_OUTPUT_SCHEMA = T.StructType(
     [
@@ -102,6 +106,96 @@ def _nfa_step(
     return state, None
 
 
+def _advance_key(
+    state_tuple: tuple | None,
+    batches: Iterator[pd.DataFrame],
+    time_col: str,
+    status_col: str,
+    value_col: str,
+    error_value: str,
+    min_b: int,
+    max_b: int,
+    within_us: int,
+    round_avg: int,
+    lateness_us: int | None,
+) -> tuple[tuple, list[dict]]:
+    """Feed one micro-batch's rows for one key through the NFA.
+
+    Shared by both stateful-API bindings (``applyInPandasWithState`` and
+    ``transformWithStateInPandas``): restores the candidate + reorder buffer
+    from ``state_tuple``, applies the ordering policy (arrival-order sort vs
+    event-time frontier release), steps the NFA, and returns the new state
+    tuple plus emitted matches.
+    """
+    if state_tuple is not None:
+        st = state_tuple
+        current = (st[0], st[1], list(st[2]), list(st[3]))
+        pending = list(zip(st[4], st[5], st[6]))
+        max_seen = st[7]
+    else:
+        current = (None, None, [], [])
+        pending, max_seen = [], None
+
+    rows: list[tuple[int, str, float]] = []
+    for pdf in batches:
+        times_us = pdf[time_col].astype("datetime64[us]").astype("int64")
+        rows += [
+            (int(t), s, float(v))
+            for t, s, v in zip(times_us, pdf[status_col], pdf[value_col], strict=True)
+        ]
+
+    if lateness_us is None:
+        ready = sorted(rows)
+    else:
+        pending.extend(rows)
+        pending.sort()
+        if pending:
+            max_seen = max(max_seen or pending[-1][0], pending[-1][0])
+        frontier = (max_seen - lateness_us) if max_seen is not None else None
+        ready = [r for r in pending if r[0] <= frontier] if frontier is not None else []
+        pending = (
+            [r for r in pending if r[0] > frontier] if frontier is not None else pending
+        )
+
+    out: list[dict] = []
+    for t_us, status, temp in ready:
+        current, match = _nfa_step(
+            current, t_us, status, temp, error_value, min_b, max_b, within_us, round_avg
+        )
+        if match is not None:
+            out.append(match)
+
+    new_state = (
+        current[0],
+        current[1],
+        current[2],
+        current[3],
+        [r[0] for r in pending],
+        [r[1] for r in pending],
+        [r[2] for r in pending],
+        max_seen,
+    )
+    return new_state, out
+
+
+def _matches_frame(out: list[dict], key: str, key_value: Any) -> pd.DataFrame:
+    result = pd.DataFrame(out)
+    result.insert(0, key, key_value)
+    result["event_time"] = pd.to_datetime(result.pop("a_time_us"), unit="us")
+    return result[
+        [
+            key,
+            "event_time",
+            "non_errors",
+            "history",
+            "min_temperature",
+            "avg_temperature",
+            "max_temperature",
+            "elapsed",
+        ]
+    ]
+
+
 def match_error_pattern_stream(
     stream: DataFrame,
     key: str = "sensor_id",
@@ -138,78 +232,22 @@ def match_error_pattern_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (key_value,) = key_tuple
-        if state.exists:
-            st = state.get
-            current = (st[0], st[1], list(st[2]), list(st[3]))
-            pending = list(zip(st[4], st[5], st[6]))
-            max_seen = st[7]
-        else:
-            current = (None, None, [], [])
-            pending, max_seen = [], None
-
-        rows: list[tuple[int, str, float]] = []
-        for pdf in pdfs:
-            times_us = pdf[time_col].astype("datetime64[us]").astype("int64")
-            rows += [
-                (int(t), s, float(v))
-                for t, s, v in zip(times_us, pdf[status_col], pdf[value_col], strict=True)
-            ]
-
-        if lateness_us is None:
-            ready = sorted(rows)
-        else:
-            pending.extend(rows)
-            pending.sort()
-            if pending:
-                max_seen = max(max_seen or pending[-1][0], pending[-1][0])
-            frontier = (max_seen - lateness_us) if max_seen is not None else None
-            ready = [r for r in pending if r[0] <= frontier] if frontier is not None else []
-            pending = [r for r in pending if r[0] > frontier] if frontier is not None else pending
-
-        out: list[dict] = []
-        for t_us, status, temp in ready:
-            current, match = _nfa_step(
-                current,
-                t_us,
-                status,
-                temp,
-                error_value,
-                min_b,
-                max_b,
-                within_us,
-                round_avg,
-            )
-            if match is not None:
-                out.append(match)
-
-        state.update(
-            (
-                current[0],
-                current[1],
-                current[2],
-                current[3],
-                [r[0] for r in pending],
-                [r[1] for r in pending],
-                [r[2] for r in pending],
-                max_seen,
-            )
+        new_state, out = _advance_key(
+            state.get if state.exists else None,
+            pdfs,
+            time_col,
+            status_col,
+            value_col,
+            error_value,
+            min_b,
+            max_b,
+            within_us,
+            round_avg,
+            lateness_us,
         )
+        state.update(new_state)
         if out:
-            result = pd.DataFrame(out)
-            result.insert(0, key, key_value)
-            result["event_time"] = pd.to_datetime(result.pop("a_time_us"), unit="us")
-            yield result[
-                [
-                    key,
-                    "event_time",
-                    "non_errors",
-                    "history",
-                    "min_temperature",
-                    "avg_temperature",
-                    "max_temperature",
-                    "elapsed",
-                ]
-            ]
+            yield _matches_frame(out, key, key_value)
 
     return stream.groupBy(key).applyInPandasWithState(
         process,
@@ -217,4 +255,97 @@ def match_error_pattern_stream(
         stateStructType=CEP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _ErrorPatternProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` binding of the same NFA (T2-T5) —
+    Spark 4's typed-state API (SURVEY §2.8's preferred mapping). The
+    candidate + reorder buffer live in one ValueState row; emitted matches
+    are append-mode rows. timeMode stays "None": the WITHIN bound expires
+    candidates from the data clock, so replays are deterministic (wall-clock
+    timers would reintroduce the reference's replay sensitivity)."""
+
+    def __init__(
+        self,
+        key: str,
+        time_col: str,
+        status_col: str,
+        value_col: str,
+        error_value: str,
+        min_b: int,
+        max_b: int,
+        within_us: int,
+        round_avg: int,
+        lateness_us: int | None,
+    ) -> None:
+        self._args = (
+            time_col,
+            status_col,
+            value_col,
+            error_value,
+            min_b,
+            max_b,
+            within_us,
+            round_avg,
+            lateness_us,
+        )
+        self._key = key
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("cep_candidate", CEP_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        (key_value,) = key
+        new_state, out = _advance_key(self._state.get(), rows, *self._args)
+        self._state.update(new_state)
+        if out:
+            yield _matches_frame(out, self._key, key_value)
+
+    def close(self) -> None:
+        pass
+
+
+def match_error_pattern_tws(
+    stream: DataFrame,
+    key: str = "sensor_id",
+    time_col: str = "time",
+    status_col: str = "status",
+    value_col: str = "temperature",
+    error_value: str = "ERROR",
+    min_b: int = 1,
+    max_b: int = 5,
+    within: str = "INTERVAL 1 MINUTE",
+    round_avg: int = 2,
+    allowed_lateness: str | None = None,
+) -> DataFrame:
+    """:func:`match_error_pattern_stream` on the ``transformWithStateInPandas``
+    API — identical semantics and output schema, state in the typed
+    ValueState store (RocksDB-backed on a cluster, so per-key state scales
+    past executor memory).
+
+    Requires ``protobuf`` at runtime (the API's state-server protocol);
+    environments without it should use :func:`match_error_pattern_stream`,
+    which shares the NFA code path exactly (``_advance_key``)."""
+    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+
+    processor = _ErrorPatternProcessor(
+        key,
+        time_col,
+        status_col,
+        value_col,
+        error_value,
+        min_b,
+        max_b,
+        _interval_micros(within),
+        round_avg,
+        _interval_micros(allowed_lateness) if allowed_lateness else None,
+    )
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=processor,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )
