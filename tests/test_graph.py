@@ -1,0 +1,66 @@
+"""Connected components (large-star/small-star): unit correctness on known
+graph shapes + a brute-force property check on random graphs."""
+
+from __future__ import annotations
+
+import random
+
+from time_series_and_data_lakes_spark.operators.graph import connected_components
+
+
+def _labels(spark, edges, max_iter=25):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_iter=max_iter).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    got = _labels(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}
+
+
+def test_cycle_and_separate_component(spark):
+    got = _labels(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y")])
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_direction_and_duplicates_ignored(spark):
+    got = _labels(spark, [("b", "a"), ("a", "b"), ("a", "b"), ("c", "b")])
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+def _brute_components(edges):
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, out = set(), {}
+    for start in adj:
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        seen.add(start)
+        while stack:
+            n = stack.pop()
+            comp.append(n)
+            for nb in adj[n]:
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        rep = min(comp)
+        for n in comp:
+            out[n] = rep
+    return set(out.items())
+
+
+def test_property_random_graphs_match_brute_force(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = [f"n{i:03d}" for i in range(40)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(30 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _labels(spark, edges) == _brute_components(edges), trial

@@ -9,6 +9,7 @@ from time_series_and_data_lakes_spark.operators.timeseries import (
 from time_series_and_data_lakes_spark.operators.intervals import range_join
 from time_series_and_data_lakes_spark.operators.melt import melt, pivot_measures
 from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
+from time_series_and_data_lakes_spark.operators.graph import connected_components
 from time_series_and_data_lakes_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
@@ -22,6 +23,7 @@ from time_series_and_data_lakes_spark.operators.similarity import (
 
 __all__ = [
     "align_series",
+    "connected_components",
     "cosine_topk",
     "create_time_series",
     "exact_dedup",

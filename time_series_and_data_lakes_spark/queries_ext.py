@@ -128,6 +128,56 @@ FROM verified WHERE inter / (na + nb - inter) >= {threshold}
 DEDUP_MINHASH_ORACLE = _minhash_oracle()
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *groups*: MinHash-LSH pairs fed through distributed
+    connected components (large-star/small-star, `operators/graph.py`) —
+    every doc in a dup cluster labeled with the cluster's min doc_id. The
+    DuckDB oracle computes the same fixpoint with a recursive CTE."""
+    from pyspark.sql import Window
+
+    from time_series_and_data_lakes_spark.operators.graph import connected_components
+
+    pairs = D.minhash_lsh_dedup(_load_docs(spark, sf_dir), threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+        )
+        .withColumn(
+            "component_size", F.count("*").over(Window.partitionBy("component_id"))
+        )
+        .orderBy("component_id", "doc_id")
+    )
+
+
+def _components_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component_id FROM reach GROUP BY a
+)
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS component_size
+FROM labels
+ORDER BY component_id, doc_id
+"""
+
+
+DEDUP_COMPONENTS_ORACLE = _components_oracle()
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join (inverted index) — ground truth
     for the MinHash/SimHash approximations, threshold 0.5."""
@@ -513,6 +563,7 @@ FROM documents
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_components": dedup_components,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "text_stats": text_stats,
@@ -529,6 +580,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
