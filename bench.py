@@ -26,10 +26,13 @@ HEADLINE = [
     "a1_enrichment_join",
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
+    "tpch_q10_returned_revenue",
+    "tpch_q18_large_orders",
     "melt_narrow",
     "f2_cep_match_recognize",
     "g2_measure_series",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -1,0 +1,85 @@
+"""Hypertable rollup cascade: materialized levels serve exactly the same
+answers as aggregating raw data, at any query bin the levels divide."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators.rollup import (
+    materialize_rollup,
+    merge_partials,
+    pick_level,
+    read_rollup,
+    rollup_partials,
+    serve_stats,
+)
+
+
+@pytest.fixture()
+def raw(spark):
+    rows = [
+        (f"s{i % 3}", dt.datetime(2024, 1, 1 + d, h, m), float(i % 17) + 0.25)
+        for i, (d, h, m) in enumerate(
+            (d, h, m) for d in range(2) for h in range(0, 24, 3) for m in (0, 7, 31)
+        )
+    ]
+    return spark.createDataFrame(rows, "sensor_id string, time timestamp, temperature double")
+
+
+def _direct(raw, step):
+    from time_series_and_data_lakes_spark.operators.timeseries import time_bin
+
+    return {
+        tuple(r)
+        for r in raw.groupBy(
+            "sensor_id", time_bin("time", step).alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("temperature").cast("decimal(27,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_value"),
+            F.min("temperature").alias("min_value"),
+            F.max("temperature").alias("max_value"),
+        )
+        .select("sensor_id", "bin", "n", "avg_value", "min_value", "max_value")
+        .collect()
+    }
+
+
+def test_cascade_equals_direct_aggregation(spark, raw):
+    hourly = rollup_partials(raw, ["sensor_id"], "time", "1 hour", "temperature")
+    daily = merge_partials(hourly, ["sensor_id"], "1 day")
+    got = {tuple(r) for r in serve_stats(daily, ["sensor_id"]).collect()}
+    assert got == _direct(raw, "1 day")
+
+
+def test_materialized_levels_round_trip_and_prune(spark, raw, tmp_path):
+    hourly = rollup_partials(raw, ["sensor_id"], "time", "1 hour", "temperature")
+    path = str(tmp_path / "rollup_1h")
+    materialize_rollup(hourly, path)
+
+    stored = read_rollup(spark, path)
+    # date partition column present and prunable
+    assert "date" in stored.columns
+    pruned = stored.filter(F.col("date") == "2024-01-02")
+    assert pruned.count() > 0
+
+    # serving a 6-hour dashboard bin from the stored hourly level matches
+    # aggregating raw directly
+    six = merge_partials(stored.drop("date"), ["sensor_id"], "6 hours")
+    got = {tuple(r) for r in serve_stats(six, ["sensor_id"]).collect()}
+    assert got == _direct(raw, "6 hours")
+
+
+def test_pick_level_chooses_coarsest_divisor(spark):
+    levels = {"1 minute": "p1", "1 hour": "p2", "1 day": "p3"}
+    assert pick_level(levels, "1 day") == "1 day"
+    assert pick_level(levels, "6 hours") == "1 hour"
+    assert pick_level(levels, "2 minutes") == "1 minute"
+    with pytest.raises(ValueError):
+        pick_level({"1 hour": "p"}, "90 minutes")

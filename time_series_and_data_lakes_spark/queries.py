@@ -915,6 +915,49 @@ GROUP BY 1 ORDER BY revenue DESC, nation_name
 """
 
 
+def rollup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup cascade (`operators/rollup.py`): raw → 1-hour
+    algebraic partials → merged 1-day bins → served stats. The oracle
+    aggregates the RAW table directly at 1 day — hash-equality proves the
+    cascade is lossless (exact decimal sums make avg deterministic), which
+    is what lets a 100 TB store serve dashboards from rollup levels instead
+    of re-scanning raw data."""
+    from time_series_and_data_lakes_spark.operators.rollup import (
+        merge_partials,
+        rollup_partials,
+        serve_stats,
+    )
+
+    obs = sensor_obs(spark, sf_dir)
+    hourly = rollup_partials(obs, ["sensor_id"], "time", "1 hour", "temperature")
+    daily = merge_partials(hourly, ["sensor_id"], "1 day")
+    return (
+        serve_stats(daily, ["sensor_id"])
+        .select(
+            "sensor_id",
+            F.col("bin").alias("time_bin"),
+            "n",
+            F.col("avg_value").alias("avg_temperature"),
+            F.col("min_value").alias("min_temperature"),
+            F.col("max_value").alias("max_temperature"),
+        )
+        .orderBy("sensor_id", "time_bin")
+    )
+
+
+ROLLUP_CASCADE_ORACLE = """
+SELECT user_id AS sensor_id,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS time_bin,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_temperature,
+       min(value) AS min_temperature,
+       max(value) AS max_temperature
+FROM events
+GROUP BY 1, 2
+ORDER BY sensor_id, time_bin
+"""
+
+
 def tpch_q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS decorrelated to a semi join): count orders per
     priority that have at least one returned line in a quarter. Both sides
@@ -1386,6 +1429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14_promo_effect": tpch_q14_promo_effect,
     "tpch_q18_large_orders": tpch_q18_large_orders,
     "setops_priority_cohorts": setops_priority_cohorts,
+    "rollup_cascade_stats": rollup_cascade_stats,
     "json_props_extract": json_props_extract,
     "rollup_pricing_totals": rollup_pricing_totals,
     "distinct_part_suppliers": distinct_part_suppliers,
@@ -1432,6 +1476,7 @@ ORACLES: dict[str, str] = {
     "tpch_q14_promo_effect": TPCH_Q14_ORACLE,
     "tpch_q18_large_orders": TPCH_Q18_ORACLE,
     "setops_priority_cohorts": SETOPS_ORACLE,
+    "rollup_cascade_stats": ROLLUP_CASCADE_ORACLE,
     "json_props_extract": JSON_PROPS_ORACLE,
     "rollup_pricing_totals": ROLLUP_ORACLE,
     "distinct_part_suppliers": DISTINCT_ORACLE,
