@@ -87,3 +87,88 @@ def test_salted_agg_equals_direct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sliding_stats_stream_matches_batch(spark, tmp_path):
+    from time_series_and_data_lakes_spark.streaming.windows import sliding_stats_stream
+
+    rows = sensor_readings(seed=21, sensors=4, span_seconds=300)
+    src = _write_json_batches(tmp_path, rows, n_batches=5)
+    typed = read_json_stream(spark, src).select(
+        "sensor_id", F.timestamp_millis("event_time").alias("time"), "temperature"
+    )
+    q = (
+        sliding_stats_stream(
+            typed, window="60 seconds", slide="20 seconds", watermark="10 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["sensor_id"], r["window_start"]): (r["n_readings"], r["max_value"])
+        for r in spark.table("slide_out").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(r["sensor_id"], r["event_time"], r["temperature"]) for r in rows],
+        "sensor_id string, event_time long, temperature double",
+    ).select("sensor_id", F.timestamp_millis("event_time").alias("time"), "temperature")
+    want = {
+        (r["sensor_id"], r["window_start"]): (r["n_readings"], r["max_value"])
+        for r in batch.groupBy(
+            F.window("time", "60 seconds", "20 seconds").alias("win"), "sensor_id"
+        )
+        .agg(F.count("*").alias("n_readings"), F.max("temperature").alias("max_value"))
+        .select(F.col("win.start").alias("window_start"), "sensor_id", "n_readings", "max_value")
+        .collect()
+    }
+    assert got and all(got[k] == want[k] for k in got)
+    assert len(got) >= len(want) // 2
+
+
+def test_session_stats_stream_matches_batch(spark, tmp_path):
+    from time_series_and_data_lakes_spark.streaming.windows import session_stats_stream
+
+    rows = sensor_readings(seed=23, sensors=4, span_seconds=300)
+    src = _write_json_batches(tmp_path, rows, n_batches=5)
+    typed = read_json_stream(spark, src).select(
+        "sensor_id", F.timestamp_millis("event_time").alias("time"), "temperature"
+    )
+    q = (
+        session_stats_stream(typed, gap="3 seconds", watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["sensor_id"], r["session_start"]): (r["n_readings"], r["session_end"])
+        for r in spark.table("sess_out").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(r["sensor_id"], r["event_time"], r["temperature"]) for r in rows],
+        "sensor_id string, event_time long, temperature double",
+    ).select("sensor_id", F.timestamp_millis("event_time").alias("time"), "temperature")
+    want = {
+        (r["sensor_id"], r["session_start"]): (r["n_readings"], r["session_end"])
+        for r in batch.groupBy(
+            F.session_window("time", "3 seconds").alias("win"), "sensor_id"
+        )
+        .agg(F.count("*").alias("n_readings"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "sensor_id",
+            "n_readings",
+        )
+        .collect()
+    }
+    assert got and all(got[k] == (want[k][0], want[k][1]) for k in got)
+    assert len(got) >= len(want) // 2
