@@ -52,3 +52,23 @@ def test_frame_sample_expands_rows(spark):
     frames = sorted((r["media_id"], r["frame_index"]) for r in got)
     # image: 1 frame -> [0]; video: 7 frames every 2 -> [0,2,4,6]; audio: 0
     assert frames == [(1, 0), (2, 0), (2, 2), (2, 4), (2, 6)]
+
+
+def test_resize_media_aspect_fit_and_chains(spark):
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _resize_dims,
+        resize_media,
+    )
+
+    # integer aspect-fit math
+    assert _resize_dims(1920, 1080, 640, 480) == (640, 360)
+    assert _resize_dims(1080, 1920, 640, 480) == (270, 480)
+    assert _resize_dims(320, 200, 640, 480) == (320, 200)  # already fits
+    assert _resize_dims(0, 0, 640, 480) == (0, 0)  # invalid payload guard
+
+    # header rewrite chains into decode; body length preserved
+    resized = resize_media(_media_df(spark), max_width=640, max_height=480)
+    got = {r["media_id"]: r for r in decode_media(resized).collect()}
+    assert (got[2]["width"], got[2]["height"]) == (640, 360)
+    assert got[2]["n_frames"] == 7  # frames untouched
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)  # exact fit kept

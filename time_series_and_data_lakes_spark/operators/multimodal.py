@@ -132,6 +132,36 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
 
 
+def _resize_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit in pure integer arithmetic (floor division),
+    so the resize plan is reproducible in the SQL oracle bit-for-bit."""
+    if (w <= max_w and h <= max_h) or w == 0 or h == 0:
+        return w, h
+    if w * max_h <= h * max_w:  # height is the tighter axis
+        return (w * max_h) // h, max_h
+    return max_w, (h * max_w) // w
+
+
+def resize_media(df: DataFrame, max_width: int = 640, max_height: int = 480) -> DataFrame:
+    """Stub resize: re-pack the payload header with aspect-fit dimensions
+    (body bytes pass through untouched — a real codec would transcode here;
+    only ``_resize_dims`` + the header rewrite are the stub). Output is the
+    same media schema, so resizes chain with decode/feature/frame ops."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
+                w, h, f = _decode_payload(p, c)
+                nw, nh = _resize_dims(w, h, max_width, max_height)
+                payloads.append(_MAGIC + struct.pack(_HEADER, nw, nh, f) + bytes(p[10:]))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame sampling (1 row per kept frame) — demonstrates the
     row-expanding mapInPandas shape; frame payloads are stub slices."""

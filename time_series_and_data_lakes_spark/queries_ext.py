@@ -560,6 +560,47 @@ FROM documents
 """
 
 
+_RESIZE_MAX_W, _RESIZE_MAX_H = 640, 480
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize → decode chain: aspect-fit header rewrite in integer
+    arithmetic (operators/multimodal.py::resize_media), dimensions verified
+    against the same arithmetic in DuckDB; body bytes pass through."""
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+    )
+
+    resized = resize_media(
+        _fake_media(spark, sf_dir), max_width=_RESIZE_MAX_W, max_height=_RESIZE_MAX_H
+    )
+    return decode_media(resized).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "n_bytes",
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 100 + doc_id % 1820 AS w, 100 + doc_id % 980 AS h,
+         octet_length(encode(text)) AS blen
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN w <= {_RESIZE_MAX_W} AND h <= {_RESIZE_MAX_H} THEN w
+       WHEN w * {_RESIZE_MAX_H} <= h * {_RESIZE_MAX_W} THEN (w * {_RESIZE_MAX_H}) // h
+       ELSE {_RESIZE_MAX_W} END AS width,
+  CASE WHEN w <= {_RESIZE_MAX_W} AND h <= {_RESIZE_MAX_H} THEN h
+       WHEN w * {_RESIZE_MAX_H} <= h * {_RESIZE_MAX_W} THEN {_RESIZE_MAX_H}
+       ELSE (h * {_RESIZE_MAX_W}) // w END AS height,
+  10 + blen AS n_bytes
+FROM dims
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -575,6 +616,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -592,4 +634,5 @@ EXT_ORACLES: dict[str, str] = {
     "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
     "multimodal_decode_stats": MULTIMODAL_ORACLE,
     "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
+    "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
 }
