@@ -220,3 +220,43 @@ def test_bpe_token_count_splits_runs_and_marks(spark):
     df = spark.createDataFrame([(1, "hello, world! abc123 x9 ..")], DOCS)
     (row,) = df.select(bpe_token_count(F.col("text")).alias("n")).collect()
     assert row["n"] == 10
+
+
+def test_kmeans_centroids_move_toward_clusters(spark):
+    from time_series_and_data_lakes_spark.operators.similarity import kmeans_centroids
+
+    # two tight clusters around orthogonal axes; seeds start inside each
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.1]),
+        (1, [0.0, 1.0, 0.1, 0.0]),
+        (2, [0.9, 0.0, 0.0, 0.2]),
+        (3, [1.1, 0.1, 0.0, 0.0]),
+        (4, [0.0, 0.9, 0.2, 0.0]),
+        (5, [0.1, 1.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = kmeans_centroids(
+        df, df.filter(F.col("vec_id") < 2), iters=2, dim=4
+    ).collect()
+    got = {r["vec_id"]: r["embedding"] for r in cent}
+    assert set(got) == {0, 1}
+    # cluster-0 mean of x-axis members {0,2,3}; cluster-1 mean of {1,4,5}
+    assert abs(got[0][0] - (1.0 + 0.9 + 1.1) / 3) < 1e-9
+    assert abs(got[1][1] - (1.0 + 0.9 + 1.1) / 3) < 1e-9
+
+
+def test_kmeans_trained_ivf_recall_beats_probe_floor(spark, sf_dir):
+    """Trained quantizer at n_probe=4/16 must keep high recall@5 vs brute
+    force on the fixture embeddings — the quality property that makes IVF a
+    usable ANN path, beyond the oracle's implementation equality."""
+    from time_series_and_data_lakes_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    cent = kmeans_centroids(emb, emb.filter(F.col("vec_id") < 16), iters=2)
+    approx = ivf_topk(emb, q, cent, k=5, n_probe=4).collect()
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.5, recall

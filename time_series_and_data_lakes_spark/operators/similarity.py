@@ -172,6 +172,86 @@ def ivf_topk(
     )
 
 
+#: exact sums for centroid means — what makes the trained quantizer
+#: bit-deterministic (and therefore oracle-able) under distributed summation
+KMEANS_SUM_DECIMAL = "decimal(27,12)"
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    init: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means trainer for the IVF coarse quantizer (the production
+    replacement for :func:`ivf_topk`'s pluggable centroid set).
+
+    Per iteration: (1) nearest-centroid assignment by cosine as a pure
+    projection against the one-row broadcast centroid list — the corpus is
+    scanned, never shuffled for assignment; (2) per-cluster elementwise mean
+    through ONE hash exchange keyed by cluster id, with partial aggregation
+    map-side, so the exchange carries k × dim decimal partials per task,
+    not the corpus. Sums are exact DECIMAL, so the trained centroids are
+    bit-identical under any summation order — the property the SQL oracle
+    gate relies on. Empty clusters keep their previous centroid. ``init``
+    must be deterministic for reproducible training (tests use lowest ids).
+
+    At 100 TB: cost is iters × (one corpus scan + one k×dim-sized shuffle);
+    driver holds nothing — centroids move between iterations as a broadcast.
+    """
+    n = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cent = init.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    )
+
+    def scores(v, nn):
+        return lambda c: F.struct(
+            (dot(v, c["cv"]) / (nn * c["cn"])).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        )
+
+    for _ in range(iters):
+        cent_n = cent.withColumn("cn", norm(F.col("cv")))
+        cent_row = F.broadcast(
+            cent_n.agg(
+                F.array_sort(F.collect_list(F.struct("cid", "cv", "cn"))).alias("cents")
+            )
+        )
+        assigned = (
+            n.crossJoin(cent_row)
+            .withColumn(
+                "list_id",
+                -F.array_max(
+                    F.transform(F.col("cents"), scores(F.col("v"), F.col("nrm")))
+                )["negcid"],
+            )
+            .select("list_id", "v")
+        )
+        sums = assigned.groupBy(F.col("list_id").alias("cid")).agg(
+            F.count("*").alias("n_members"),
+            *[
+                F.sum(F.element_at(F.col("v"), i + 1).cast(KMEANS_SUM_DECIMAL)).alias(
+                    f"s{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+        new = sums.select(
+            "cid",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / F.col("n_members")) for i in range(dim)]
+            ).alias("ncv"),
+        )
+        cent = cent.join(new, "cid", "left").select(
+            "cid", F.coalesce("ncv", "cv").alias("cv")
+        )
+    return cent.select(F.col("cid").alias(id_col), F.col("cv").alias(vec_col))
+
+
 def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane weights from md5 parity of 'plane{p}:{d}'
     — computed once at plan-build time and embedded as literals in both the

@@ -432,6 +432,113 @@ SELECT query_id, neighbor_id, score, rank FROM (
 
 ANN_IVF_ORACLE = _ivf_oracle()
 
+_KMEANS_ITERS = 2
+_EMB_DIM = 64
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: 2 Lloyd iterations
+    (operators/similarity.py::kmeans_centroids — exact-decimal means, so
+    training is bit-deterministic) seeded from the lowest-id vectors, then
+    the same n_probe inverted-list search. The oracle replays the identical
+    2 iterations in SQL — an iterative algorithm under the full value gate."""
+    emb = _load_embeddings(spark, sf_dir)
+    cent = S.kmeans_centroids(
+        emb,
+        emb.filter(F.col("vec_id") < _N_CENTROIDS),
+        iters=_KMEANS_ITERS,
+        dim=_EMB_DIM,
+    )
+    out = S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        centroids=cent,
+        k=_TOP_K,
+        n_probe=_N_PROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _kmeans_ivf_oracle(iters: int = _KMEANS_ITERS, dim: int = _EMB_DIM) -> str:
+    sums = ", ".join(
+        f"sum(CAST(a.v[{i + 1}] AS DECIMAL(27,12))) AS s{i}" for i in range(dim)
+    )
+    avg_list = (
+        "[" + ", ".join(f"CAST(s{i} AS DOUBLE) / n_members" for i in range(dim)) + "]"
+    )
+    ctes = [
+        "v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"n AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM v0)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < {_N_CENTROIDS})",
+    ]
+    prev = "c0"
+    dot_vc = _dot_sql("n.v", "c.cv")
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"{prev}n AS (SELECT cid, cv, sqrt({_dot_sql('cv', 'cv')}) AS cn"
+            f" FROM {prev})"
+        )
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT n.vec_id, n.v, c.cid AS list_id,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY {dot_vc} / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n, {prev}n c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"s{it} AS (SELECT list_id AS cid, count(*) AS n_members, {sums}"
+            f" FROM a{it} a GROUP BY 1)"
+        )
+        ctes.append(f"u{it} AS (SELECT cid, {avg_list} AS ncv FROM s{it})")
+        ctes.append(
+            f"c{it} AS (SELECT c.cid, coalesce(u.ncv, c.cv) AS cv"
+            f" FROM {prev} c LEFT JOIN u{it} u ON c.cid = u.cid)"
+        )
+        prev = f"c{it}"
+    dot_qc = _dot_sql("q.v", "c.cv")
+    dot_qa = _dot_sql("p.qv", "a.v")
+    ctes.append(
+        f"cent AS (SELECT cid, cv, sqrt({_dot_sql('cv', 'cv')}) AS cn FROM {prev})"
+    )
+    ctes.append(
+        f"""assigned AS (
+  SELECT vec_id, v, nrm, list_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cid AS list_id,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY {dot_vc} / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n, cent c) WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, qv, qn, list_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cid AS list_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {dot_qc} / (q.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n q, cent c WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_N_PROBE})"""
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {dot_qa} / (p.qn * a.nrm) AS score
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+ANN_IVF_KMEANS_ORACLE = _kmeans_ivf_oracle()
+
 _N_PLANES = 8
 _DIM = 64
 # The fixture embeddings are near-orthogonal (max pairwise cosine ~0.51), so
@@ -613,6 +720,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -631,6 +739,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
+    "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
     "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
     "multimodal_decode_stats": MULTIMODAL_ORACLE,
     "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
