@@ -260,3 +260,32 @@ def test_kmeans_trained_ivf_recall_beats_probe_floor(spark, sf_dir):
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     recall = len(approx_set & exact_set) / len(exact_set)
     assert recall >= 0.5, recall
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al.): two documents sharing a run
+    of window + k - 1 tokens share at least one fingerprint; whole-document
+    rolling hashes differ unless the docs are identical."""
+    from time_series_and_data_lakes_spark.operators.text import (
+        rolling_hash,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = window+k-1
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} nine eight seven six five four"),
+        (3, "completely different words with no overlap at all here"),
+        (4, "tiny"),  # shorter than k -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        rolling_hash(F.col("text")).alias("rh"),
+        winnow_fingerprints(F.col("text"), k=3, window=4).alias("fps"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id[1]["fps"]) & set(by_id[2]["fps"])
+    assert not set(by_id[1]["fps"]) & set(by_id[3]["fps"])
+    assert by_id[4]["fps"] == []
+    assert len({by_id[i]["rh"] for i in (1, 2, 3)}) == 3

@@ -93,3 +93,63 @@ def fingerprint(text: Column, shingle_n: int = 3) -> Column:
     """Min-shingle-hash document fingerprint (winnowing-lite): stable under
     small edits away from the minimal shingle; bigint, md5-derived."""
     return F.array_min(F.transform(shingles_col(text, shingle_n), lambda s: h64(s, 0)))
+
+
+#: Mersenne prime 2^31-1: keeps the polynomial fold's intermediate
+#: acc*base + h under 2^40, safely inside ANSI bigint arithmetic
+ROLLING_MOD = 2_147_483_647
+ROLLING_BASE = 257
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash of the token-hash sequence:
+    ``H = fold(acc·B + h_i mod M)`` — one O(n) left fold per document, all
+    codegen. The whole-document form of the rolling-window hash family."""
+    toks = tokens_col(text)
+    return F.aggregate(
+        F.transform(toks, lambda t: F.pmod(h64(t), F.lit(ROLLING_MOD))),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: F.pmod(acc * ROLLING_BASE + h, F.lit(ROLLING_MOD)),
+    )
+
+
+def winnow_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS algorithm): hash every k-gram, then keep the minimum hash of
+    each sliding window of ``window`` k-gram hashes; the distinct sorted
+    minima are the document's fingerprint set. Guarantees any shared run of
+    ``window + k - 1`` tokens between two documents shares a fingerprint.
+
+    Pure array expressions; docs shorter than ``k`` tokens fingerprint to an
+    empty array (explode drops them)."""
+    from time_series_and_data_lakes_spark.operators.dedup import let
+
+    def mins_of(kh: Column) -> Column:
+        # let-bound: HOF projections run interpreted without subexpression
+        # elimination, so every branch referencing kh would otherwise
+        # recompute the full k-gram hash array
+        m = F.size(kh)
+        return (
+            F.when(m == 0, F.array().cast("array<bigint>"))
+            .when(m <= window, F.array(F.array_min(kh)))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), m - (window - 1)),
+                    lambda j: F.array_min(F.slice(kh, j, window)),
+                )
+            )
+        )
+
+    def fingerprints(toks: Column) -> Column:
+        n = F.size(toks)
+        kgrams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        kh = F.transform(kgrams, lambda g: F.pmod(h64(g), F.lit(ROLLING_MOD)))
+        return let(kh, mins_of)
+
+    return F.array_sort(F.array_distinct(let(tokens_col(text), fingerprints)))

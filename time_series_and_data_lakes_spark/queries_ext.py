@@ -340,6 +340,60 @@ FROM (SELECT doc_id, text, {_SHINGLES} AS sh
 """
 
 
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprinting: a whole-document Rabin-Karp polynomial
+    hash plus winnowing fingerprints (min hash per sliding window of k-gram
+    hashes — Schleimer et al., SIGMOD 2003), exploded to one row per
+    retained fingerprint."""
+    docs = _load_docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            X.rolling_hash(F.col("text")).alias("rolling_hash"),
+            F.explode(X.winnow_fingerprints(F.col("text"), k=3, window=4)).alias(
+                "fingerprint"
+            ),
+        )
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+_WINNOW_H = _h64_sql("g", 0).replace("{s}", "g")
+TEXT_WINNOW_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+roll AS (
+  SELECT doc_id,
+         list_reduce(list_transform(toks, t -> ({_h64_sql('t', 0)}) % 2147483647),
+                     (acc, h) -> (acc * 257 + h) % 2147483647) AS rolling_hash,
+         toks
+  FROM t
+), kg AS (
+  SELECT doc_id, rolling_hash,
+    CASE WHEN len(toks) >= 3
+      THEN list_transform(generate_series(1, len(toks) - 2),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE []::VARCHAR[] END AS kgrams
+  FROM roll
+), kh AS (
+  SELECT doc_id, rolling_hash,
+         list_transform(kgrams, g -> ({_h64_sql('g', 0)}) % 2147483647) AS kh
+  FROM kg
+), mins AS (
+  SELECT doc_id, rolling_hash,
+    CASE WHEN len(kh) = 0 THEN []::BIGINT[]
+         WHEN len(kh) <= 4 THEN [list_min(kh)]
+         ELSE list_transform(generate_series(1, len(kh) - 3),
+                             j -> list_min(kh[j:j+3]))
+    END AS mins
+  FROM kh
+)
+SELECT doc_id, rolling_hash,
+       unnest(list_sort(list_distinct(mins))) AS fingerprint
+FROM mins
+ORDER BY doc_id, fingerprint
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -718,6 +772,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -737,6 +792,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "text_winnow_fingerprint": TEXT_WINNOW_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
