@@ -104,3 +104,36 @@ def test_topandas_arrow_handoff(spark, sf_dir):
     assert set(pdf.columns) == {"status", "status_count"}
     assert pdf["status_count"].dtype.kind in "iu"
     assert pdf["status_count"].sum() == 1000
+
+
+def test_export_formats_round_trip(spark, tmp_path):
+    """Every supported export format (parquet/csv/json/orc) writes the same
+    window to its deterministic prefix and reads back value-identical."""
+    import pytest
+
+    rows = [
+        ("sensor-01", dt.datetime(2024, 2, 1, 0, 0, i), "OK", 20.0 + i)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, status string, temperature double"
+    )
+    start, end = dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 2)
+    want = sorted(map(tuple, df.collect()))
+
+    readers = {
+        "parquet": lambda p: spark.read.parquet(p),
+        "csv": lambda p: spark.read.option("header", True)
+        .schema(df.schema)
+        .csv(p),
+        "json": lambda p: spark.read.schema(df.schema).json(p),
+        "orc": lambda p: spark.read.orc(p),
+    }
+    for fmt, reader in readers.items():
+        base = str(tmp_path / fmt)
+        path = export_window(df, base, start, end, fmt=fmt)
+        got = sorted(map(tuple, reader(path).collect()))
+        assert got == want, fmt
+
+    with pytest.raises(ValueError, match="unsupported"):
+        export_window(df, str(tmp_path / "x"), start, end, fmt="avro")

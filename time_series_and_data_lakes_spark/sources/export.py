@@ -46,8 +46,14 @@ def export_window(
     writer = windowed.write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", True).csv(path)
-    else:
+    elif fmt == "json":  # JSON-lines, the reference's stream transport shape
+        writer.json(path)
+    elif fmt == "orc":  # columnar alternative, same lake contract
+        writer.orc(path)
+    elif fmt == "parquet":
         writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported export format {fmt!r}")
     return path
 
 
