@@ -133,3 +133,13 @@ def test_q18_having_is_partial_agg_single_scan(spark, sf_dir):
     plan = _plan(Q.tpch_q18_large_orders(spark, sf_dir))
     assert _nodes(plan, "Scan parquet") == 3  # lineitem, orders, customer
     assert "partial_sum" in plan
+
+
+def test_rollup_cascade_two_exchanges_one_scan(spark, sf_dir):
+    # raw -> hourly partials (exchange 1 on (key, hour-bin)) -> daily merge
+    # (exchange 2 on (key, day-bin)); raw data is scanned exactly once and
+    # each exchange carries partials, never raw rows twice
+    plan = _plan(Q.rollup_cascade_stats(spark, sf_dir))
+    assert _nodes(plan, "Exchange") <= 3  # 2 aggs + final sort
+    assert _nodes(plan, "Scan parquet") == 1
+    assert "partial_sum" in plan
