@@ -143,3 +143,35 @@ def test_rollup_cascade_two_exchanges_one_scan(spark, sf_dir):
     assert _nodes(plan, "Exchange") <= 3  # 2 aggs + final sort
     assert _nodes(plan, "Scan parquet") == 1
     assert "partial_sum" in plan
+
+
+def test_q22_threshold_is_broadcast_not_reshuffle(spark, sf_dir):
+    # the 1-row average-balance aggregate must reach the filter via a
+    # broadcast (nested-loop on a single row), never by re-shuffling the
+    # customer scan; the anti-join build side carries the projected custkey
+    # column only
+    plan = _plan(Q.tpch_q22_idle_rich_customers(spark, sf_dir))
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert "LeftAnti" in plan
+    assert _nodes(plan, "Scan parquet") == 3  # customer x2 (agg + probe), orders
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp" in plan
+
+
+def test_correlated_min_is_one_exchange_one_fact_scan(spark, sf_dir):
+    # decorrelation via window MIN: lineitem is scanned once (3 columns) and
+    # exchanged once on l_partkey, with the brand semi join applied BEFORE
+    # the exchange; a groupBy+join-back shape would scan or shuffle twice
+    plan = _plan(Q.correlated_min_price_lines(spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 2  # lineitem, part
+    assert _nodes(plan, "Exchange") <= 2  # partkey hash + final sort
+    assert _nodes(plan, "Window") == 1
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_extendedprice:double>" in plan
+
+
+def test_gap_report_one_exchange(spark, sf_dir):
+    # LAG gap detection: one hash exchange on the sensor key, filter applied
+    # after the window without re-shuffling
+    plan = _plan(Q.gap_report_sensors(spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Exchange") <= 2  # sensor hash + final sort
+    assert _nodes(plan, "Window") == 1

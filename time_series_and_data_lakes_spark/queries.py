@@ -1399,6 +1399,160 @@ SELECT bucket, count(*) AS n_customers FROM (
 """
 
 
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted to this schema: nationkey stands in for the
+    phone country code): customers with above-average positive balance and
+    no order since mid-2000, grouped by nation.
+
+    Scale notes: the global-average threshold is a 1-row aggregate broadcast
+    into the filter (no shuffle on the customer scan); the anti join ships
+    only the filtered, projected `o_custkey` column. The threshold compare
+    is cross-multiplied in exact DECIMAL (`bal * cnt > total`) instead of
+    `bal > total/cnt`, so the cutoff is bit-identical in any engine —
+    a float average would make boundary customers engine-dependent.
+    """
+    customer = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("__total"), F.count("*").alias("__cnt")
+    )
+    recent_buyers = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        customer.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("__cnt") > F.col("__total"))
+        .join(recent_buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("string").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+TPCH_Q22_ORACLE = """
+WITH pos AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+                    count(*) AS cnt
+             FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def correlated_min_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2/Q17-style correlated scalar subquery, decorrelated: for each
+    part of one brand, the lineitems priced at that part's minimum.
+
+    Decorrelation: instead of re-running the subquery per row, the per-part
+    minimum is a window MIN over `l_partkey` — ONE shuffle keyed by partkey,
+    then a local equality filter (a groupBy+join-back would shuffle the
+    same data twice). The brand restriction becomes a broadcast semi join
+    of part keys, applied before the shuffle so only ~1/25 of lineitem is
+    exchanged. MIN over doubles picks an existing value (no summation), so
+    the equality predicate is exact cross-engine.
+    """
+    from pyspark.sql import Window
+
+    brand_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(brand_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("__min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__min_price"))
+        .select("l_partkey", "l_orderkey", "l_extendedprice")
+        .orderBy("l_partkey", "l_orderkey")
+    )
+
+
+CORRELATED_MIN_ORACLE = """
+SELECT l_partkey, l_orderkey, l_extendedprice
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = l.l_partkey)
+ORDER BY l_partkey, l_orderkey
+"""
+
+
+def cube_pricing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE(returnflag, linestatus): all four grouping sets in one
+    pass. Like ROLLUP, Spark expands the sets map-side (Expand node) so the
+    single shuffle is keyed by (gid, flag, status) — at 100 TB the cost is
+    4× the partial-agg rows of the flat aggregate, not 4 scans."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("string").alias("sum_qty"),
+        F.sum(price).cast("string").alias("sum_price"),
+        F.count("*").alias("n_items"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+       count(*) AS n_items,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def gap_report_sensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap detection (the dual of gap-filling W2/W3): per
+    sensor, report observation gaps longer than 6 hours via LAG. One
+    shuffle keyed by sensor — the same exchange every per-sensor window op
+    reuses. Gaps are compared in exact epoch milliseconds; `event_id`
+    breaks timestamp ties so the lag sequence is deterministic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    return (
+        ev.select(
+            F.col("user_id").alias("sensor_id"),
+            ms.alias("time_ms"),
+            F.lag(ms).over(w).alias("prev_ms"),
+            (ms - F.lag(ms).over(w)).alias("gap_ms"),
+        )
+        .filter(F.col("gap_ms") > 6 * 3600 * 1000)
+        .orderBy("sensor_id", "time_ms")
+    )
+
+
+GAP_REPORT_ORACLE = """
+SELECT sensor_id, time_ms, prev_ms, gap_ms FROM (
+  SELECT user_id AS sensor_id,
+         epoch_ms(ts) AS time_ms,
+         lag(epoch_ms(ts)) OVER w AS prev_ms,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE gap_ms > 6 * 3600 * 1000
+ORDER BY sensor_id, time_ms
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry — the driver contract (__spark_entry__.queries / oracle_sql).
 # --------------------------------------------------------------------------
@@ -1438,6 +1592,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
     "semi_anti_customers": semi_anti_customers,
+    "tpch_q22_idle_rich_customers": tpch_q22_idle_rich_customers,
+    "correlated_min_price_lines": correlated_min_price_lines,
+    "cube_pricing_matrix": cube_pricing_matrix,
+    "gap_report_sensors": gap_report_sensors,
     "f2_cep_match_recognize": f2_cep_match_recognize,
     "g1_cep_pivot_by_bin": g1_cep_pivot_by_bin,
     "range_join_cep_context": range_join_cep_context,
@@ -1484,6 +1642,10 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,
     "semi_anti_customers": SEMI_ANTI_ORACLE,
+    "tpch_q22_idle_rich_customers": TPCH_Q22_ORACLE,
+    "correlated_min_price_lines": CORRELATED_MIN_ORACLE,
+    "cube_pricing_matrix": CUBE_ORACLE,
+    "gap_report_sensors": GAP_REPORT_ORACLE,
     "f2_cep_match_recognize": F2_ORACLE,
     "g1_cep_pivot_by_bin": G1_ORACLE,
     "range_join_cep_context": RANGE_JOIN_ORACLE,
