@@ -175,3 +175,52 @@ def test_gap_report_one_exchange(spark, sf_dir):
     assert _nodes(plan, "Scan parquet") == 1
     assert _nodes(plan, "Exchange") <= 2  # sensor hash + final sort
     assert _nodes(plan, "Window") == 1
+
+
+def test_q19_disjunctive_envelopes_pushed_both_sides(spark, sf_dir):
+    # the OR of brand/size/quantity bands references both join sides, so the
+    # exact predicate stays a join residual — but the per-side disjunctive
+    # envelopes must reach BOTH parquet scans as pushed filters
+    plan = _plan(Q.QUERIES["tpch_q19_disjunctive_revenue"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem envelope
+    assert "EqualTo(p_brand,Brand#12)" in plan  # part envelope
+    assert _nodes(plan, "Scan parquet") == 2
+
+
+def test_q21_double_exists_decorrelates_to_one_fact_pass(spark, sf_dir):
+    # the EXISTS + NOT EXISTS pair must NOT become two correlated self-joins
+    # (three lineitem scans); the engine folds both into one aggregation
+    # over the order key: one lineitem scan, one distinct-aggregate Expand
+    plan = _plan(Q.QUERIES["tpch_q21_sole_late_suppliers"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 3  # lineitem, orders, supplier
+    assert _nodes(plan, "Expand") == 1
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_q13_outer_join_carries_preaggregated_counts(spark, sf_dir):
+    # orders must pre-aggregate to one row per customer BEFORE the outer
+    # join (the exchange carries |customers| rows, not |orders|), the
+    # qualification predicate must reach the orders scan, and the join must
+    # stay LeftOuter so zero-order customers survive
+    plan = _plan(Q.QUERIES["tpch_q13_order_count_distribution"](spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>" in plan
+    assert "partial_count" in plan
+
+
+def test_q15_window_max_scans_fact_once(spark, sf_dir):
+    # the scalar-max-over-view shape must not recompute the view (two fact
+    # scans); the window formulation scans lineitem exactly once
+    plan = _plan(Q.QUERIES["tpch_q15_top_supplier_revenue"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 2  # lineitem, supplier
+    assert _nodes(plan, "Window") == 1
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+
+
+def test_q7_nation_broadcast_twice_no_extra_exchange(spark, sf_dir):
+    # nation participates under two roles (supplier-side / customer-side)
+    # and must be broadcast both times — dim resolution adds no shuffle
+    plan = _plan(Q.QUERIES["tpch_q7_nation_volume"](spark, sf_dir))
+    assert plan.count("nation.parquet") == 2  # one Location line per scan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan

@@ -1609,6 +1609,15 @@ from time_series_and_data_lakes_spark.queries_ext import (  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 
+# Second TPC-H shape pack (outer-join distributions, scalar-max views,
+# NOT IN anti joins, disjunctive pushdown, double-correlated EXISTS).
+from time_series_and_data_lakes_spark.queries_tpch2 import (  # noqa: E402
+    TPCH2_ORACLES,
+    TPCH2_QUERIES,
+)
+
+QUERIES.update(TPCH2_QUERIES)
+
 ORACLES: dict[str, str] = {
     "q1_flagship_interpolate": Q1_ORACLE,
     "q1_sql_flagship": Q1_ORACLE,
@@ -1652,3 +1661,4 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES.update(EXT_ORACLES)
+ORACLES.update(TPCH2_ORACLES)
