@@ -51,13 +51,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # semantics the oracles assume (runtime-settable confs only).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read it as a long and floor-convert to microsecond
-        # timestamps — the same truncation DuckDB applies, so oracle
-        # comparisons stay exact.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
+        # testdata generations (which Spark's vectorized reader rejects) and
+        # plain TIMESTAMP(MICROS) in others. Adapt to whichever is present:
+        # if it arrives as a long (legacy nanos), floor-convert to
+        # microsecond timestamps — the same truncation DuckDB applies, so
+        # oracle comparisons stay exact; if it is already a timestamp, use
+        # it as-is.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # TIMESTAMP_NTZ → TIMESTAMP (LTZ). Session tz is pinned UTC above,
+            # so the wall-clock values are unchanged and downstream
+            # epoch-space ops (unix_micros etc.) type-check.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
