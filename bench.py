@@ -40,6 +40,10 @@ HEADLINE = [
     "ann_lsh_dup_pairs",
     "rollup_pricing_totals",
     "multimodal_decode_stats",
+    "pipe_decontaminate",
+    "pipe_knn_label_vote",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity_revenue",
 ]
 
 

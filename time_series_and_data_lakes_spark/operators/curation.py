@@ -1,0 +1,193 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+splits, per-group sampling, mixture/budget allocation, and benchmark
+decontamination.
+
+These extend the reference's lake-side analytics (`data-lake/` tables,
+Athena-style queries — reference README.md:411-425) with the operations a
+100 TB pretraining-corpus pipeline runs between "raw documents" and
+"training mixture". Everything is a narrow projection or a single keyed
+shuffle; nothing collects to the driver.
+
+Determinism contract: all pseudo-randomness is the md5-derived 60-bit
+integer hash from :func:`..operators.dedup.h64`, which DuckDB reproduces
+token-for-token — so splits, samples, and allocations are bit-identical
+cross-engine and stable across reruns/cluster sizes (the property that
+makes a training mixture reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators.dedup import h64, shingles_col
+
+
+def hash_bucket(id_col: Column, seed: str, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets) from an id column — the split
+    assignment survives reruns, repartitioning, and corpus growth (a doc's
+    bucket never depends on other rows). Pure projection: no shuffle."""
+    return h64(id_col.cast("string"), seed=seed) % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    cuts: tuple[int, int] = (80, 90),
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by id hash.
+
+    At 100 TB this is the only split strategy that works: sampling by
+    ``rand()`` is irreproducible across retries, and splitting by file
+    boundary leaks near-duplicates across splits. Hash-of-id is a map-side
+    projection — no shuffle, no state.
+    """
+    b = hash_bucket(F.col(id_col), seed)
+    return df.withColumn(
+        "split",
+        F.when(b < cuts[0], F.lit("train"))
+        .when(b < cuts[1], F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+    seed: str = "sample",
+) -> DataFrame:
+    """Top-k-by-hash sample per group: the distributed, reproducible
+    replacement for per-group reservoir sampling.
+
+    Ordering by ``h64(id)`` is a uniform permutation, so the k smallest
+    hashes are a uniform k-sample — and the same k rows come back on every
+    run and any partitioning. One shuffle on the group key; with many
+    groups the per-group state is k rows (bounded memory at 100 TB).
+    """
+    h = h64(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    token_count_col: Column,
+    group_col: str = "source",
+    budget: int = 100_000,
+) -> DataFrame:
+    """Proportional token-budget allocation per group ("data mixing").
+
+    Aggregates per-group token totals (one shuffle over |groups| keys),
+    broadcasts the 1-row grand total, and allocates
+    ``floor(budget * group_tokens / total_tokens)`` in exact bigint
+    arithmetic — no floating point, so the mixture is bit-reproducible and
+    the sum never exceeds the budget. The pattern scales: per-group partial
+    sums are map-side combined, the broadcast is one row.
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col.cast("bigint")).alias("n_tokens"),
+    )
+    total = per_group.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per_group.crossJoin(F.broadcast(total))
+        .withColumn(
+            "alloc_tokens", F.expr(f"({budget} * n_tokens) div total_tokens")
+        )
+        .drop("total_tokens")
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: int = 10,
+) -> DataFrame:
+    """Benchmark decontamination: count distinct word n-grams each candidate
+    document shares with a held-out benchmark set, flag heavy overlap.
+
+    The benchmark's distinct-shingle set is small (eval suites are KBs-MBs
+    against a 100 TB corpus), so it is deduplicated and **broadcast**; the
+    corpus streams through one scan, exploding each doc's distinct shingles
+    and hash-joining in memory — no corpus-wide shuffle on shingle. The
+    per-doc overlap count is a keyed aggregation over only the *hits*.
+
+    Returns every candidate (non-benchmark) doc with ``n_shared_shingles``
+    and ``contaminated`` (0/1 at ``threshold``).
+    """
+    sh = docs.select(
+        F.col(id_col), benchmark_filter.alias("__is_bench"),
+        shingles_col(F.col(text_col), n=shingle_n).alias("__sh"),
+    )
+    bench = (
+        sh.filter(F.col("__is_bench"))
+        .select(F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+    cand = sh.filter(~F.col("__is_bench"))
+    hits = (
+        cand.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        cand.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_shared_shingles"),
+            F.when(F.coalesce(F.col("__n"), F.lit(0)) >= threshold, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+    )
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column.
+
+    Composes :func:`..operators.similarity.cosine_topk` (broadcast queries,
+    single corpus scan) with a per-query vote: neighbor labels are counted
+    and the winner is the most-voted label, ties broken on the smaller
+    label. The vote aggregation shuffles only k rows per query.
+    """
+    from time_series_and_data_lakes_spark.operators.similarity import cosine_topk
+
+    queries = embeddings.filter(query_filter)
+    top = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__lbl"))
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "query_id",
+            F.col("__lbl").cast("bigint").alias("predicted_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )

@@ -1629,6 +1629,15 @@ from time_series_and_data_lakes_spark.queries_tpch2 import (  # noqa: E402
 
 QUERIES.update(TPCH2_QUERIES)
 
+# Corpus-curation pipeline pack (splits, sampling, mixing, decontamination,
+# kNN labeling).
+from time_series_and_data_lakes_spark.queries_pipeline import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
+
+QUERIES.update(PIPELINE_QUERIES)
+
 ORACLES: dict[str, str] = {
     "q1_flagship_interpolate": Q1_ORACLE,
     "q1_sql_flagship": Q1_ORACLE,
@@ -1673,3 +1682,4 @@ ORACLES: dict[str, str] = {
 
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH2_ORACLES)
+ORACLES.update(PIPELINE_ORACLES)

@@ -1,0 +1,212 @@
+"""Corpus-curation query catalog: deterministic splits, sampling, data
+mixing, benchmark decontamination, and kNN labeling as driver-contract
+queries with DuckDB oracles.
+
+These are the pipeline stages between "raw documents" and "training
+mixture" (BASELINE.json north star) layered on the lake-side analytics the
+reference runs over its `data-lake/` tables (reference README.md:411-425).
+Every oracle mirrors the Spark expression tree token-for-token (same
+md5-derived hashes, same fold association for cosine), so value hashes are
+bit-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators import curation as C
+from time_series_and_data_lakes_spark.operators import text as X
+from time_series_and_data_lakes_spark.queries_ext import (
+    _cosine_sql,
+    _h64_sql,
+    _load_docs,
+    _load_embeddings,
+    _SHINGLES,
+    _TOKS,
+)
+
+# --------------------------------------------------------------------------
+# Deterministic train/valid/test split (hash of id, stratification readout)
+# --------------------------------------------------------------------------
+
+_SPLIT_CUTS = (80, 90)
+
+
+def pipe_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 hash split, reported as per-(lang, split) doc and char
+    counts — the stratification matrix a corpus report publishes."""
+    docs = C.hash_split(_load_docs(spark, sf_dir), cuts=_SPLIT_CUTS)
+    return docs.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+    )
+
+
+PIPE_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN h < {_SPLIT_CUTS[0]} THEN 'train'
+              WHEN h < {_SPLIT_CUTS[1]} THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (SELECT lang, n_chars,
+               {_h64_sql("doc_id::VARCHAR", "split")} % 100 AS h
+        FROM documents)
+)
+SELECT lang, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM assigned GROUP BY lang, split
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-source sample (reservoir-equivalent, reproducible)
+# --------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+
+def pipe_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = C.deterministic_sample(
+        _load_docs(spark, sf_dir), group_col="source", k=_SAMPLE_K
+    )
+    return out.select("source", "doc_id", "sample_rank")
+
+
+PIPE_SAMPLE_ORACLE = f"""
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_h64_sql("doc_id::VARCHAR", "sample")}, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {_SAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-budget allocation per source ("data mixing"), exact bigint math
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 100_000
+
+
+def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir)
+    return C.token_budget_allocation(
+        docs,
+        token_count_col=X.token_count(F.col("text")),
+        group_col="source",
+        budget=_MIX_BUDGET,
+    )
+
+
+PIPE_BUDGET_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs, sum(len({_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), total AS (
+  SELECT sum(n_tokens)::BIGINT AS total_tokens FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       (({_MIX_BUDGET} * n_tokens) // total_tokens)::BIGINT AS alloc_tokens
+FROM per_source, total
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: shared word-3-gram counts vs a held-out set
+# --------------------------------------------------------------------------
+
+_BENCH_SOURCE = "src0"
+_DECON_THRESHOLD = 10
+
+
+
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir)
+    return C.ngram_decontaminate(
+        docs,
+        benchmark_filter=F.col("source") == _BENCH_SOURCE,
+        threshold=_DECON_THRESHOLD,
+    )
+
+
+PIPE_DECON_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE source = '{_BENCH_SOURCE}'
+), cand AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE source <> '{_BENCH_SOURCE}'
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM cand JOIN bench USING (shingle) GROUP BY doc_id
+)
+SELECT base.doc_id,
+       coalesce(hits.n, 0)::BIGINT AS n_shared_shingles,
+       (CASE WHEN coalesce(hits.n, 0) >= {_DECON_THRESHOLD} THEN 1 ELSE 0
+        END)::BIGINT AS contaminated
+FROM (SELECT doc_id FROM sh WHERE source <> '{_BENCH_SOURCE}') base
+LEFT JOIN hits ON base.doc_id = hits.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# kNN majority-vote labeling over the embeddings table
+# --------------------------------------------------------------------------
+
+_KNN_QUERIES = 10
+_KNN_K = 5
+
+
+def pipe_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_embeddings(spark, sf_dir)
+    return C.knn_label_vote(emb, F.col("vec_id") < _KNN_QUERIES, k=_KNN_K)
+
+
+PIPE_KNN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {_KNN_QUERIES}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+         {_cosine_sql('qv', 'c.v')} AS score
+  FROM v c, q WHERE c.vec_id <> q.query_id
+), top AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_KNN_K}
+), votes AS (
+  SELECT query_id, label, count(*) AS votes FROM top GROUP BY query_id, label
+)
+SELECT query_id, label::BIGINT AS predicted_label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label) AS r
+  FROM votes
+) WHERE r = 1
+"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipe_split_train_test": pipe_split_train_test,
+    "pipe_sample_per_source": pipe_sample_per_source,
+    "pipe_token_budget": pipe_token_budget,
+    "pipe_decontaminate": pipe_decontaminate,
+    "pipe_knn_label_vote": pipe_knn_label_vote,
+}
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "pipe_split_train_test": PIPE_SPLIT_ORACLE,
+    "pipe_sample_per_source": PIPE_SAMPLE_ORACLE,
+    "pipe_token_budget": PIPE_BUDGET_ORACLE,
+    "pipe_decontaminate": PIPE_DECON_ORACLE,
+    "pipe_knn_label_vote": PIPE_KNN_ORACLE,
+}

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -363,6 +363,211 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# Q8 — national market share within a region's market.
+# --------------------------------------------------------------------------
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue for one part
+    type, per order year. Topology: two fact shuffles (lineitem⋈orders on
+    the order key, ⋈customer on the cust key); every dim resolves by
+    broadcast — part is filtered to one type BEFORE the join (partition
+    pruning of the pair space), region⋈nation pre-joins to the Asian nation
+    keys, and the supplier-side nation is a second broadcast under a
+    different role (as in Q7). The share is a conditional-aggregate ratio
+    (as in Q14): numerator and denominator summed exactly in DECIMAL in the
+    same pass, divided once in double."""
+    part = (
+        _load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("_an_key"))
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    customer = _load(spark, sf_dir, "customer")
+    supplier = _load(spark, sf_dir, "supplier")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(asia_nations), customer.c_nationkey == F.col("_an_key"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(zero)
+            ).alias("_num"),
+            F.sum(_rev()).alias("_den"),
+        )
+        .select(
+            "o_year",
+            (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+                "mkt_share"
+            ),
+            F.col("_den").cast("string").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_ORACLE = f"""
+SELECT o_year,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mkt_share,
+       CAST(den AS VARCHAR) AS total_volume
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         sum(CASE WHEN n1.n_name = 'NATION_1' THEN {_REV_SQL}
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS num,
+         sum({_REV_SQL}) AS den
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY o_year
+)
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 — profit by supplier nation and order year.
+# --------------------------------------------------------------------------
+
+
+def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit per supplier nation per year.
+    The testdata has no partsupp, so supply cost is proxied as 10% of
+    ``p_retailprice`` per unit (same join topology: the part dim filtered by
+    a name predicate joins INTO the fact before dims resolve). Profit is one
+    double expression tree per row cast once to DECIMAL (exact, order-free
+    sums), then aggregated per (nation, year)."""
+    part = (
+        _load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(profit).alias("_p"))
+        .select("nation", "o_year", F.col("_p").cast("string").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+TPCH_Q9_ORACLE = """
+SELECT nation, o_year, CAST(sum(profit) AS VARCHAR) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1.0 - l_discount)
+              - p_retailprice * 0.1 * l_quantity AS DECIMAL(18,4)) AS profit
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-part average).
+# --------------------------------------------------------------------------
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a part's
+    average quantity, for one brand. The correlated scalar subquery
+    ``avg(l_quantity) per part`` is decorrelated into window aggregates over
+    ONE l_partkey exchange (sum + count per part), and the 20%-of-average
+    comparison is cross-multiplied into exact integer/decimal space
+    (``5 · n · qty < Σqty``) so no engine ever divides — bit-exact and
+    div-by-zero-free. The brand dim filter is broadcast into the fact scan
+    before the exchange."""
+    part = (
+        _load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(12,2)")
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("_sum_qty", F.sum(qty_dec).over(w))
+        .withColumn("_n_qty", F.count(F.lit(1)).over(w))
+        .filter(qty_dec * 5 * F.col("_n_qty") < F.col("_sum_qty"))
+    )
+    return flagged.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("string")
+        .alias("total_revenue"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
+TPCH_Q17_ORACLE = """
+SELECT CAST(sum(ext) AS VARCHAR) AS total_revenue,
+       CAST(sum(ext) AS DOUBLE) / 7.0 AS avg_yearly
+FROM (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,4)) AS ext
+  FROM (
+    SELECT l_extendedprice, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+           sum(CAST(l_quantity AS DECIMAL(12,2)))
+             OVER (PARTITION BY l_partkey) AS sum_qty,
+           count(*) OVER (PARTITION BY l_partkey) AS n_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+  )
+  WHERE qty * 5 * n_qty < sum_qty
+)
+"""
+
+
 TPCH2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q7_nation_volume": tpch_q7_nation_volume,
     "tpch_q13_order_count_distribution": tpch_q13_order_count_distribution,
@@ -370,6 +575,9 @@ TPCH2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q16_supplier_count": tpch_q16_supplier_count,
     "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
     "tpch_q21_sole_late_suppliers": tpch_q21_sole_late_suppliers,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_profit_by_nation": tpch_q9_profit_by_nation,
+    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
 }
 
 TPCH2_ORACLES: dict[str, str] = {
@@ -379,4 +587,7 @@ TPCH2_ORACLES: dict[str, str] = {
     "tpch_q16_supplier_count": TPCH_Q16_ORACLE,
     "tpch_q19_disjunctive_revenue": TPCH_Q19_ORACLE,
     "tpch_q21_sole_late_suppliers": TPCH_Q21_ORACLE,
+    "tpch_q8_market_share": TPCH_Q8_ORACLE,
+    "tpch_q9_profit_by_nation": TPCH_Q9_ORACLE,
+    "tpch_q17_small_quantity_revenue": TPCH_Q17_ORACLE,
 }
