@@ -224,3 +224,57 @@ def test_q7_nation_broadcast_twice_no_extra_exchange(spark, sf_dir):
     plan = _plan(Q.QUERIES["tpch_q7_nation_volume"](spark, sf_dir))
     assert plan.count("nation.parquet") == 2  # one Location line per scan
     assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+
+
+def test_token_budget_scans_corpus_once(spark, sf_dir):
+    # the grand total must come from a window over the per-source aggregate,
+    # not a second aggregation lineage (= second corpus scan at 100 TB)
+    plan = _plan(Q.QUERIES["pipe_token_budget"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1
+    assert _nodes(plan, "Window") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_split_is_pure_projection(spark, sf_dir):
+    # split assignment itself adds no shuffle: the only exchanges are the
+    # small-file spread and the readout groupBy
+    plan = _plan(Q.QUERIES["pipe_split_train_test"](spark, sf_dir))
+    assert _nodes(plan, "Exchange") <= 2
+    assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    # the eval-shingle set must be the broadcast side — the corpus is never
+    # shuffled on the shingle key
+    plan = _plan(Q.QUERIES["pipe_decontaminate"](spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_knn_vote_has_no_cartesian(spark, sf_dir):
+    # query side broadcast: corpus x queries scoring is a broadcast nested
+    # loop over the tiny query set, never a CartesianProduct shuffle
+    plan = _plan(Q.QUERIES["pipe_knn_label_vote"](spark, sf_dir))
+    assert _nodes(plan, "CartesianProduct") == 0
+
+
+def test_q8_part_filter_pushed_and_two_fact_exchanges(spark, sf_dir):
+    plan = _plan(Q.QUERIES["tpch_q8_market_share"](spark, sf_dir))
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan
+    assert _nodes(plan, "Exchange") <= 2  # orderkey + custkey fact joins only
+
+
+def test_q9_name_predicate_pushed_to_part_scan(spark, sf_dir):
+    plan = _plan(Q.QUERIES["tpch_q9_profit_by_nation"](spark, sf_dir))
+    assert "StringContains(p_name,widget)" in plan
+
+
+def test_q17_one_partkey_exchange_no_division(spark, sf_dir):
+    # the correlated avg decorrelates to window aggregates over ONE
+    # l_partkey exchange; the 20%-of-avg compare is cross-multiplied so the
+    # plan contains no division that could throw or drift
+    plan = _plan(Q.QUERIES["tpch_q17_small_quantity_revenue"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 2  # lineitem, part
+    assert _nodes(plan, "Window") == 1
+    assert "EqualTo(p_brand,Brand#1)" in plan

@@ -83,24 +83,24 @@ def token_budget_allocation(
 ) -> DataFrame:
     """Proportional token-budget allocation per group ("data mixing").
 
-    Aggregates per-group token totals (one shuffle over |groups| keys),
-    broadcasts the 1-row grand total, and allocates
+    Aggregates per-group token totals (one shuffle over |groups| keys,
+    map-side combined), then derives the grand total as an unpartitioned
+    window over the |groups|-row aggregate — the corpus is scanned ONCE and
+    only the tiny aggregate passes through the single-partition window
+    (sources are few by nature). Allocation is
     ``floor(budget * group_tokens / total_tokens)`` in exact bigint
     arithmetic — no floating point, so the mixture is bit-reproducible and
-    the sum never exceeds the budget. The pattern scales: per-group partial
-    sums are map-side combined, the broadcast is one row.
+    the sum never exceeds the budget.
     """
     per_group = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_col.cast("bigint")).alias("n_tokens"),
     )
-    total = per_group.agg(F.sum("n_tokens").alias("total_tokens"))
+    w = Window.partitionBy()
     return (
-        per_group.crossJoin(F.broadcast(total))
-        .withColumn(
-            "alloc_tokens", F.expr(f"({budget} * n_tokens) div total_tokens")
-        )
-        .drop("total_tokens")
+        per_group.withColumn("__total", F.sum("n_tokens").over(w))
+        .withColumn("alloc_tokens", F.expr(f"({budget} * n_tokens) div __total"))
+        .drop("__total")
     )
 
 
