@@ -61,7 +61,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type in ("long", "bigint"):
+        if ts_type == "long":  # LongType.typeName() is always 'long'
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
             # TIMESTAMP_NTZ → TIMESTAMP (LTZ). Session tz is pinned UTC above,
@@ -1683,3 +1683,51 @@ ORACLES: dict[str, str] = {
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH2_ORACLES)
 ORACLES.update(PIPELINE_ORACLES)
+
+# ---------------------------------------------------------------------------
+# Driver-gate rotation. The external correctness harness checks the FIRST 50
+# entries of this registry; rounds 1-2 verified the original head, so queries
+# appended later (ann_*/pipe_*/multimodal_*/text_winnow/tpch_q7-q21) never got
+# a driver row. Rotate long-stable 2x-green reference queries to the tail so
+# every not-yet-driver-verified query sits inside the 50-entry window. The
+# tail queries keep their catalog entries (and local DuckDB-oracle pytest
+# coverage in tests/test_oracle_queries.py); nothing is deleted.
+# ---------------------------------------------------------------------------
+
+_DRIVER_TAIL: list[str] = [
+    # driver-green in rounds 1 AND 2 (CORRECTNESS_r01/r02), unchanged since:
+    "q2_interpolated_series",
+    "q3_timeseries_roundtrip",
+    "g2_measure_series",
+    "g3_raw_feed_ordered",
+    "g4_status_counts",
+    "g4b_status_case_pivot",
+    "g5_binned_percentiles",
+    "g5b_approx_percentiles",  # no_oracle by design (approximate)
+    "g6_top_sensors_recent_max",
+    "g7_per_sensor_interval_max",
+    "melt_narrow",
+    "pivot_wide",
+    "setops_priority_cohorts",
+    "rollup_cascade_stats",
+    "json_props_extract",
+    "rollup_pricing_totals",
+    "distinct_part_suppliers",
+    "approx_distinct_parts",  # no_oracle by design (approximate)
+    "analytics_moving_window",
+    "semi_anti_customers",
+    "cube_pricing_matrix",
+    "gap_report_sensors",
+    "correlated_min_price_lines",
+]
+
+
+def _rotate_tail(registry: dict) -> dict:
+    head = {k: v for k, v in registry.items() if k not in _DRIVER_TAIL}
+    tail = {k: registry[k] for k in _DRIVER_TAIL if k in registry}
+    head.update(tail)
+    return head
+
+
+QUERIES = _rotate_tail(QUERIES)
+ORACLES = _rotate_tail(ORACLES)
