@@ -278,3 +278,22 @@ def test_q17_one_partkey_exchange_no_division(spark, sf_dir):
     assert _nodes(plan, "Scan parquet") == 2  # lineitem, part
     assert _nodes(plan, "Window") == 1
     assert "EqualTo(p_brand,Brand#1)" in plan
+
+
+def test_ngram_jaccard_stop_list_anti_join(spark, sf_dir):
+    # max_df skew cap (VERDICT r2 item 2): the catalog query must prune
+    # high-df shingles via a broadcast anti join BEFORE the posting-list
+    # self-join — the df² bucket blowup never reaches the pair generator.
+    plan = _plan(Q.QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the stop list is tiny (shingles with df > max_df): broadcast, no
+    # shuffle of the posting list for the anti join
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_dedup_components_no_final_range_exchange(spark, sf_dir):
+    # VERDICT r2 item 7: the component labeling must not end in a global
+    # presentation sort — no range-partitioning exchange in the final plan
+    # (the component_size window needs only a hash exchange on component_id).
+    plan = _plan(Q.QUERIES["dedup_components"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()

