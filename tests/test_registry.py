@@ -38,6 +38,8 @@ NEVER_DRIVER_CHECKED = {
     "pipe_token_budget",
     "pipe_decontaminate",
     "pipe_knn_label_vote",
+    # added round 3:
+    "pipe_knn_label_vote_ivf",
 }
 
 

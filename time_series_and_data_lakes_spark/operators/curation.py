@@ -161,27 +161,56 @@ def knn_label_vote(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroids: DataFrame | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """k-NN majority-vote classification over an embedding column.
 
-    Composes :func:`..operators.similarity.cosine_topk` (broadcast queries,
-    single corpus scan) with a per-query vote: neighbor labels are counted
-    and the winner is the most-voted label, ties broken on the smaller
-    label. The vote aggregation shuffles only k rows per query.
+    With ``centroids=None`` composes
+    :func:`..operators.similarity.cosine_topk` (broadcast queries, single
+    corpus scan) — exact, right when the query set is broadcast-sized.
+    Passing a ``centroids`` DataFrame switches the neighbor search to
+    :func:`..operators.similarity.ivf_topk` (``n_probe`` lists per query) —
+    the scale path once the query set grows, since each query scores only
+    ~|corpus|·n_probe/n_centroids vectors instead of the full corpus.
+
+    Either way the vote is the same: neighbor labels counted per query, the
+    winner is the most-voted label, ties broken on the smaller label.
+    NULL-labeled neighbors are excluded from the vote (they carry no class
+    information); the tie-break orders NULLs last for engines where the
+    label column is nullable. The vote aggregation shuffles only k rows per
+    query.
     """
-    from time_series_and_data_lakes_spark.operators.similarity import cosine_topk
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
 
     queries = embeddings.filter(query_filter)
-    top = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    if centroids is None:
+        top = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    else:
+        top = ivf_topk(
+            embeddings,
+            queries,
+            centroids,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     labels = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
     )
     votes = (
         top.join(labels, "neighbor_id")
+        .filter(F.col("__lbl").isNotNull())
         .groupBy("query_id", "__lbl")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__lbl"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc_nulls_last("__lbl")
+    )
     return (
         votes.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
