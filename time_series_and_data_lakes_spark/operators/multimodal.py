@@ -2,11 +2,19 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is real and tested — schema contract, typed
-metadata struct, partition-preserving batch iteration, bounded batch sizes —
-while the codec step itself is STUBBED: this container has no image/audio
-libraries, so :func:`decode_media` routes to a clearly-marked deterministic
-fake parser of our own header layout, and raises ``NotImplementedError`` for
-real codecs. Swapping in PIL/ffmpeg later changes only ``_decode_payload``.
+metadata struct, partition-preserving batch iteration, bounded batch sizes.
+The codec layer has two real paths and one stub:
+
+- ``png`` / ``jpeg`` / ``gif``: REAL stdlib-only container parsing
+  (:func:`png_dims` / :func:`jpeg_dims` / :func:`gif_dims` — PNG IHDR,
+  JPEG SOF marker scan, GIF logical-screen descriptor). No PIL needed for
+  dimension metadata; pixel decode (which WOULD need PIL/ffmpeg, absent in
+  this container) still raises ``NotImplementedError`` further down the
+  pipeline where pixels would be touched.
+- ``tsdl-fake``: deterministic fake header layout for oracle-gated tests.
+- anything else (audio/video codecs): explicit ``NotImplementedError``.
+
+Swapping in PIL/ffmpeg later changes only ``_decode_payload``.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through Python
 without materializing a partition; ``spark.sql.execution.arrow.
@@ -65,18 +73,77 @@ def pack_fake_payload(width: int, height: int, frames: int, body: bytes = b"") -
     return _MAGIC + struct.pack(_HEADER, width, height, frames) + body
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from the PNG IHDR chunk (PNG spec §11.2.2): the 8-byte
+    signature is followed by the IHDR chunk whose data starts at offset 16
+    with two big-endian uint32s. Pure stdlib — no pixel decode."""
+    if payload[:8] != _PNG_SIG or payload[12:16] != b"IHDR" or len(payload) < 24:
+        return (0, 0)
+    w, h = struct.unpack(">II", payload[16:24])
+    return (w, h)
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from the first JPEG SOF frame header (ITU T.81 §B.2.2):
+    walk the marker segments from SOI until a start-of-frame marker
+    (0xC0-0xCF excluding DHT 0xC4, JPG 0xC8, DAC 0xCC); height/width are
+    the two big-endian uint16s after the segment length and precision
+    byte."""
+    if payload[:2] != b"\xff\xd8":
+        return (0, 0)
+    i = 2
+    n = len(payload)
+    while i + 9 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return (w, h)
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        i += 2 + seg_len
+    return (0, 0)
+
+
+def gif_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from the GIF logical-screen descriptor (GIF89a spec
+    §18): two little-endian uint16s right after the 6-byte version block."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 10:
+        return (0, 0)
+    w, h = struct.unpack("<HH", payload[6:10])
+    return (w, h)
+
+
 def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
-    """STUB decode. Real image/audio codecs are unavailable in this
-    environment — only the deterministic 'tsdl-fake' header parse is
-    implemented; anything else is explicitly not implemented."""
-    if codec != "tsdl-fake":
-        raise NotImplementedError(
-            f"codec {codec!r}: real decoders (PIL/ffmpeg/soundfile) are stubbed out"
-        )
-    if payload[:4] != _MAGIC:
-        return (0, 0, 0)
-    w, h, f = struct.unpack(_HEADER, payload[4:10])
-    return (w, h, f)
+    """Container-header decode. PNG/JPEG/GIF dimension parsing is REAL
+    (stdlib struct over the container layout — see png_dims/jpeg_dims/
+    gif_dims); 'tsdl-fake' is the deterministic test codec; audio/video
+    codecs (which need ffmpeg/soundfile, absent here) are explicitly not
+    implemented. Still images report n_frames=1."""
+    if codec == "tsdl-fake":
+        if payload[:4] != _MAGIC:
+            return (0, 0, 0)
+        w, h, f = struct.unpack(_HEADER, payload[4:10])
+        return (w, h, f)
+    if codec == "png":
+        w, h = png_dims(bytes(payload))
+        return (w, h, 1 if w else 0)
+    if codec in ("jpeg", "jpg"):
+        w, h = jpeg_dims(bytes(payload))
+        return (w, h, 1 if w else 0)
+    if codec == "gif":
+        w, h = gif_dims(bytes(payload))
+        return (w, h, 1 if w else 0)
+    raise NotImplementedError(
+        f"codec {codec!r}: pixel/AV decoders (PIL/ffmpeg/soundfile) are stubbed out"
+    )
 
 
 def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
@@ -152,6 +219,11 @@ def resize_media(df: DataFrame, max_width: int = 640, max_height: int = 480) -> 
         for pdf in batches:
             payloads = []
             for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
+                if c != "tsdl-fake":
+                    # real-format resize is a pixel transcode -> needs PIL
+                    raise NotImplementedError(
+                        f"resize of codec {c!r} requires a pixel transcoder"
+                    )
                 w, h, f = _decode_payload(p, c)
                 nw, nh = _resize_dims(w, h, max_width, max_height)
                 payloads.append(_MAGIC + struct.pack(_HEADER, nw, nh, f) + bytes(p[10:]))
