@@ -28,22 +28,72 @@ from time_series_and_data_lakes_spark.model import SENSOR_READING_SCHEMA
 from time_series_and_data_lakes_spark.operators.melt import melt
 
 
+from pyspark.sql import types as T
+
+#: Column contract of Spark's Kafka connector source — what a
+#: ``format("kafka")`` readStream emits per record (key/value are the raw
+#: serialized bytes; the rest is log position metadata).
+KAFKA_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def decode_kafka_json(raw: DataFrame, schema=SENSOR_READING_SCHEMA) -> DataFrame:
+    """Kafka envelope → typed wide records: parse the JSON ``value`` bytes
+    against ``schema`` and attach the PROCTIME column — the same output
+    contract as the file-source path, so everything downstream (melt, sink,
+    CEP) is source-agnostic. Works on streaming and batch frames (tests
+    feed a Kafka-shaped parquet stream through it — no broker needed)."""
+    return (
+        raw.select(F.from_json(F.col("value").cast("string"), schema).alias("r"))
+        .select("r.*")
+        .withColumn("ptime", F.current_timestamp())
+    )
+
+
 def read_json_stream(
     spark: SparkSession,
-    source_dir: str,
+    source: str,
     schema=SENSOR_READING_SCHEMA,
     max_files_per_trigger: int | None = None,
+    source_format: str = "files",
+    kafka_options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """JSON-lines file stream → typed wide records (S3).
+    """Keyed JSON record stream → typed wide records (S2/S3).
 
-    ``LATEST`` start position ≡ ``latestFirst``/checkpoint semantics; the
-    computed processing-time column mirrors Flink's ``PROCTIME()``
-    (`notebook.txt:7`) — event time stays payload, as in the reference.
+    ``source_format="files"`` (default, and the test path): ``source`` is a
+    JSON-lines directory — the sandbox stand-in for the reference's Kinesis
+    shard (`notebook.txt:2-17`). ``LATEST`` start position ≡
+    ``latestFirst``/checkpoint semantics.
+
+    ``source_format="kafka"``: ``source`` is the topic to subscribe; the
+    distributed-log path a real deployment uses (Kinesis ≈ Kafka). Extra
+    connector options (at minimum ``kafka.bootstrap.servers``) come from
+    ``kafka_options``. Requires the spark-sql-kafka connector jar on the
+    cluster — absent in this container, so CI covers the decode stage via
+    :func:`decode_kafka_json` on Kafka-shaped frames instead.
+
+    Either way the computed processing-time column mirrors Flink's
+    ``PROCTIME()`` (`notebook.txt:7`) — event time stays payload, as in the
+    reference.
     """
+    if source_format == "kafka":
+        reader = spark.readStream.format("kafka").option("subscribe", source)
+        for k, v in (kafka_options or {}).items():
+            reader = reader.option(k, v)
+        return decode_kafka_json(reader.load(), schema)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.json(source_dir)
+    raw = reader.json(source)
     return raw.withColumn("ptime", F.current_timestamp())
 
 
