@@ -328,8 +328,20 @@ def match_error_pattern_tws(
 
     Requires ``protobuf`` at runtime (the API's state-server protocol);
     environments without it should use :func:`match_error_pattern_stream`,
-    which shares the NFA code path exactly (``_advance_key``)."""
+    which shares the NFA code path exactly (``_advance_key``).
+
+    transformWithState also requires a state-store provider with
+    multiple-column-family support — the session is switched to the
+    (bundled) RocksDB provider here, since the default HDFS-backed store
+    rejects the operator outright. This is the provider a production
+    deployment wants anyway: per-key state lives off-heap/on-disk and
+    scales past executor memory."""
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
 
     processor = _ErrorPatternProcessor(
         key,
