@@ -44,6 +44,12 @@ HEADLINE = [
     "pipe_knn_label_vote",
     "tpch_q8_market_share",
     "tpch_q17_small_quantity_revenue",
+    # round 3 breadth: every remaining expensive plan family (VERDICT r2
+    # item 8) so round-over-round regressions are visible for each
+    "tpch_q9_profit_by_nation",
+    "tpch_q21_sole_late_suppliers",
+    "ann_ivf_kmeans_topk",
+    "pipe_token_budget",
 ]
 
 

@@ -297,3 +297,22 @@ def test_dedup_components_no_final_range_exchange(spark, sf_dir):
     # (the component_size window needs only a hash exchange on component_id).
     plan = _plan(Q.QUERIES["dedup_components"](spark, sf_dir))
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q2_min_cost_decorrelates_to_one_fact_scan(spark, sf_dir):
+    # the correlated scalar-MIN-per-part selection must come from ONE
+    # lineitem pass: pair aggregation + per-part window, all dims broadcast
+    plan = _plan(Q.QUERIES["tpch_q2_min_cost_supplier"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 4  # lineitem, part, supplier, nation
+    assert _nodes(plan, "Window") == 1
+    assert _nodes(plan, "BroadcastHashJoin") == 3
+    assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_q11_global_share_is_window_not_rescan(spark, sf_dir):
+    # the HAVING-vs-global-total scalar must come from an empty-partition
+    # window over the per-part aggregate — a scalar subquery would reference
+    # the aggregation twice and scan lineitem once per reference
+    plan = _plan(Q.QUERIES["tpch_q11_important_parts"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 3  # lineitem, supplier, nation
+    assert _nodes(plan, "Window") == 1

@@ -40,6 +40,10 @@ NEVER_DRIVER_CHECKED = {
     "pipe_knn_label_vote",
     # added round 3:
     "pipe_knn_label_vote_ivf",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_by_status",
+    "tpch_q20_excess_share_suppliers",
 }
 
 

@@ -1719,6 +1719,10 @@ _DRIVER_TAIL: list[str] = [
     "cube_pricing_matrix",
     "gap_report_sensors",
     "correlated_min_price_lines",
+    "sessionize_events",
+    "asof_latest_order",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_orders",
 ]
 
 

@@ -568,6 +568,238 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (correlated scalar-min selection).
+# --------------------------------------------------------------------------
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a filtered family, the supplier(s)
+    offering the minimum cost, with supplier/nation detail. The canonical
+    form correlates a scalar MIN subquery over partsupp per outer part;
+    with no partsupp table the (part, supplier) cost relation is derived
+    from lineitem (min observed price per pair — one fact aggregation).
+
+    The decorrelation is the Q15 trick one level down: instead of
+    re-evaluating the min per part (second fact pass), take the min as a
+    window over the already-aggregated pair relation — the window moves
+    only |part×supp within the filtered family| rows through one hash
+    exchange. Dims broadcast; one lineitem scan total. Cost compares in
+    exact DECIMAL, so ties survive cross-engine."""
+    pairs = (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("supply_cost"))
+    )
+    part = _load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") == 15)
+    )
+    family = pairs.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    cheapest = family.withColumn(
+        "_min_cost", F.min("supply_cost").over(w)
+    ).filter(F.col("supply_cost") == F.col("_min_cost"))
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    return (
+        cheapest.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("supply_cost").cast("string").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+TPCH_Q2_ORACLE = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,4))) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), family AS (
+  SELECT pairs.*, p_partkey, p_type,
+         min(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM pairs JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY' AND p_size = 15
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(supply_cost AS VARCHAR) AS supply_cost
+FROM family
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE supply_cost = min_cost
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock: per-part value above a global-share threshold.
+# --------------------------------------------------------------------------
+
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value restricted to one nation's
+    suppliers, kept when the part's value exceeds a fraction of the
+    nation-wide total (HAVING vs a global scalar). A naive scalar subquery
+    references the per-part aggregation twice — Spark's static plan then
+    scans the fact once per reference — so the global total is taken as an
+    empty-partition window over the already-aggregated relation instead
+    (the Q15 decorrelation one level up): ONE lineitem scan, and only the
+    ~|parts|-row aggregate crosses the single-partition window exchange.
+    The share test multiplies instead of divides (value * 1000 > total):
+    exact DECIMAL on both sides, no float division drift, no ANSI
+    div-by-zero guard needed."""
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_suppliers = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    value = (
+        _load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("value"))
+    )
+    return (
+        value.withColumn("_total", F.sum("value").over(Window.partitionBy()))
+        .filter(F.col("value") * 1000 > F.col("_total"))
+        .select("l_partkey", F.col("value").cast("string").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+TPCH_Q11_ORACLE = f"""
+WITH value AS (
+  SELECT l_partkey, sum({_REV_SQL}) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value AS VARCHAR) AS value
+FROM value
+WHERE value * 1000 > (SELECT sum(value) FROM value)
+ORDER BY CAST(value AS VARCHAR) DESC, l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 — priority counts per line status (two-tier CASE aggregation).
+# --------------------------------------------------------------------------
+
+
+def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority counts per shipping class over a
+    date-bounded join (the testdata has no l_shipmode/commitdate, so
+    l_linestatus stands in as the class and the date band applies to
+    l_shipdate). Counts are CASE-conditional SUMs folded into ONE partial
+    aggregation: the orders join carries only (orderkey, priority), the
+    date filter pushes to the lineitem scan, and the exchange moves
+    |classes| rows per task."""
+    line = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers shipping the majority of a part family (nested share
+# semi-join).
+# --------------------------------------------------------------------------
+
+
+def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified by a correlated quantity
+    threshold inside a nested IN. Canonically ps_availqty is compared to
+    half the pair's shipped quantity; without partsupp the test becomes
+    "ships an outsized share (>1/8) of the part family's total" — same
+    topology: an inner
+    two-level aggregation (per pair, then per part via a window) feeding a
+    distinct supplier set that SEMI-joins supplier. The share test is
+    8·pair_qty > part_qty in exact DECIMAL (multiplication, not division).
+    One fact scan; the part-name filter broadcasts into it."""
+    red_parts = _load(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    pair_qty = (
+        _load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pair_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    majority = (
+        pair_qty.withColumn("part_qty", F.sum("pair_qty").over(w))
+        .filter(F.col("pair_qty") * 8 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = _load(spark, sf_dir, "supplier")
+    return (
+        supplier.join(majority, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q20_ORACLE = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_partkey, l_suppkey
+), majority AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, pair_qty,
+           sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM pair
+  ) WHERE pair_qty * 8 > part_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM majority)
+ORDER BY s_suppkey
+"""
+
+
 TPCH2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q7_nation_volume": tpch_q7_nation_volume,
     "tpch_q13_order_count_distribution": tpch_q13_order_count_distribution,
@@ -578,6 +810,10 @@ TPCH2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q9_profit_by_nation": tpch_q9_profit_by_nation,
     "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q11_important_parts": tpch_q11_important_parts,
+    "tpch_q12_priority_by_status": tpch_q12_priority_by_status,
+    "tpch_q20_excess_share_suppliers": tpch_q20_excess_share_suppliers,
 }
 
 TPCH2_ORACLES: dict[str, str] = {
@@ -590,4 +826,8 @@ TPCH2_ORACLES: dict[str, str] = {
     "tpch_q8_market_share": TPCH_Q8_ORACLE,
     "tpch_q9_profit_by_nation": TPCH_Q9_ORACLE,
     "tpch_q17_small_quantity_revenue": TPCH_Q17_ORACLE,
+    "tpch_q2_min_cost_supplier": TPCH_Q2_ORACLE,
+    "tpch_q11_important_parts": TPCH_Q11_ORACLE,
+    "tpch_q12_priority_by_status": TPCH_Q12_ORACLE,
+    "tpch_q20_excess_share_suppliers": TPCH_Q20_ORACLE,
 }
