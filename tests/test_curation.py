@@ -113,3 +113,24 @@ def test_knn_label_vote_majority_and_tiebreak(spark):
     # top-4 = {10, 13, 11, 14} with labels {5:2, 3:2} → smaller label wins
     out2 = C.knn_label_vote(emb, F.col("vec_id") == 0, k=4).collect()
     assert out2[0].predicted_label == 3 and out2[0].votes == 2
+
+
+def test_weighted_mixture_capacity_and_determinism(spark):
+    # 100 docs in a, 40 in b, weights 60/40: capacity is bound by b
+    # (T = 40/0.4 = 100), so a keeps frac 0.6 and b keeps frac 1.0
+    rows = [(i, "a" if i < 100 else "b") for i in range(140)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = C.weighted_mixture(df, {"a": 0.6, "b": 0.4})
+    fracs = {r["source"]: r["keep_frac"] for r in kept.select("source", "keep_frac").distinct().collect()}
+    assert abs(fracs["a"] - 0.6) < 1e-12
+    assert abs(fracs["b"] - 1.0) < 1e-12
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["b"] == 40  # binding source keeps everything
+    # hash-threshold counts are binomial around 60, not exact
+    assert 40 <= got["a"] <= 80
+    # reproducible: same rows on a rerun and under different partitioning
+    a1 = sorted(r["doc_id"] for r in kept.collect())
+    a2 = sorted(r["doc_id"] for r in C.weighted_mixture(df.repartition(7), {"a": 0.6, "b": 0.4}).collect())
+    assert a1 == a2
+    # sources not in the weight map are excluded entirely
+    assert kept.filter(~F.col("source").isin("a", "b")).count() == 0

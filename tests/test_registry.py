@@ -44,6 +44,7 @@ NEVER_DRIVER_CHECKED = {
     "tpch_q11_important_parts",
     "tpch_q12_priority_by_status",
     "tpch_q20_excess_share_suppliers",
+    "pipe_mix_weights",
 }
 
 

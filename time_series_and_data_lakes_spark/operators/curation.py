@@ -104,6 +104,57 @@ def token_budget_allocation(
     )
 
 
+def weighted_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Assemble a training mixture with target source proportions: the
+    largest mixture achievable under the weights, selected by deterministic
+    hash-threshold sampling.
+
+    Capacity is bound by the scarcest source: ``T = min(avail_s / w_s)``;
+    each source then keeps fraction ``w_s * T / avail_s`` of its docs
+    (exactly 1.0 for the binding source). Selection is ``h64(id) <
+    frac * 2^60`` — a pure map-side projection against a broadcast
+    per-source rate table, so the corpus is never shuffled: the cost is two
+    columnar scans (one to count per-source availability, one to filter).
+    The alternative single-scan design (per-source counts as a window over
+    the full corpus) shuffles every row on the source key and stalls on the
+    dominant source; two scans is the right trade at 100 TB. Hash
+    thresholds make the sample reproducible across retries and partitioning
+    and give binomial (not exact) per-source counts — the price of not
+    ranking, which would need the full per-source sort.
+
+    Returns the kept rows with ``n_avail`` and ``keep_frac`` attached.
+    """
+    w_items = sorted(weights.items())
+    wmap = F.create_map(*[F.lit(x) for kv in w_items for x in kv])
+    base = df.filter(F.col(group_col).isin(*weights))
+    avail = (
+        base.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn("__w", wmap[F.col(group_col)])
+    )
+    # |sources| rows: the unpartitioned window is free here
+    rates = (
+        avail.withColumn(
+            "__cap", F.min(F.col("n_avail") / F.col("__w")).over(Window.partitionBy())
+        )
+        .withColumn("keep_frac", F.col("__w") * F.col("__cap") / F.col("n_avail"))
+        .select(group_col, "n_avail", "keep_frac")
+    )
+    return (
+        base.join(F.broadcast(rates), group_col)
+        .filter(
+            h64(F.col(id_col).cast("string"), seed=seed).cast("double")
+            < F.col("keep_frac") * F.lit(float(2**60))
+        )
+    )
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     benchmark_filter: Column,

@@ -1723,6 +1723,7 @@ _DRIVER_TAIL: list[str] = [
     "asof_latest_order",
     "tpch_q14_promo_effect",
     "tpch_q18_large_orders",
+    "tpch_q10_returned_revenue",
 ]
 
 

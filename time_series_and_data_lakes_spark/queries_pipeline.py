@@ -197,6 +197,61 @@ SELECT query_id, label::BIGINT AS predicted_label, votes FROM (
 
 
 # --------------------------------------------------------------------------
+# Weighted mixture assembly (epoch composition by source proportions)
+# --------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest mixture achieving 50/30/20 source proportions, selected by
+    deterministic hash thresholds (operators/curation.py::weighted_mixture
+    — map-side filter against a broadcast rate table, corpus never
+    shuffled). Reported as the per-source summary: availability, target
+    keep fraction, and docs actually kept (binomial around frac·avail)."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "source")
+    kept = C.weighted_mixture(docs, _MIX_WEIGHTS)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("n_avail").alias("n_avail"),
+            F.first("keep_frac").alias("keep_frac"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_oracle() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    h = _h64_sql("doc_id::VARCHAR", "mix")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source FROM documents
+  WHERE source IN ({', '.join(repr(s) for s in sorted(_MIX_WEIGHTS))})
+), wtab(source, w) AS (VALUES {vals}),
+avail AS (
+  SELECT source, count(*) AS n_avail FROM base GROUP BY source
+), rates AS (
+  SELECT source, n_avail, w * cap / n_avail AS keep_frac FROM (
+    SELECT a.source, n_avail, w, min(n_avail / w) OVER () AS cap
+    FROM avail a JOIN wtab USING (source)
+  )
+)
+SELECT b.source, any_value(n_avail) AS n_avail,
+       any_value(keep_frac) AS keep_frac,
+       count(*) AS n_kept
+FROM base b JOIN rates USING (source)
+WHERE CAST({h} AS DOUBLE) < keep_frac * 1152921504606846976.0
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
+PIPE_MIX_ORACLE = _mix_oracle()
+
+
+# --------------------------------------------------------------------------
 # IVF-backed kNN labeling — the scale path once the query set outgrows the
 # broadcast brute-force scorer (VERDICT r2 item 5)
 # --------------------------------------------------------------------------
@@ -282,6 +337,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_decontaminate": pipe_decontaminate,
     "pipe_knn_label_vote": pipe_knn_label_vote,
     "pipe_knn_label_vote_ivf": pipe_knn_label_vote_ivf,
+    "pipe_mix_weights": pipe_mix_weights,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -291,4 +347,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pipe_decontaminate": PIPE_DECON_ORACLE,
     "pipe_knn_label_vote": PIPE_KNN_ORACLE,
     "pipe_knn_label_vote_ivf": PIPE_KNN_IVF_ORACLE,
+    "pipe_mix_weights": PIPE_MIX_ORACLE,
 }
