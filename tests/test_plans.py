@@ -316,3 +316,12 @@ def test_q11_global_share_is_window_not_rescan(spark, sf_dir):
     plan = _plan(Q.QUERIES["tpch_q11_important_parts"](spark, sf_dir))
     assert _nodes(plan, "Scan parquet") == 3  # lineitem, supplier, nation
     assert _nodes(plan, "Window") == 1
+
+
+def test_mix_weights_broadcasts_rates_no_corpus_shuffle(spark, sf_dir):
+    # the mixture filter must be a map-side probe against the broadcast
+    # per-source rate table — the corpus side never hash-exchanges on the
+    # (skewed) source key
+    plan = _plan(Q.QUERIES["pipe_mix_weights"](spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "SortMergeJoin") == 0
