@@ -50,6 +50,9 @@ HEADLINE = [
     "tpch_q21_sole_late_suppliers",
     "ann_ivf_kmeans_topk",
     "pipe_token_budget",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_excess_share_suppliers",
+    "pipe_mix_weights",
 ]
 
 

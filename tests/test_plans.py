@@ -325,3 +325,22 @@ def test_mix_weights_broadcasts_rates_no_corpus_shuffle(spark, sf_dir):
     plan = _plan(Q.QUERIES["pipe_mix_weights"](spark, sf_dir))
     assert _nodes(plan, "BroadcastHashJoin") >= 1
     assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_explode_hof_not_reevaluated_below_exchange(spark, sf_dir):
+    # InferFiltersFromGenerate + pushdown can rewrite the explode's
+    # non-empty predicate onto the text column and sink it below the
+    # repartition exchange — re-running the shingle/winnow HOF on the
+    # single-partition pre-shuffle side (measured 2.7-10x on these two
+    # queries). explode_outer blocks the inference; assert no Filter
+    # anywhere re-derives the array (the HOFs appear once, in the Project).
+    for q in ("pipe_decontaminate", "text_winnow_fingerprint"):
+        plan = _plan(Q.QUERIES[q](spark, sf_dir))
+        filters = [
+            seg for seg in plan.split("\n\n")
+            if seg.lstrip().startswith("(") and ") Filter" in seg.split("\n")[0]
+        ]
+        for seg in filters:
+            assert "array_distinct" not in seg and "transform(" not in seg, (
+                q + ": HOF re-evaluated inside a Filter:\n" + seg[:400]
+            )

@@ -179,14 +179,22 @@ def ngram_decontaminate(
         F.col(id_col), benchmark_filter.alias("__is_bench"),
         shingles_col(F.col(text_col), n=shingle_n).alias("__sh"),
     )
+    # explode_OUTER on both branches is a performance guard, not a
+    # semantic choice: plain explode lets InferFiltersFromGenerate derive a
+    # size(__sh)>0 predicate that pushdown rewrites in terms of the text
+    # column and sinks below the repartition exchange — re-running the full
+    # shingle HOF on the (single-partition) pre-shuffle side, serializing
+    # the heaviest expression in the query onto one core (measured 10x).
+    # The null rows explode_outer keeps are dropped by the inner hash join
+    # (null keys never match), post-Generate and for free.
     bench = (
         sh.filter(F.col("__is_bench"))
-        .select(F.explode("__sh").alias("shingle"))
+        .select(F.explode_outer("__sh").alias("shingle"))
         .distinct()
     )
     cand = sh.filter(~F.col("__is_bench"))
     hits = (
-        cand.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+        cand.select(F.col(id_col), F.explode_outer("__sh").alias("shingle"))
         .join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -364,14 +364,19 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes — Schleimer et al., SIGMOD 2003), exploded to one row per
     retained fingerprint."""
     docs = _load_docs(spark, sf_dir)
+    # explode_OUTER + post-filter, not plain explode: the inferred
+    # non-empty-array predicate would otherwise be rewritten on the text
+    # column and pushed below the repartition exchange, re-running the
+    # winnow HOF single-threaded pre-shuffle (see ngram_decontaminate).
     return (
         docs.select(
             "doc_id",
             X.rolling_hash(F.col("text")).alias("rolling_hash"),
-            F.explode(X.winnow_fingerprints(F.col("text"), k=3, window=4)).alias(
-                "fingerprint"
-            ),
+            F.explode_outer(
+                X.winnow_fingerprints(F.col("text"), k=3, window=4)
+            ).alias("fingerprint"),
         )
+        .filter(F.col("fingerprint").isNotNull())
         .orderBy("doc_id", "fingerprint")
     )
 
