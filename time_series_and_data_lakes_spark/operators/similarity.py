@@ -246,8 +246,16 @@ def kmeans_centroids(
                 *[(F.col(f"s{i}").cast("double") / F.col("n_members")) for i in range(dim)]
             ).alias("ncv"),
         )
-        cent = cent.join(new, "cid", "left").select(
-            "cid", F.coalesce("ncv", "cv").alias("cv")
+        cent = (
+            cent.join(new, "cid", "left")
+            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
+            # k rows; truncating lineage per iteration keeps the next
+            # iteration's plan constant-size — without it the assignment
+            # expression nests the whole previous iteration and analysis/
+            # codegen cost grows superlinearly in iters (measured 1.5 s for
+            # 1 iter but 4.3 s for 2 at sf0.1). Same discipline as
+            # operators/graph.py connected components.
+            .localCheckpoint()
         )
     return cent.select(F.col("cid").alias(id_col), F.col("cv").alias(vec_col))
 
