@@ -403,3 +403,53 @@ def test_streaming_cep_tws_equals_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
+    # Streaming exact dedup (dropDuplicatesWithinWatermark) must equal the
+    # batch answer on a replay with injected re-deliveries and
+    # content-duplicates-under-fresh-ids.
+    from time_series_and_data_lakes_spark.streaming.dedup_stream import (
+        dedup_stream_by_content,
+        dedup_stream_by_id,
+    )
+
+    rows = sensor_readings(seed=5, sensors=4, span_seconds=60)
+    dup_ids = rows + rows[::3]  # re-deliveries of every 3rd record
+    src = _write_json_batches(tmp_path, dup_ids, n_batches=5)
+
+    wide = read_json_stream(spark, src).select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+
+    by_id = dedup_stream_by_id(wide, ["sensor_id", "time"], watermark="10 minutes")
+    q = (
+        by_id.writeStream.format("memory")
+        .queryName("dedup_by_id")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_by_id")
+    assert got.count() == len(rows)  # every re-delivery dropped
+    assert got.groupBy("sensor_id", "time").count().filter("count > 1").count() == 0
+
+    by_content = dedup_stream_by_content(
+        wide, ["sensor_id", "time", "status", "temperature"], watermark="10 minutes"
+    )
+    q2 = (
+        by_content.writeStream.format("memory")
+        .queryName("dedup_by_content")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.table("dedup_by_content")
+    assert got2.count() == len(rows)
+    # the fingerprint helper column must not leak into the output schema
+    assert "__content_fp" not in got2.columns

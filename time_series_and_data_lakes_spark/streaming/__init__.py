@@ -7,8 +7,14 @@ from time_series_and_data_lakes_spark.streaming.cep_stream import (
     match_error_pattern_stream,
     match_error_pattern_tws,
 )
+from time_series_and_data_lakes_spark.streaming.dedup_stream import (
+    dedup_stream_by_content,
+    dedup_stream_by_id,
+)
 
 __all__ = [
+    "dedup_stream_by_content",
+    "dedup_stream_by_id",
     "match_error_pattern_stream",
     "match_error_pattern_tws",
     "melt_stream",
