@@ -45,6 +45,7 @@ NEVER_DRIVER_CHECKED = {
     "tpch_q12_priority_by_status",
     "tpch_q20_excess_share_suppliers",
     "pipe_mix_weights",
+    "pipe_quality_funnel",
 }
 
 

@@ -1724,6 +1724,7 @@ _DRIVER_TAIL: list[str] = [
     "tpch_q14_promo_effect",
     "tpch_q18_large_orders",
     "tpch_q10_returned_revenue",
+    "q1_sql_flagship",
 ]
 
 

@@ -197,6 +197,80 @@ SELECT query_id, label::BIGINT AS predicted_label, votes FROM (
 
 
 # --------------------------------------------------------------------------
+# End-to-end quality funnel: lang filter → quality gate → near-dup
+# representatives, staged counts in ONE corpus scan
+# --------------------------------------------------------------------------
+
+_FUNNEL_LANG = "en"
+_FUNNEL_QUALITY = 1.0
+
+
+def pipe_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel every corpus report starts with: raw docs →
+    language-identified → quality-gated → near-duplicate representatives
+    (distinct min-shingle fingerprints). All four stage counts come from
+    ONE corpus scan via conditional aggregation — at 100 TB the funnel
+    readout costs exactly one pass, not one pass per stage; the only
+    exchange carries aggregation partials (countDistinct adds the standard
+    two-phase expand on the fingerprint, still partial-aggregated
+    map-side)."""
+    docs = _load_docs(spark, sf_dir)
+    is_lang = X.predicted_lang(F.col("text")) == _FUNNEL_LANG
+    good = is_lang & (X.quality_score(F.col("text")) >= _FUNNEL_QUALITY)
+    fp = X.fingerprint(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(is_lang, 1).otherwise(0)).cast("bigint").alias("n_lang"),
+        F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        F.countDistinct(F.when(good, fp)).alias("n_representatives"),
+    )
+
+
+def _funnel_oracle() -> str:
+    langs = sorted(X.LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t))) / len(toks) AS s_{lang}"
+        )
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    plang = (
+        "CASE "
+        + " ".join(f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+    quality = f"""
+  (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
+  + (CASE WHEN length(text) / len(toks) >= 3.0
+          AND length(text) / len(toks) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3"""
+    fp = f"list_min(list_transform({_SHINGLES}, s -> {_h64_sql('s', 0)}))"
+    return f"""
+WITH sc AS (
+  SELECT doc_id, text, toks, {', '.join(score_cols)}
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+), feat AS (
+  SELECT doc_id,
+         {plang} AS plang,
+         ({quality}) AS q,
+         {fp} AS fp
+  FROM sc
+)
+SELECT count(*)::BIGINT AS n_raw,
+       sum(CASE WHEN plang = '{_FUNNEL_LANG}' THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+       sum(CASE WHEN plang = '{_FUNNEL_LANG}' AND q >= {_FUNNEL_QUALITY}
+                THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       count(DISTINCT CASE WHEN plang = '{_FUNNEL_LANG}' AND q >= {_FUNNEL_QUALITY}
+                           THEN fp END)::BIGINT AS n_representatives
+FROM feat
+"""
+
+
+PIPE_FUNNEL_ORACLE = _funnel_oracle()
+
+
+# --------------------------------------------------------------------------
 # Weighted mixture assembly (epoch composition by source proportions)
 # --------------------------------------------------------------------------
 
@@ -338,6 +412,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_knn_label_vote": pipe_knn_label_vote,
     "pipe_knn_label_vote_ivf": pipe_knn_label_vote_ivf,
     "pipe_mix_weights": pipe_mix_weights,
+    "pipe_quality_funnel": pipe_quality_funnel,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -348,4 +423,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pipe_knn_label_vote": PIPE_KNN_ORACLE,
     "pipe_knn_label_vote_ivf": PIPE_KNN_IVF_ORACLE,
     "pipe_mix_weights": PIPE_MIX_ORACLE,
+    "pipe_quality_funnel": PIPE_FUNNEL_ORACLE,
 }
