@@ -53,6 +53,7 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q20_excess_share_suppliers",
     "pipe_mix_weights",
+    "pipe_quality_funnel",
 ]
 
 

@@ -344,3 +344,10 @@ def test_explode_hof_not_reevaluated_below_exchange(spark, sf_dir):
             assert "array_distinct" not in seg and "transform(" not in seg, (
                 q + ": HOF re-evaluated inside a Filter:\n" + seg[:400]
             )
+
+
+def test_quality_funnel_single_scan(spark, sf_dir):
+    # all four funnel stages must come from ONE corpus scan (conditional
+    # aggregation), never one scan per stage
+    plan = _plan(Q.QUERIES["pipe_quality_funnel"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1

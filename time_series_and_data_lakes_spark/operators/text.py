@@ -153,3 +153,38 @@ def winnow_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
         return let(kh, mins_of)
 
     return F.array_sort(F.array_distinct(let(tokens_col(text), fingerprints)))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+#: Conservative, linear-time patterns (no backtracking blowup): these run
+#: inside codegen over every document of the corpus, so each must be safe
+#: at 100 TB. Order matters for scrubbing: URLs first so an email-looking
+#: userinfo inside a URL is redacted as part of the URL, not left behind.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://\S+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]?\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts — pure column expressions
+    (``regexp_count``), one pass per pattern inside the same codegen stage,
+    no UDFs. Useful as filter features (drop docs with any hit) or corpus
+    report columns."""
+    return {name: F.regexp_count(text, F.lit(p)) for name, p in PII_PATTERNS.items()}
+
+
+def scrub_pii(text: Column, replacement: str = "[PII]") -> Column:
+    """Redact all PII categories in one chained ``regexp_replace`` pipeline
+    (URL first — see PII_PATTERNS ordering). Replacement is a fixed token so
+    downstream tokenization stays stable; the scrub is idempotent because
+    the replacement token matches none of the patterns."""
+    out = text
+    for p in PII_PATTERNS.values():
+        out = F.regexp_replace(out, p, replacement)
+    return out
