@@ -137,3 +137,34 @@ def test_export_formats_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         export_window(df, str(tmp_path / "x"), start, end, fmt="avro")
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    from time_series_and_data_lakes_spark.sources.export import write_training_shards
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 100).alias("payload")
+    )
+    p1 = str(tmp_path / "shards1")
+    write_training_shards(docs, p1, n_shards=8)
+    back = spark.read.parquet(p1)
+    # all rows survive, shard dirs complete, membership is h64(id) % 8
+    assert back.count() == 300
+    assert back.select("shard").distinct().count() == 8
+    from time_series_and_data_lakes_spark.operators.dedup import h64
+
+    expect = docs.withColumn(
+        "shard", (h64(F.col("doc_id").cast("string"), seed="shard") % 8).cast("int")
+    )
+    assert back.exceptAll(expect).count() == 0 and expect.exceptAll(back).count() == 0
+
+    # membership is independent of input partitioning and re-runs (the
+    # resumable-loader contract)
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(docs.repartition(13), p2, n_shards=8)
+    a = spark.read.parquet(p1).orderBy("doc_id").collect()
+    b = spark.read.parquet(p2).orderBy("doc_id").collect()
+    assert a == b
+    # single-shard read prunes to one directory
+    one = spark.read.parquet(p1).filter(F.col("shard") == 3)
+    assert one.count() == sum(1 for r in a if r["shard"] == 3)

@@ -75,3 +75,39 @@ def backfill(
         paths.append(export_window(query_fn(w, w_end), base, w, w_end, time_col, fmt))
         w = w_end
     return paths
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> str:
+    """Deterministic sharded export for training pipelines: every row lands
+    in shard ``h64(id) % n_shards``, so shard membership is a pure function
+    of the id — stable across re-runs, retries, cluster sizes, and input
+    partitioning (what a resumable data loader needs to skip shards it has
+    already consumed).
+
+    Layout is ``{path}/shard=<k>/`` via ``partitionBy``: one directory per
+    shard, readable individually or as a whole (the shard column prunes).
+    Rows are sorted by id within partitions so file contents are
+    deterministic too, not just membership. The repartition keys on the
+    shard id — one shuffle, each shard written contiguously rather than
+    fragmented across every task's output.
+    """
+    from time_series_and_data_lakes_spark.operators.dedup import h64
+
+    sharded = df.withColumn(
+        "shard", (h64(F.col(id_col).cast("string"), seed="shard") % n_shards).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+    return path
