@@ -320,3 +320,27 @@ def test_pii_counts_and_scrub(spark):
     df2 = spark.createDataFrame([(1, scrubbed[1])], "doc_id bigint, text string")
     again = df2.select(scrub_pii(F.col("text")).alias("s")).collect()[0]["s"]
     assert again == scrubbed[1]
+
+
+def test_quantize_embedding_bounds_and_zero(spark):
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        quantize_embedding,
+    )
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, -0.25]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [0.003, -0.001, 0.002, 0.0005]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    s, codes = quantize_embedding(F.col("embedding"))
+    out = {r["vec_id"]: r for r in df.select("vec_id", s.alias("s"), codes.alias("c")).collect()}
+    assert out[1]["c"] == [127, -127, 64, -32]  # floor(x*127/1 + .5)
+    assert out[1]["s"] == 1.0
+    assert out[2]["c"] == [0, 0, 0, 0] and out[2]["s"] == 0.0
+    # codes bounded by +-127, dequantization error bounded by s/(2*127)
+    for vid, emb in [(1, rows[0][1]), (3, rows[2][1])]:
+        r = out[vid]
+        assert all(-127 <= c <= 127 for c in r["c"])
+        for x, c in zip(emb, r["c"]):
+            assert abs(x - c * r["s"] / 127) <= r["s"] / 254 + 1e-12

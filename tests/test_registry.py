@@ -46,6 +46,7 @@ NEVER_DRIVER_CHECKED = {
     "tpch_q20_excess_share_suppliers",
     "pipe_mix_weights",
     "pipe_quality_funnel",
+    "ann_quantize_int8",
 }
 
 

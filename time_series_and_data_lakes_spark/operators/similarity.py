@@ -324,3 +324,27 @@ def lsh_bucket_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def quantize_embedding(vec: Column, bits: int = 8) -> tuple[Column, Column]:
+    """Symmetric per-vector integer quantization for embedding storage:
+    ``scale = max|x_i|``, ``code_i = floor(x_i * L / scale + 0.5)`` with
+    ``L = 2^(bits-1) - 1`` — int8 codes cut vector-store bytes 4x against
+    float32 while brute-force/IVF scoring keeps working on dequantized
+    values (error <= scale/(2L) per element).
+
+    Returns ``(scale, codes)`` column pair. Pure array HOFs (codegen, no
+    UDF, no shuffle); the floor(+0.5) form is used instead of round() so
+    the oracle SQL reproduces ties bit-exactly on both engines. Zero
+    vectors quantize to all-zero codes with scale 0.
+    """
+    levels = (1 << (bits - 1)) - 1
+    v = as_double(vec)
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.transform(
+        v,
+        lambda x: F.when(s == F.lit(0.0), F.lit(0).cast("bigint")).otherwise(
+            F.floor(x * F.lit(float(levels)) / s + F.lit(0.5))
+        ),
+    )
+    return s, codes

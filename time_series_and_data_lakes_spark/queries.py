@@ -1725,6 +1725,7 @@ _DRIVER_TAIL: list[str] = [
     "tpch_q18_large_orders",
     "tpch_q10_returned_revenue",
     "q1_sql_flagship",
+    "tpch_q22_idle_rich_customers",
 ]
 
 

@@ -785,6 +785,63 @@ FROM dims
 """
 
 
+def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization readout: scale, integer code checksum,
+    and the max dequantization error — one corpus scan of pure array HOFs
+    (`operators/similarity.py::quantize_embedding`). The floor(+0.5)
+    rounding makes codes bit-identical cross-engine, so the full value
+    gate applies to a storage-compression transform."""
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        quantize_embedding,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    s, codes = quantize_embedding(F.col("embedding"))
+    levels = F.lit(127.0)
+    return (
+        emb.select("vec_id", s.alias("scale"), codes.alias("__c"),
+                   S.as_double(F.col("embedding")).alias("__v"))
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate(
+                "__c", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("code_sum"),
+            F.array_max(
+                F.zip_with(
+                    "__v", "__c",
+                    lambda x, c: F.abs(x - c * F.col("scale") / levels),
+                )
+            ).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _quantize_oracle() -> str:
+    code = "CASE WHEN s = 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / s + 0.5) AS BIGINT) END"
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), sc AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM v0
+), q AS (
+  SELECT vec_id, v, s,
+         list_transform(v, x -> {code}) AS c
+  FROM sc
+)
+SELECT vec_id, s AS scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), c), (acc, x) -> acc + x) AS code_sum,
+       list_max(list_transform(generate_series(1, 64),
+                i -> abs(v[i] - c[i] * s / 127.0))) AS max_abs_err
+FROM q
+ORDER BY vec_id
+"""
+
+
+ANN_QUANTIZE_ORACLE = _quantize_oracle()
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -800,6 +857,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
+    "ann_quantize_int8": ann_quantize_int8,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
@@ -820,6 +878,7 @@ EXT_ORACLES: dict[str, str] = {
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
     "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
+    "ann_quantize_int8": ANN_QUANTIZE_ORACLE,
     "multimodal_decode_stats": MULTIMODAL_ORACLE,
     "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
