@@ -351,3 +351,16 @@ def test_quality_funnel_single_scan(spark, sf_dir):
     # aggregation), never one scan per stage
     plan = _plan(Q.QUERIES["pipe_quality_funnel"](spark, sf_dir))
     assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_q12_date_band_pushed_and_single_agg(spark, sf_dir):
+    plan = _plan(Q.QUERIES["tpch_q12_priority_by_status"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate,1995-01-01" in plan
+    assert _nodes(plan, "Scan parquet") == 2  # lineitem, orders
+
+
+def test_q20_one_fact_scan_semi_join(spark, sf_dir):
+    plan = _plan(Q.QUERIES["tpch_q20_excess_share_suppliers"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 3  # lineitem, part, supplier
+    assert _nodes(plan, "Window") == 1
+    assert "LeftSemi" in plan

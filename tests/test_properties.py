@@ -138,3 +138,24 @@ def test_array_interpolators_equal_resample(spark):
         )
     )
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantize_roundtrip_error_bound(vec):
+    # int8 quantization must reconstruct every element within scale/254
+    # (half a quantization step), codes within [-127, 127], for any vector
+    import math
+
+    s = max(abs(x) for x in vec)
+    codes = [0 if s == 0 else math.floor(x * 127.0 / s + 0.5) for x in vec]
+    assert all(-127 <= c <= 127 for c in codes)
+    if s:
+        for x, c in zip(vec, codes):
+            assert abs(x - c * s / 127.0) <= s / 254.0 + 1e-9
