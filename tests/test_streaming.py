@@ -453,3 +453,72 @@ def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
     assert got2.count() == len(rows)
     # the fingerprint helper column must not leak into the output schema
     assert "__content_fp" not in got2.columns
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    # Alerts (ERROR readings) joined back to the raw feed for context
+    # readings within +-30s per sensor — the streaming counterpart of the
+    # batch range join; result must equal the same join done statically.
+    from time_series_and_data_lakes_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    rows = sensor_readings(seed=9, sensors=5, span_seconds=120)
+    src = _write_json_batches(tmp_path, rows, n_batches=4)
+
+    def typed(df):
+        return df.select(
+            "sensor_id",
+            F.timestamp_millis("event_time").alias("time"),
+            "status",
+            "temperature",
+        )
+
+    wide = typed(read_json_stream(spark, src))
+    alerts = wide.filter(F.col("status") == "ERROR").select(
+        "sensor_id", F.col("time").alias("alert_time")
+    )
+    context = wide.select(
+        "sensor_id", F.col("time").alias("ctx_time"), "temperature"
+    )
+    joined = interval_join_streams(
+        alerts, context, key="sensor_id",
+        left_time="alert_time", right_time="ctx_time",
+        lower="INTERVAL 30 SECONDS", upper="INTERVAL 30 SECONDS",
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("ss_join").collect())
+
+    batch = spark.createDataFrame(
+        [
+            (r["sensor_id"], dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0),
+             r["status"], r["temperature"])
+            for r in rows
+        ],
+        "sensor_id string, time timestamp, status string, temperature double",
+    )
+    b_alerts = batch.filter(F.col("status") == "ERROR").select(
+        "sensor_id", F.col("time").alias("alert_time")
+    )
+    b_ctx = batch.select("sensor_id", F.col("time").alias("ctx_time"), "temperature")
+    want = sorted(
+        tuple(r)
+        for r in b_alerts.alias("l")
+        .join(
+            b_ctx.alias("r"),
+            (F.col("l.sensor_id") == F.col("r.sensor_id"))
+            & (F.col("r.ctx_time") >= F.expr("l.alert_time - INTERVAL 30 SECONDS"))
+            & (F.col("r.ctx_time") <= F.expr("l.alert_time + INTERVAL 30 SECONDS")),
+        )
+        .drop(F.col("r.sensor_id"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
