@@ -168,3 +168,38 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     # single-shard read prunes to one directory
     one = spark.read.parquet(p1).filter(F.col("shard") == 3)
     assert one.count() == sum(1 for r in a if r["shard"] == 3)
+
+
+def test_events_loader_adapts_nanos_long_generation(spark, tmp_path):
+    # Round-1 regression: some driver testdata generations ship events.ts
+    # as parquet TIMESTAMP(NANOS), which Spark 4 reads as a LONG under
+    # spark.sql.legacy.parquet.nanosAsLong. The loader must floor-convert
+    # nanos -> microsecond TIMESTAMP (DuckDB's truncation) so both
+    # generations produce identical frames. Current testdata is native
+    # TIMESTAMP, so this branch needs its own fixture.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from time_series_and_data_lakes_spark.queries import load
+
+    micros = [1_700_000_000_000_000 + i * 1_000_000 + 123 for i in range(5)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array([m * 1000 + 999 for m in micros], pa.int64()),
+            "user_id": pa.array([1, 2, 1, 2, 1], pa.int64()),
+            "event_type": pa.array(["a"] * 5),
+            "value": pa.array([0.5] * 5, pa.float64()),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    d = tmp_path / "nanos_gen"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+
+    got = load(spark, str(d), "events")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    from pyspark.sql import functions as F
+
+    vals = [r["us"] for r in got.select(F.unix_micros("ts").alias("us")).orderBy("event_id").collect()]
+    assert vals == micros  # nanos floor to micros, sub-micro digits dropped
