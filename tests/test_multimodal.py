@@ -174,3 +174,21 @@ def test_resize_media_aspect_fit_and_chains(spark):
     assert (got[2]["width"], got[2]["height"]) == (640, 360)
     assert got[2]["n_frames"] == 7  # frames untouched
     assert (got[1]["width"], got[1]["height"]) == (640, 480)  # exact fit kept
+
+
+def test_jpeg_fill_bytes_and_terminal_markers():
+    # ITU T.81 allows 0xFF fill bytes before any marker; EOI/SOS without a
+    # preceding SOF must terminate the walk rather than derail it
+    import struct
+
+    from time_series_and_data_lakes_spark.operators.multimodal import jpeg_dims
+
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+    )
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert jpeg_dims(padded) == (640, 480)
+    # SOS before any SOF: stop, don't misparse entropy-coded data
+    sos_first = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00" + b"\xff\xc0zz"
+    assert jpeg_dims(sos_first) == (0, 0)

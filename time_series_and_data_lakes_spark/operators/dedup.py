@@ -324,7 +324,10 @@ def ngram_jaccard_pairs(
         ).persist()
         # Both sides of the self-join consume the pruned posting list;
         # without materialization each side re-runs the df aggregation and
-        # the anti join (measured 2.7x slower at sf0.1).
+        # the anti join (measured 2.7x slower at sf0.1). Like the base
+        # persist above, the cache lives until the caller's session clears
+        # it (bench.py/the driver gate clearCache between queries) — an
+        # eager unpersist here would run before the lazy result consumed it.
     common = (
         post.alias("a")
         .join(post.alias("b"), on="shingle", how="inner")

@@ -101,6 +101,11 @@ def jpeg_dims(payload: bytes) -> tuple[int, int]:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:  # spec-legal fill byte before the real marker
+            i += 1
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF follows
+            return (0, 0)
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
             i += 2
             continue

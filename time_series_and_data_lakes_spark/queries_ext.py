@@ -514,6 +514,7 @@ _KMEANS_ITERS = 2
 _EMB_DIM = 64
 
 
+
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: 2 Lloyd iterations
     (operators/similarity.py::kmeans_centroids — exact-decimal means, so
@@ -819,7 +820,7 @@ def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quantize_oracle() -> str:
+def _quantize_oracle(dim: int = 64) -> str:
     code = "CASE WHEN s = 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / s + 0.5) AS BIGINT) END"
     return f"""
 WITH v0 AS (
@@ -833,14 +834,14 @@ WITH v0 AS (
 )
 SELECT vec_id, s AS scale,
        list_reduce(list_prepend(CAST(0 AS BIGINT), c), (acc, x) -> acc + x) AS code_sum,
-       list_max(list_transform(generate_series(1, 64),
+       list_max(list_transform(generate_series(1, {dim}),
                 i -> abs(v[i] - c[i] * s / 127.0))) AS max_abs_err
 FROM q
 ORDER BY vec_id
 """
 
 
-ANN_QUANTIZE_ORACLE = _quantize_oracle()
+ANN_QUANTIZE_ORACLE = _quantize_oracle(dim=_EMB_DIM)
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

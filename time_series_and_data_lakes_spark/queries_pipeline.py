@@ -186,11 +186,12 @@ WITH v AS (
     FROM scored
   ) WHERE rnk <= {_KNN_K}
 ), votes AS (
-  SELECT query_id, label, count(*) AS votes FROM top GROUP BY query_id, label
+  SELECT query_id, label, count(*) AS votes FROM top
+  WHERE label IS NOT NULL GROUP BY query_id, label
 )
 SELECT query_id, label::BIGINT AS predicted_label, votes FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY votes DESC, label) AS r
+                               ORDER BY votes DESC, label NULLS LAST) AS r
   FROM votes
 ) WHERE r = 1
 """

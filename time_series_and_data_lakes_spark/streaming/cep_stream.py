@@ -331,17 +331,27 @@ def match_error_pattern_tws(
     which shares the NFA code path exactly (``_advance_key``).
 
     transformWithState also requires a state-store provider with
-    multiple-column-family support — the session is switched to the
-    (bundled) RocksDB provider here, since the default HDFS-backed store
-    rejects the operator outright. This is the provider a production
-    deployment wants anyway: per-key state lives off-heap/on-disk and
-    scales past executor memory."""
+    multiple-column-family support; the default HDFS-backed store rejects
+    the operator outright, so IF the session still has the default
+    provider, it is switched to the (bundled) RocksDB provider — the one a
+    production deployment wants anyway (per-key state off-heap/on-disk,
+    scales past executor memory). An explicitly configured provider is
+    respected and never overridden. NOTE this conf is session-scoped and
+    read at query START: queries checkpointed earlier under a different
+    provider must not be restarted in the same session afterwards (Spark
+    forbids changing the provider across restarts)."""
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
-    stream.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+    _HDFS_DEFAULT = (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     )
+    current = stream.sparkSession.conf.get(_PROVIDER_CONF, None)
+    if current in (None, "", _HDFS_DEFAULT):
+        stream.sparkSession.conf.set(
+            _PROVIDER_CONF,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
 
     processor = _ErrorPatternProcessor(
         key,

@@ -86,6 +86,11 @@ def read_json_stream(
     reference.
     """
     if source_format == "kafka":
+        if max_files_per_trigger is not None:
+            raise ValueError(
+                "max_files_per_trigger is a file-source knob; throttle the "
+                "kafka source with kafka_options={'maxOffsetsPerTrigger': N}"
+            )
         reader = spark.readStream.format("kafka").option("subscribe", source)
         for k, v in (kafka_options or {}).items():
             reader = reader.option(k, v)
