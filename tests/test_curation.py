@@ -134,3 +134,37 @@ def test_weighted_mixture_capacity_and_determinism(spark):
     assert a1 == a2
     # sources not in the weight map are excluded entirely
     assert kept.filter(~F.col("source").isin("a", "b")).count() == 0
+
+
+def test_knn_vote_null_labels_cross_engine(spark, tmp_path):
+    # The NULL-label contract is latent in the driver testdata (labels are
+    # non-null there): pin it cross-engine on a synthetic lake — NULL-labeled
+    # neighbors must not vote, and both engines must agree bit-exactly.
+    import math
+    import duckdb
+
+    from time_series_and_data_lakes_spark.queries_pipeline import PIPE_KNN_ORACLE
+    from tests.oracle_util import canonicalize
+
+    rows = []
+    for i in range(40):
+        vec = [math.sin(0.1 * (i + 1) * (d + 1)) for d in range(64)]
+        label = None if i % 3 == 0 else i % 4  # heavy NULL presence
+        rows.append((i, vec, label))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = C.knn_label_vote(emb, F.col("vec_id") < 10, k=5).toPandas()
+    assert got["predicted_label"].notna().all()  # NULLs never win the vote
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = con.execute(PIPE_KNN_ORACLE).df()
+    a, b = canonicalize(got), canonicalize(want)
+    assert list(a.columns) == list(b.columns) and len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].astype(str) == b[c].astype(str)).all(), c

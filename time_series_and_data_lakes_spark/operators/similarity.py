@@ -55,6 +55,10 @@ def cosine_topk(
     scan while each task scores its partition against the in-memory queries;
     the only shuffle is the final per-query top-k (tiny). Ties break on
     neighbor id for determinism.
+
+    Zero-norm vectors are the caller's responsibility: cosine is undefined
+    for them and ANSI mode fails loudly on the division rather than
+    emitting NaN/inf rankings — filter or re-embed degenerate rows first.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
