@@ -344,3 +344,18 @@ def test_quantize_embedding_bounds_and_zero(spark):
         assert all(-127 <= c <= 127 for c in r["c"])
         for x, c in zip(emb, r["c"]):
             assert abs(x - c * r["s"] / 127) <= r["s"] / 254 + 1e-12
+
+
+def test_quality_score_empty_text_is_zero_not_error(spark):
+    # ANSI regression: the clean-ratio division must not fire on empty
+    # documents — raw corpora always contain some
+    from time_series_and_data_lakes_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x" * 150 + " good text tokens here"), (3, " ")],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score(F.col("text")).alias("q")).collect()}
+    assert got[1] == 0.0
+    assert 0.0 < got[2] <= 1.0
+    assert got[3] > 0.0  # single-space doc: defined, no crash

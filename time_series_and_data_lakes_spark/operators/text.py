@@ -73,7 +73,11 @@ def predicted_lang(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + mean token length
-    band + non-alnum ratio penalty. Fixed-association arithmetic."""
+    band + non-alnum ratio penalty. Fixed-association arithmetic.
+
+    Empty text scores 0.0 by definition — the clean-character ratio would
+    otherwise divide by zero, which ANSI mode turns into a job-killing
+    error on the first empty document of a raw corpus."""
     n_chars = F.length(text)
     n_toks = token_count(text)
     mean_tok = n_chars / n_toks
@@ -86,7 +90,9 @@ def quality_score(text: Column) -> Column:
     tok_band = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(
         F.lit(0.5)
     )
-    return length_band * 0.4 + tok_band * 0.3 + clean_ratio * 0.3
+    return F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        length_band * 0.4 + tok_band * 0.3 + clean_ratio * 0.3
+    )
 
 
 def fingerprint(text: Column, shingle_n: int = 3) -> Column:

@@ -332,11 +332,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUALITY_ORACLE = f"""
 SELECT doc_id,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
   (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
   + (CASE WHEN length(text) / len({_TOKS}) >= 3.0
           AND length(text) / len({_TOKS}) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
   + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3
-  AS quality
+  END AS quality
 FROM documents
 """
 

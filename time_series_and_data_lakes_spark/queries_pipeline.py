@@ -242,10 +242,12 @@ def _funnel_oracle() -> str:
         + f" ELSE '{langs[-1]}' END"
     )
     quality = f"""
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
   (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
   + (CASE WHEN length(text) / len(toks) >= 3.0
           AND length(text) / len(toks) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
-  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3"""
+  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3
+  END"""
     fp = f"list_min(list_transform({_SHINGLES}, s -> {_h64_sql('s', 0)}))"
     return f"""
 WITH sc AS (
