@@ -359,3 +359,14 @@ def test_quality_score_empty_text_is_zero_not_error(spark):
     assert got[1] == 0.0
     assert 0.0 < got[2] <= 1.0
     assert got[3] > 0.0  # single-space doc: defined, no crash
+
+
+def test_minhash_sub_shingle_docs_no_pairs_no_error(spark):
+    # Docs shorter than the shingle width have empty shingle sets; they
+    # must neither crash the Jaccard verify (0/0 under ANSI) nor pair with
+    # each other through their degenerate signatures.
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also short"), (3, "x y"), (4, "")],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_dedup(df, threshold=0.0).collect() == []
