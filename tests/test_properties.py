@@ -140,22 +140,38 @@ def test_array_interpolators_equal_resample(spark):
     assert got == want
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=8, deadline=None)
 @given(
     st.lists(
-        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        st.lists(
+            st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=8,
+        ),
         min_size=1,
-        max_size=16,
+        max_size=6,
     )
 )
-def test_quantize_roundtrip_error_bound(vec):
-    # int8 quantization must reconstruct every element within scale/254
-    # (half a quantization step), codes within [-127, 127], for any vector
-    import math
+def test_quantize_roundtrip_error_bound(spark, vecs):
+    # THE OPERATOR (not a reimplementation) must reconstruct every element
+    # within scale/254 (half a quantization step) with codes in [-127, 127]
+    from pyspark.sql import functions as F
 
-    s = max(abs(x) for x in vec)
-    codes = [0 if s == 0 else math.floor(x * 127.0 / s + 0.5) for x in vec]
-    assert all(-127 <= c <= 127 for c in codes)
-    if s:
-        for x, c in zip(vec, codes):
-            assert abs(x - c * s / 127.0) <= s / 254.0 + 1e-9
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        quantize_embedding,
+    )
+
+    dim = min(len(v) for v in vecs)
+    rows = [(i, v[:dim]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    s, codes = quantize_embedding(F.col("embedding"))
+    got = df.select("vec_id", s.alias("s"), codes.alias("c")).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    for i, v in rows:
+        r = by_id[i]
+        assert all(-127 <= c <= 127 for c in r["c"])
+        if r["s"] == 0.0:
+            assert all(c == 0 for c in r["c"])
+        else:
+            for x, c in zip(v, r["c"]):
+                assert abs(x - c * r["s"] / 127.0) <= r["s"] / 254.0 + 1e-9

@@ -342,13 +342,22 @@ def quantize_embedding(vec: Column, bits: int = 8) -> tuple[Column, Column]:
     the oracle SQL reproduces ties bit-exactly on both engines. Zero
     vectors quantize to all-zero codes with scale 0.
     """
+    from time_series_and_data_lakes_spark.operators.dedup import let
+
     levels = (1 << (bits - 1)) - 1
     v = as_double(vec)
     s = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    codes = F.transform(
-        v,
-        lambda x: F.when(s == F.lit(0.0), F.lit(0).cast("bigint")).otherwise(
-            F.floor(x * F.lit(float(levels)) / s + F.lit(0.5))
+    # let-bind the scale: HOF lambdas run interpreted with no subexpression
+    # elimination, so referencing `s` directly inside the per-element
+    # lambda would recompute the array_max twice per element (O(dim^2)
+    # per row) — the exact pitfall operators/dedup.py::let documents.
+    codes = let(
+        s,
+        lambda sb: F.transform(
+            v,
+            lambda x: F.when(sb == F.lit(0.0), F.lit(0).cast("bigint")).otherwise(
+                F.floor(x * F.lit(float(levels)) / sb + F.lit(0.5))
+            ),
         ),
     )
     return s, codes

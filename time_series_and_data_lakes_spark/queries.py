@@ -1695,7 +1695,11 @@ ORACLES.update(PIPELINE_ORACLES)
 # ---------------------------------------------------------------------------
 
 _DRIVER_TAIL: list[str] = [
-    # driver-green in rounds 1 AND 2 (CORRECTNESS_r01/r02), unchanged since:
+    # Every entry here is driver-green in rounds 1 AND 2 (CORRECTNESS_r01/
+    # r02) and unchanged since. Queries green only in round 2 (the round-1
+    # events-loader bug errored the events-based ones: q1_sql_flagship,
+    # sessionize_events, asof_latest_order, g-series...) stay in the window
+    # until they carry two green rounds.
     "q2_interpolated_series",
     "q3_timeseries_roundtrip",
     "g2_measure_series",
@@ -1719,13 +1723,13 @@ _DRIVER_TAIL: list[str] = [
     "cube_pricing_matrix",
     "gap_report_sensors",
     "correlated_min_price_lines",
-    "sessionize_events",
-    "asof_latest_order",
     "tpch_q14_promo_effect",
     "tpch_q18_large_orders",
     "tpch_q10_returned_revenue",
-    "q1_sql_flagship",
     "tpch_q22_idle_rich_customers",
+    "tpch_q4_priority_with_returns",
+    "tpch_q5_region_revenue",
+    "tpch_q6_selective",
 ]
 
 

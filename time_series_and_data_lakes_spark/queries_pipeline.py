@@ -216,14 +216,21 @@ def pipe_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase expand on the fingerprint, still partial-aggregated
     map-side)."""
     docs = _load_docs(spark, sf_dir)
-    is_lang = X.predicted_lang(F.col("text")) == _FUNNEL_LANG
-    good = is_lang & (X.quality_score(F.col("text")) >= _FUNNEL_QUALITY)
-    fp = X.fingerprint(F.col("text"))
-    return docs.agg(
+    # Project the per-row features ONCE before aggregating: aggregate
+    # update expressions get no common-subexpression elimination, so
+    # embedding the HOF-heavy lang/quality expressions directly in the
+    # conditional aggregates would re-run them per aggregate per row.
+    feats = docs.select(
+        (X.predicted_lang(F.col("text")) == _FUNNEL_LANG).alias("__is_lang"),
+        (X.quality_score(F.col("text")) >= _FUNNEL_QUALITY).alias("__good_q"),
+        X.fingerprint(F.col("text")).alias("__fp"),
+    )
+    good = F.col("__is_lang") & F.col("__good_q")
+    return feats.agg(
         F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(is_lang, 1).otherwise(0)).cast("bigint").alias("n_lang"),
+        F.sum(F.when(F.col("__is_lang"), 1).otherwise(0)).cast("bigint").alias("n_lang"),
         F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias("n_quality"),
-        F.countDistinct(F.when(good, fp)).alias("n_representatives"),
+        F.countDistinct(F.when(good, F.col("__fp"))).alias("n_representatives"),
     )
 
 

@@ -335,8 +335,10 @@ def match_error_pattern_tws(
     the operator outright, so IF the session still has the default
     provider, it is switched to the (bundled) RocksDB provider — the one a
     production deployment wants anyway (per-key state off-heap/on-disk,
-    scales past executor memory). An explicitly configured provider is
-    respected and never overridden. NOTE this conf is session-scoped and
+    scales past executor memory). Any provider OTHER than the HDFS default
+    is respected and never overridden (an explicitly-set HDFS provider is
+    indistinguishable from the unset default and is upgraded too — it
+    cannot run this operator either way). NOTE this conf is session-scoped and
     read at query START: queries checkpointed earlier under a different
     provider must not be restarted in the same session afterwards (Spark
     forbids changing the provider across restarts)."""

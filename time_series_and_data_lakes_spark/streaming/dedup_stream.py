@@ -29,13 +29,13 @@ from pyspark.sql import functions as F
 
 def dedup_stream_by_id(
     stream: DataFrame,
-    id_cols: list[str] | None = None,
+    id_cols: list[str],
     time_col: str = "time",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Keep the first delivery of each id inside the watermark horizon."""
-    if id_cols is None:
-        id_cols = ["sensor_id", time_col]
+    """Keep the first delivery of each id inside the watermark horizon.
+    ``id_cols`` is required — like ``content_cols`` below, there is no
+    domain-neutral default."""
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         id_cols
     )
