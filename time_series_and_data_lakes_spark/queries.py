@@ -1686,42 +1686,32 @@ ORACLES.update(PIPELINE_ORACLES)
 
 # ---------------------------------------------------------------------------
 # Driver-gate rotation. The external correctness harness checks the FIRST 50
-# entries of this registry; rounds 1-2 verified the original head, so queries
-# appended later (ann_*/pipe_*/multimodal_*/text_winnow/tpch_q7-q21) never got
-# a driver row. Rotate long-stable 2x-green reference queries to the tail so
-# every not-yet-driver-verified query sits inside the 50-entry window. The
-# tail queries keep their catalog entries (and local DuckDB-oracle pytest
-# coverage in tests/test_oracle_queries.py); nothing is deleted.
+# entries of this registry; queries past entry 50 keep their catalog entries
+# and local DuckDB-oracle pytest coverage (tests/test_oracle_queries.py) but
+# get no driver row that round. Rotation policy (pinned by
+# tests/test_registry.py): an entry may sit in the tail ONLY if it is
+# driver-green in at least TWO rounds (or is approximate-by-design, where no
+# oracle row can ever exist); every query with fewer than two green rounds
+# must occupy a window slot until it banks its second green.
+#
+# Round-4 audit of CORRECTNESS_r01/r02/r03 (the round-3 tail wrongly claimed
+# r01+r02 greens for 13 entries that errored in round 1 under the events-
+# loader bug — ADVICE_r3 medium finding): the tail below now holds exactly
+# the >=2x-green entries plus the two approximate ones. The 13 entries green
+# only in round 2 (q2/q3/g2-g7/g4b/g5/rollup_cascade_stats/json_props_extract
+# /analytics_moving_window/gap_report_sensors) are back inside the window to
+# bank their second green alongside the 30 entries green only in round 3.
 # ---------------------------------------------------------------------------
 
 _DRIVER_TAIL: list[str] = [
-    # Every entry here is driver-green in rounds 1 AND 2 (CORRECTNESS_r01/
-    # r02) and unchanged since. Queries green only in round 2 (the round-1
-    # events-loader bug errored the events-based ones: q1_sql_flagship,
-    # sessionize_events, asof_latest_order, g-series...) stay in the window
-    # until they carry two green rounds.
-    "q2_interpolated_series",
-    "q3_timeseries_roundtrip",
-    "g2_measure_series",
-    "g3_raw_feed_ordered",
-    "g4_status_counts",
-    "g4b_status_case_pivot",
-    "g5_binned_percentiles",
-    "g5b_approx_percentiles",  # no_oracle by design (approximate)
-    "g6_top_sensors_recent_max",
-    "g7_per_sensor_interval_max",
+    # green r1+r2 (tail since round 3):
     "melt_narrow",
     "pivot_wide",
     "setops_priority_cohorts",
-    "rollup_cascade_stats",
-    "json_props_extract",
     "rollup_pricing_totals",
     "distinct_part_suppliers",
-    "approx_distinct_parts",  # no_oracle by design (approximate)
-    "analytics_moving_window",
     "semi_anti_customers",
     "cube_pricing_matrix",
-    "gap_report_sensors",
     "correlated_min_price_lines",
     "tpch_q14_promo_effect",
     "tpch_q18_large_orders",
@@ -1730,6 +1720,26 @@ _DRIVER_TAIL: list[str] = [
     "tpch_q4_priority_with_returns",
     "tpch_q5_region_revenue",
     "tpch_q6_selective",
+    # approximate by design — no exact oracle can exist; error-bounded by
+    # property tests (tests/test_properties.py) with exact driver-green twins:
+    "g5b_approx_percentiles",
+    "approx_distinct_parts",
+    # green r1+r2+r3, rotated out in round 4 to make room for the 13
+    # brought-back entries above:
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    # green r2+r3, rotated out in round 4:
+    "sessionize_events",
+    "asof_latest_order",
 ]
 
 
