@@ -281,6 +281,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via an inverted index — the
     ground-truth counterpart to the MinHash/SimHash approximations.
@@ -299,20 +300,27 @@ def ngram_jaccard_pairs(
     (common shingles no longer generate candidates, but still count toward
     union sizes, so reported jaccard is a lower bound); ``None`` keeps it
     exact and leans on AQE skew-join splitting.
+
+    Caching contract: with ``persist=True`` (default) the shingle base and
+    the pruned posting list are ``persist()``-ed and stay cached until the
+    caller clears them — the result is lazy, so this function cannot
+    unpersist them itself. Batch sessions that ``clearCache()`` between
+    queries (bench.py, the driver gate) get the intended behavior free;
+    long-lived sessions should either clear the cache after consuming the
+    result or pass ``persist=False`` to trade repeated sub-plan
+    re-computation for zero cache footprint.
     """
     # The shingle table feeds four consumers (both join sides + both size
     # lookups); without materialization each one re-scans the text and
     # re-builds the arrays. Persist the slim (id, shingles) projection once
     # (MEMORY_AND_DISK default — spills rather than OOMs at scale), exactly
     # as minhash_lsh_dedup does with its signature table.
-    base = (
-        spread_small(df)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            shingles_col(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .persist()
+    base = spread_small(df).select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
     )
+    if persist:
+        base = base.persist()
     sizes = base.select("doc_id", F.size("sh").alias("n"))
     post = base.select("doc_id", F.explode("sh").alias("shingle"))
     if max_df is not None:
@@ -321,13 +329,14 @@ def ngram_jaccard_pairs(
             F.broadcast(df_counts.filter(F.col("df") > max_df)),
             "shingle",
             "left_anti",
-        ).persist()
-        # Both sides of the self-join consume the pruned posting list;
-        # without materialization each side re-runs the df aggregation and
-        # the anti join (measured 2.7x slower at sf0.1). Like the base
-        # persist above, the cache lives until the caller's session clears
-        # it (bench.py/the driver gate clearCache between queries) — an
-        # eager unpersist here would run before the lazy result consumed it.
+        )
+        if persist:
+            # Both sides of the self-join consume the pruned posting list;
+            # without materialization each side re-runs the df aggregation
+            # and the anti join (measured 2.7x slower at sf0.1). See the
+            # caching contract in the docstring — an eager unpersist here
+            # would run before the lazy result consumed it.
+            post = post.persist()
     common = (
         post.alias("a")
         .join(post.alias("b"), on="shingle", how="inner")

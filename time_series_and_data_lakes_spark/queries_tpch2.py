@@ -674,8 +674,8 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         value.withColumn("_total", F.sum("value").over(Window.partitionBy()))
         .filter(F.col("value") * 1000 > F.col("_total"))
-        .select("l_partkey", F.col("value").cast("string").alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
+        .select("l_partkey", F.col("value").cast("string").alias("value"))
     )
 
 
@@ -688,10 +688,10 @@ WITH value AS (
   WHERE n_name = 'NATION_7'
   GROUP BY l_partkey
 )
-SELECT l_partkey, CAST(value AS VARCHAR) AS value
-FROM value
-WHERE value * 1000 > (SELECT sum(value) FROM value)
-ORDER BY CAST(value AS VARCHAR) DESC, l_partkey
+SELECT v.l_partkey, CAST(v.value AS VARCHAR) AS value
+FROM value v
+WHERE v.value * 1000 > (SELECT sum(value) FROM value)
+ORDER BY v.value DESC, v.l_partkey
 """
 
 

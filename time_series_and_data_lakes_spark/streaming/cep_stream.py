@@ -21,6 +21,7 @@ wall-clock timers, so replays stay deterministic).
 
 from __future__ import annotations
 
+import logging
 import math
 from collections.abc import Iterator
 from typing import Any
@@ -33,6 +34,8 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
+
+_LOG = logging.getLogger(__name__)
 
 CEP_OUTPUT_SCHEMA = T.StructType(
     [
@@ -350,6 +353,15 @@ def match_error_pattern_tws(
     )
     current = stream.sparkSession.conf.get(_PROVIDER_CONF, None)
     if current in (None, "", _HDFS_DEFAULT):
+        _LOG.warning(
+            "match_error_pattern_tws: switching session conf %s to the RocksDB "
+            "provider (transformWithState needs multi-column-family support). "
+            "This affects every streaming query STARTED later in this session; "
+            "do not restart a query checkpointed under the HDFS provider "
+            "afterwards — Spark forbids changing the provider across restarts. "
+            "Set the conf explicitly at session build to silence this warning.",
+            _PROVIDER_CONF,
+        )
         stream.sparkSession.conf.set(
             _PROVIDER_CONF,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
