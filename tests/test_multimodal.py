@@ -192,3 +192,114 @@ def test_jpeg_fill_bytes_and_terminal_markers():
     # SOS before any SOF: stop, don't misparse entropy-coded data
     sos_first = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00" + b"\xff\xc0zz"
     assert jpeg_dims(sos_first) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel codecs (round 4): BMP/PPM decode-resize-encode with actual pixels.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_decode_hand_built_literal():
+    # A complete 2x2 24-bpp BMP assembled BYTE BY BYTE from the format spec
+    # (file header, BITMAPINFOHEADER, bottom-up BGR rows, 4-byte padding) --
+    # independent of bmp_encode, so encoder and decoder can't share a bug.
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import bmp_decode
+
+    body = (
+        bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"  # bottom row: blue, white
+        + bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"    # top row: red, green
+    )
+    payload = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+    arr = bmp_decode(payload)
+    expected = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    assert (arr == expected).all()
+
+
+def test_bmp_ppm_roundtrip_and_topdown():
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        ppm_decode,
+        ppm_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (14, 16), (7, 10)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (bmp_decode(bmp_encode(arr)) == arr).all()
+        assert (ppm_decode(ppm_encode(arr)) == arr).all()
+    # top-down BMP (negative height) stores rows first-to-last
+    arr = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    p = bytearray(bmp_encode(arr[::-1]))  # encoder wrote arr[::-1] bottom-up = arr top-down
+    p[22:26] = struct.pack("<i", -2)
+    assert (bmp_decode(bytes(p)) == arr).all()
+    # PPM comments and multi-digit dims parse per the netpbm spec
+    ppm = b"P6\n# a comment\n10 2\n255\n" + bytes(10 * 2 * 3)
+    assert ppm_decode(ppm).shape == (2, 10, 3)
+
+
+def test_nn_resize_matches_bruteforce():
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import nn_resize
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
+    out = nn_resize(arr, 5, 4)
+    assert out.shape == (4, 5, 3)
+    for y in range(4):
+        for x in range(5):
+            assert (out[y, x] == arr[(y * 9) // 4, (x * 14) // 5]).all()
+    assert (nn_resize(arr, 14, 9) == arr).all()  # identity
+
+
+def test_resize_media_transcodes_real_pixels(spark):
+    # End to end through Spark: bmp and ppm payloads come back RESIZED WITH
+    # REAL PIXELS -- every output pixel equals the nearest-neighbor source
+    # pixel, bit-exact, via the public media API.
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        nn_resize,
+        pixel_stats,
+        ppm_decode,
+        ppm_encode,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(17)
+    big = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bmp_encode(big), ("s3", "bmp")),
+        (2, "image", ppm_encode(big), ("s3", "ppm")),
+        (3, "image", bmp_encode(small), ("s3", "bmp")),  # already fits: untouched
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resize_media(df, max_width=8, max_height=8).collect()}
+    # (16, 12) fit into (8, 8): w*mh=128 > h*mw=96 -> nw=8, nh=(12*8)//16=6
+    expected = nn_resize(big, 8, 6)
+    assert (bmp_decode(bytes(got[1]["payload"])) == expected).all()
+    assert (ppm_decode(bytes(got[2]["payload"])) == expected).all()
+    assert bytes(got[3]["payload"]) == bmp_encode(small)
+    stats = {r["media_id"]: r for r in pixel_stats(resize_media(df, max_width=8, max_height=8)).collect()}
+    assert (stats[1]["width"], stats[1]["height"]) == (8, 6)
+    assert stats[1]["pixel_sum"] == int(expected.sum(dtype=np.int64))
+    assert stats[2]["pixel_sum"] == int(expected.sum(dtype=np.int64))
+    assert stats[3]["pixel_sum"] == int(small.sum(dtype=np.int64))

@@ -63,6 +63,8 @@ UNDER_VERIFIED = {
     "pipe_knn_label_vote_ivf",
     "pipe_mix_weights",
     "pipe_quality_funnel",
+    # added round 4 (no driver row yet):
+    "multimodal_resize_pixels",
 }
 
 

@@ -3,18 +3,25 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is real and tested — schema contract, typed
 metadata struct, partition-preserving batch iteration, bounded batch sizes.
-The codec layer has two real paths and one stub:
+The codec layer has three real tiers and one stub:
 
+- ``bmp`` / ``ppm``: REAL PIXEL codecs (:func:`bmp_decode` /
+  :func:`bmp_encode` / :func:`ppm_decode` / :func:`ppm_encode` — 24-bpp
+  BI_RGB Windows BMP and binary P6 PPM, pure numpy/struct). These are the
+  two raster containers fully implementable without PIL, so
+  :func:`resize_media` performs an actual pixel transcode
+  (:func:`nn_resize`, integer nearest-neighbor) for them.
 - ``png`` / ``jpeg`` / ``gif``: REAL stdlib-only container parsing
   (:func:`png_dims` / :func:`jpeg_dims` / :func:`gif_dims` — PNG IHDR,
-  JPEG SOF marker scan, GIF logical-screen descriptor). No PIL needed for
-  dimension metadata; pixel decode (which WOULD need PIL/ffmpeg, absent in
-  this container) still raises ``NotImplementedError`` further down the
-  pipeline where pixels would be touched.
+  JPEG SOF marker scan, GIF logical-screen descriptor). Dimension metadata
+  is genuine; PIXEL decode of these entropy-coded formats needs
+  PIL/zlib-inflate+defilter/ffmpeg and raises ``NotImplementedError``
+  where pixels would be touched.
 - ``tsdl-fake``: deterministic fake header layout for oracle-gated tests.
 - anything else (audio/video codecs): explicit ``NotImplementedError``.
 
-Swapping in PIL/ffmpeg later changes only ``_decode_payload``.
+Swapping in PIL/ffmpeg later changes only ``_decode_payload`` /
+``_transcode_resize``.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through Python
 without materializing a partition; ``spark.sql.execution.arrow.
@@ -30,6 +37,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -126,6 +134,127 @@ def gif_dims(payload: bytes) -> tuple[int, int]:
     return (w, h)
 
 
+# --------------------------------------------------------------------------
+# Real pixel codecs: 24-bpp BI_RGB BMP and binary P6 PPM. Both formats are
+# uncompressed rasters, so a complete, bit-exact implementation fits in pure
+# numpy/struct — no PIL. Arrays are (height, width, 3) uint8 RGB, row 0 = top.
+# --------------------------------------------------------------------------
+
+_BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_stride(width: int) -> int:
+    """BMP rows are padded to 4-byte boundaries (24 bpp -> 3 bytes/px)."""
+    return (width * 3 + 3) // 4 * 4
+
+
+def bmp_encode(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bpp uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, 4-byte row padding — the baseline
+    layout every BMP reader accepts)."""
+    h, w, _ = arr.shape
+    stride = _bmp_stride(w)
+    buf = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up rows, RGB -> BGR
+    buf[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    body = buf.tobytes()
+    file_header = b"BM" + struct.pack("<IHHI", _BMP_HEADER_BYTES + len(body), 0, 0, _BMP_HEADER_BYTES)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
+
+
+def bmp_decode(payload: bytes) -> "np.ndarray":
+    """24-bpp uncompressed BMP -> (h, w, 3) uint8 RGB. Handles both
+    bottom-up (positive height, the norm) and top-down (negative height)
+    row orders; other bit depths / BI_RLE compression raise."""
+    if payload[:2] != b"BM" or len(payload) < _BMP_HEADER_BYTES:
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack("<I", payload[10:14])
+    _, w, h, _, bpp, compression = struct.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bpp BI_RGB supported (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = _bmp_stride(w)
+    buf = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=pixel_off)
+    img = buf.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def ppm_encode(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> binary P6 PPM, maxval 255."""
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def ppm_decode(payload: bytes) -> "np.ndarray":
+    """Binary P6 PPM -> (h, w, 3) uint8 RGB. Tokenized header parse per the
+    netpbm spec: magic, width, height, maxval as whitespace-separated
+    tokens with '#' comments; raster starts one whitespace byte after
+    maxval."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and payload[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    i += 1  # single whitespace byte after maxval, then raster
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i).reshape(h, w, 3).copy()
+
+
+def ppm_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from the P6 header; (0, 0) on a non-PPM payload."""
+    try:
+        arr = ppm_decode(bytes(payload))
+    except (ValueError, IndexError):
+        return (0, 0)
+    return (arr.shape[1], arr.shape[0])
+
+
+def bmp_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from the BITMAPINFOHEADER; (0, 0) on a non-BMP payload."""
+    if payload[:2] != b"BM" or len(payload) < 32:
+        return (0, 0)
+    _, w, h = struct.unpack("<Iii", payload[14:26])
+    return (w, abs(h))
+
+
+def nn_resize(arr: "np.ndarray", new_w: int, new_h: int) -> "np.ndarray":
+    """Nearest-neighbor resample with floor index mapping
+    (``src = (dst * src_len) // dst_len``) — pure integer arithmetic, so a
+    SQL oracle can reproduce every output pixel exactly. Identity when the
+    target equals the source shape."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return np.ascontiguousarray(arr[ys][:, xs])
+
+
+_PIXEL_CODECS = {
+    "bmp": (bmp_decode, bmp_encode),
+    "ppm": (ppm_decode, ppm_encode),
+}
+
+
 def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
     """Container-header decode. PNG/JPEG/GIF dimension parsing is REAL
     (stdlib struct over the container layout — see png_dims/jpeg_dims/
@@ -145,6 +274,12 @@ def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
         return (w, h, 1 if w else 0)
     if codec == "gif":
         w, h = gif_dims(bytes(payload))
+        return (w, h, 1 if w else 0)
+    if codec == "bmp":
+        w, h = bmp_dims(bytes(payload))
+        return (w, h, 1 if w else 0)
+    if codec == "ppm":
+        w, h = ppm_dims(bytes(payload))
         return (w, h, 1 if w else 0)
     raise NotImplementedError(
         f"codec {codec!r}: pixel/AV decoders (PIL/ffmpeg/soundfile) are stubbed out"
@@ -214,29 +349,85 @@ def _resize_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
     return max_w, (h * max_w) // w
 
 
+def _transcode_resize(payload: bytes, codec: str, max_width: int, max_height: int) -> bytes:
+    """One payload through the aspect-fit resize. ``bmp``/``ppm`` get a REAL
+    pixel transcode (decode -> :func:`nn_resize` -> re-encode, same codec);
+    ``tsdl-fake`` gets the header rewrite; entropy-coded formats
+    (png/jpeg/gif) and AV codecs need PIL/ffmpeg and raise."""
+    if codec in _PIXEL_CODECS:
+        decode, encode = _PIXEL_CODECS[codec]
+        arr = decode(bytes(payload))
+        h, w = arr.shape[:2]
+        nw, nh = _resize_dims(w, h, max_width, max_height)
+        if (nw, nh) == (w, h):
+            return bytes(payload)
+        return encode(nn_resize(arr, nw, nh))
+    if codec == "tsdl-fake":
+        w, h, f = _decode_payload(payload, codec)
+        nw, nh = _resize_dims(w, h, max_width, max_height)
+        return _MAGIC + struct.pack(_HEADER, nw, nh, f) + bytes(payload[10:])
+    raise NotImplementedError(
+        f"resize of codec {codec!r} requires a pixel transcoder (PIL/ffmpeg)"
+    )
+
+
 def resize_media(df: DataFrame, max_width: int = 640, max_height: int = 480) -> DataFrame:
-    """Stub resize: re-pack the payload header with aspect-fit dimensions
-    (body bytes pass through untouched — a real codec would transcode here;
-    only ``_resize_dims`` + the header rewrite are the stub). Output is the
-    same media schema, so resizes chain with decode/feature/frame ops."""
+    """Aspect-fit resize over the media schema. For the ``bmp``/``ppm``
+    pixel codecs this is a real transcode — pixels are decoded, resampled
+    with integer nearest-neighbor, and re-encoded; for ``tsdl-fake`` only
+    the header is rewritten (body bytes pass through). Output is the same
+    media schema, so resizes chain with decode/feature/frame ops."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
-                if c != "tsdl-fake":
-                    # real-format resize is a pixel transcode -> needs PIL
-                    raise NotImplementedError(
-                        f"resize of codec {c!r} requires a pixel transcoder"
-                    )
-                w, h, f = _decode_payload(p, c)
-                nw, nh = _resize_dims(w, h, max_width, max_height)
-                payloads.append(_MAGIC + struct.pack(_HEADER, nw, nh, f) + bytes(p[10:]))
             out = pdf.copy()
-            out["payload"] = payloads
+            out["payload"] = [
+                _transcode_resize(p, c, max_width, max_height)
+                for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
+            ]
             yield out
 
     return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """Decode ``bmp``/``ppm`` payloads to pixels and emit per-media readouts
+    (dimensions, uint8 pixel sum, encoded byte length). The pixel sum is a
+    full-content check: any wrong byte anywhere in decode/resize/encode
+    shifts it, and it is reproducible in a SQL oracle when the pixels are a
+    pure function of the media id."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, sums, sizes = [], [], [], []
+            for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
+                arr = _PIXEL_CODECS[c][0](bytes(p))
+                widths.append(arr.shape[1])
+                heights.append(arr.shape[0])
+                sums.append(int(arr.sum(dtype=np.int64)))
+                sizes.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:

@@ -1737,9 +1737,11 @@ _DRIVER_TAIL: list[str] = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
-    # green r2+r3, rotated out in round 4:
+    # green r2+r3, rotated out in round 4 (range_join makes room for the
+    # new multimodal_resize_pixels gate):
     "sessionize_events",
     "asof_latest_order",
+    "range_join_cep_context",
 ]
 
 

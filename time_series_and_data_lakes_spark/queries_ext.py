@@ -788,6 +788,112 @@ FROM dims
 """
 
 
+# Real-pixel resize gate: small formula images so the DuckDB oracle can
+# replay every output pixel over a generate_series grid. Dims 4..16 x 4..14
+# straddle the 10x7 fit box, so both the identity and the resample paths run.
+_PIX_MAX_W, _PIX_MAX_H = 10, 7
+
+
+def _pixel_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media rows carrying REAL encoded rasters (even doc_id →
+    24-bpp BMP, odd → binary P6 PPM). Pixel (y, x, c) of doc d is
+    ``(d*7 + x*5 + y*3 + c) % 256`` — a pure function of the id, so the
+    decode→resize→encode chain is value-checkable end to end."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        bmp_encode,
+        ppm_encode,
+    )
+
+    docs = _load_docs(spark, sf_dir).select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 4 + d % 11
+                xs, ys, cs = np.arange(w), np.arange(h), np.arange(3)
+                arr = (
+                    (d * 7 + xs[None, :, None] * 5 + ys[:, None, None] * 3 + cs[None, None, :]) % 256
+                ).astype(np.uint8)
+                codec = "bmp" if d % 2 == 0 else "ppm"
+                payloads.append(bmp_encode(arr) if codec == "bmp" else ppm_encode(arr))
+                metas.append({"source": "docs", "codec": codec})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel transcode gate: encode formula rasters (BMP + PPM), resize
+    through the integer nearest-neighbor resampler
+    (operators/multimodal.py::resize_media → nn_resize), decode the resized
+    payload back, and read out dimensions + the uint8 pixel sum + encoded
+    byte length. The oracle replays the pixel formula over the resampled
+    index grid in SQL, so every byte of decode/resample/re-encode is
+    value-gated — no codec library involved."""
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        pixel_stats,
+        resize_media,
+    )
+
+    resized = resize_media(
+        _pixel_media(spark, sf_dir), max_width=_PIX_MAX_W, max_height=_PIX_MAX_H
+    )
+    return pixel_stats(resized).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "pixel_sum",
+        "n_bytes",
+    )
+
+
+MULTIMODAL_RESIZE_PIXELS_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
+), fit AS (
+  SELECT doc_id, w, h,
+    CASE WHEN w <= {_PIX_MAX_W} AND h <= {_PIX_MAX_H} THEN w
+         WHEN w * {_PIX_MAX_H} <= h * {_PIX_MAX_W} THEN (w * {_PIX_MAX_H}) // h
+         ELSE {_PIX_MAX_W} END AS nw,
+    CASE WHEN w <= {_PIX_MAX_W} AND h <= {_PIX_MAX_H} THEN h
+         WHEN w * {_PIX_MAX_H} <= h * {_PIX_MAX_W} THEN {_PIX_MAX_H}
+         ELSE (h * {_PIX_MAX_W}) // w END AS nh
+  FROM dims
+), px AS (
+  SELECT f.doc_id,
+         (f.doc_id * 7 + ((dx.x * f.w) // f.nw) * 5
+          + ((dy.y * f.h) // f.nh) * 3 + c.c) % 256 AS val
+  FROM fit f
+  JOIN range(0, {_PIX_MAX_W}) AS dx(x) ON dx.x < f.nw
+  JOIN range(0, {_PIX_MAX_H}) AS dy(y) ON dy.y < f.nh
+  JOIN range(0, 3) AS c(c) ON TRUE
+), sums AS (
+  SELECT doc_id, CAST(sum(val) AS BIGINT) AS pixel_sum FROM px GROUP BY doc_id
+)
+SELECT f.doc_id, f.nw AS width, f.nh AS height, s.pixel_sum,
+  CASE WHEN f.doc_id % 2 = 0
+       THEN 54 + f.nh * ((f.nw * 3 + 3) // 4 * 4)
+       ELSE 9 + length(CAST(f.nw AS VARCHAR)) + length(CAST(f.nh AS VARCHAR))
+            + 3 * f.nw * f.nh END AS n_bytes
+FROM fit f JOIN sums s USING (doc_id)
+"""
+
+
 def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization readout: scale, integer code checksum,
     and the max dequantization error — one corpus scan of pure array HOFs
@@ -864,6 +970,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_resize_pixels": multimodal_resize_pixels,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -885,4 +992,5 @@ EXT_ORACLES: dict[str, str] = {
     "multimodal_decode_stats": MULTIMODAL_ORACLE,
     "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
+    "multimodal_resize_pixels": MULTIMODAL_RESIZE_PIXELS_ORACLE,
 }
