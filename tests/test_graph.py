@@ -64,3 +64,23 @@ def test_property_random_graphs_match_brute_force(spark):
         ]
         edges = [(a, b) for a, b in edges if a != b]
         assert _labels(spark, edges) == _brute_components(edges), trial
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    # VERDICT_r3 hardening: checkpoint_dir= switches lineage truncation to
+    # the reliable store (df.checkpoint); labels must be identical to the
+    # default localCheckpoint mode, and checkpoint files must actually land.
+    import os
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2"), ("p2", "q")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = sorted(map(tuple, connected_components(df).collect()))
+    ckpt = str(tmp_path / "cc_ckpt")
+    reliable = sorted(
+        map(tuple, connected_components(df, checkpoint_dir=ckpt).collect())
+    )
+    assert reliable == local
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable mode wrote no checkpoint files"

@@ -370,3 +370,27 @@ def test_minhash_sub_shingle_docs_no_pairs_no_error(spark):
         "doc_id long, text string",
     )
     assert minhash_lsh_dedup(df, threshold=0.0).collect() == []
+
+
+def test_kmeans_reliable_checkpoint_matches_local(spark, tmp_path):
+    from time_series_and_data_lakes_spark.operators.similarity import kmeans_centroids
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.1]),
+        (1, [0.0, 1.0, 0.1, 0.0]),
+        (2, [0.9, 0.0, 0.0, 0.2]),
+        (3, [1.1, 0.1, 0.0, 0.0]),
+        (4, [0.0, 0.9, 0.2, 0.0]),
+        (5, [0.1, 1.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = df.filter(F.col("vec_id") < 2)
+    local = {r["vec_id"]: r["embedding"] for r in kmeans_centroids(df, init, iters=2, dim=4).collect()}
+    reliable = {
+        r["vec_id"]: r["embedding"]
+        for r in kmeans_centroids(
+            df, init, iters=2, dim=4, checkpoint_dir=str(tmp_path / "km_ckpt")
+        ).collect()
+    }
+    # DECIMAL-exact sums -> bit-identical centroids in both modes
+    assert reliable == local

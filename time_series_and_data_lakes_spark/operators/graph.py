@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -61,21 +63,27 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node of the (undirected) edge set with its component's
     minimum node id. Returns ``(node, component)``, one row per node that
     appears in ``edges``; ordering of node ids is the column type's natural
     order (lexicographic for string ids).
+
+    ``checkpoint_dir`` switches the per-round lineage truncation from
+    ``localCheckpoint`` (executor blocks — fast, but an executor loss
+    mid-iteration kills the job) to reliable checkpointing into that
+    directory; see :func:`.checkpointing.truncate_lineage`.
     """
-    e = (
+    e = truncate_lineage(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     prev: tuple | None = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = truncate_lineage(_small_star(_large_star(e)), checkpoint_dir)
         # order-independent fingerprint of the edge set (edges are distinct,
         # so xor never cancels duplicates); ANSI-safe unlike a long sum
         sig_row = e.agg(

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -188,6 +190,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means trainer for the IVF coarse quantizer (the production
     replacement for :func:`ivf_topk`'s pluggable centroid set).
@@ -208,6 +211,9 @@ def kmeans_centroids(
 
     At 100 TB: cost is iters × (one corpus scan + one k×dim-sized shuffle);
     driver holds nothing — centroids move between iterations as a broadcast.
+    ``checkpoint_dir`` switches per-iteration lineage truncation from
+    ``localCheckpoint`` to the executor-loss-resilient reliable store
+    (:func:`.checkpointing.truncate_lineage`).
     """
     n = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
@@ -252,16 +258,18 @@ def kmeans_centroids(
                 lambda t: t["sv"].cast("double") / t["cnt"],
             ).alias("ncv")
         )
-        cent = (
-            cent.join(new, "cid", "left")
-            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
+        cent = truncate_lineage(
+            cent.join(new, "cid", "left").select(
+                "cid", F.coalesce("ncv", "cv").alias("cv")
+            ),
             # k rows; truncating lineage per iteration keeps the next
             # iteration's plan constant-size — without it the assignment
             # expression nests the whole previous iteration and analysis/
             # codegen cost grows superlinearly in iters (measured 1.5 s for
             # 1 iter but 4.3 s for 2 at sf0.1). Same discipline as
-            # operators/graph.py connected components.
-            .localCheckpoint()
+            # operators/graph.py connected components; checkpoint_dir opts
+            # into the executor-loss-resilient reliable store.
+            checkpoint_dir,
         )
     return cent.select(F.col("cid").alias(id_col), F.col("cv").alias(vec_col))
 
