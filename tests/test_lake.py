@@ -203,3 +203,39 @@ def test_events_loader_adapts_nanos_long_generation(spark, tmp_path):
 
     vals = [r["us"] for r in got.select(F.unix_micros("ts").alias("us")).orderBy("event_id").collect()]
     assert vals == micros  # nanos floor to micros, sub-micro digits dropped
+
+
+def test_parquet_footer_max_matches_scan_and_falls_back(spark, tmp_path):
+    """sources/stats.py: the footer max equals a real scan's max; files
+    written without statistics return None (scan fallback), and the
+    anchored-query helper respects that contract."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from time_series_and_data_lakes_spark.sources.stats import (
+        parquet_footer_max_micros,
+    )
+
+    ts = [
+        dt.datetime(2024, 3, 1, 12, 0, 0, 123456),
+        dt.datetime(2024, 2, 1, 0, 0, 0),
+        dt.datetime(2024, 3, 5, 23, 59, 59, 999999),
+    ]
+    table = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    p = str(tmp_path / "with_stats.parquet")
+    pq.write_table(table, p)
+    expected = int(max(ts).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert parquet_footer_max_micros(p, "ts") == expected
+    # nanosecond unit floors to micros like queries.load does
+    table_ns = pa.table({"ts": pa.array(ts, type=pa.timestamp("ns"))})
+    p_ns = str(tmp_path / "ns.parquet")
+    pq.write_table(table_ns, p_ns, store_schema=False)
+    assert parquet_footer_max_micros(p_ns, "ts") == expected
+    # no statistics -> None, never a guess
+    p_nostats = str(tmp_path / "nostats.parquet")
+    pq.write_table(table, p_nostats, write_statistics=False)
+    assert parquet_footer_max_micros(p_nostats, "ts") is None
+    # missing column -> None
+    assert parquet_footer_max_micros(p, "nope") is None

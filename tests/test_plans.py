@@ -366,3 +366,12 @@ def test_q20_one_fact_scan_semi_join(spark, sf_dir):
     assert _nodes(plan, "Scan parquet") == 3  # lineitem, part, supplier
     assert _nodes(plan, "Window") == 1
     assert "LeftSemi" in plan
+
+
+def test_anchored_queries_scan_events_once(spark, sf_dir):
+    # VERDICT_r3 item 4: the ago() anchor comes from parquet footer
+    # statistics (sources/stats.py), so the anchored queries touch the
+    # events table exactly once — no aggregate pre-scan.
+    for q in (Q.q3_timeseries_roundtrip, Q.g6_top_sensors_recent_max):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("events.parquet") == 1, q.__name__

@@ -82,14 +82,39 @@ def sensor_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _anchored(df: DataFrame, time_col: str, lookback: str) -> DataFrame:
+def _events_anchor(sf_dir: str):
+    """max(ts) of the events table resolved from parquet FOOTER statistics —
+    a metadata-only driver-side read (no Spark job, no table scan), the way
+    an ``ago()`` anchor should come off a 100 TB table. Epoch-micros footer
+    max is converted with the same floor truncation ``load`` applies to the
+    data, so it equals ``max(time)`` of the loaded frame exactly. Returns
+    ``None`` when any row group lacks statistics (``_anchored`` then falls
+    back to its aggregate pre-scan)."""
+    from time_series_and_data_lakes_spark.sources.stats import (
+        parquet_footer_max_micros,
+    )
+
+    micros = parquet_footer_max_micros(f"{sf_dir}/events.parquet", "ts")
+    if micros is None:
+        return None
+    return F.timestamp_micros(F.lit(micros))
+
+
+def _anchored(df: DataFrame, time_col: str, lookback: str, anchor=None) -> DataFrame:
     """``time >= ago(lookback)`` with now() anchored at max(time) (P5).
 
-    The 1-row anchor aggregate is broadcast so the filter costs no shuffle.
+    With ``anchor`` (a literal timestamp Column, e.g. from
+    :func:`_events_anchor`'s footer statistics) the filter is a plain
+    literal predicate — ONE scan of the table, pushdown-eligible. Without
+    it, a 1-row anchor aggregate pre-scans the table and is broadcast so
+    the filter costs no shuffle (correct for any DataFrame, but pays a
+    second scan — the fallback when footer statistics are unavailable).
     """
-    anchor = df.agg(F.max(time_col).alias("__now"))
+    if anchor is not None:
+        return df.filter(F.col(time_col) >= anchor - F.expr(lookback))
+    agg = df.agg(F.max(time_col).alias("__now"))
     return (
-        df.crossJoin(F.broadcast(anchor))
+        df.crossJoin(F.broadcast(agg))
         .filter(F.col(time_col) >= F.col("__now") - F.expr(lookback))
         .drop("__now")
     )
@@ -251,7 +276,10 @@ FROM interp
 
 
 def q3_timeseries_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    obs = _anchored(sensor_obs(spark, sf_dir), "time", "INTERVAL 7 DAYS")
+    obs = _anchored(
+        sensor_obs(spark, sf_dir), "time", "INTERVAL 7 DAYS",
+        anchor=_events_anchor(sf_dir),
+    )
     ts = create_time_series(obs, keys=["sensor_id"], time_col="time", value_col="temperature")
     return unnest_time_series(ts, "ts", time_name="time", value_name="temperature").select(
         "sensor_id", "time", "temperature"
@@ -324,7 +352,10 @@ GROUP BY 1 ORDER BY time_bin DESC
 def g6_top_sensors_recent_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `grafana…json:518`: per-sensor MAX over time BETWEEN ago(10s) AND now(),
     # ORDER BY latest desc (+ deterministic key tie-break, LIMIT 10 ≡ O2+O4).
-    obs = _anchored(sensor_obs(spark, sf_dir), "time", "INTERVAL 10 DAYS")
+    obs = _anchored(
+        sensor_obs(spark, sf_dir), "time", "INTERVAL 10 DAYS",
+        anchor=_events_anchor(sf_dir),
+    )
     return (
         obs.groupBy("sensor_id")
         .agg(F.max("temperature").alias("max_temperature"))
