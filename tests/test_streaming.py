@@ -522,3 +522,82 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_kafka_reader_option_contract():
+    """VERDICT_r3 item 8: pin what can be pinned without a broker — the
+    full option map the connector reader is built with. Subscribe target,
+    the LATEST default start position (reference notebook.txt:15), pass-
+    through throttling, and caller override of startingOffsets. The actual
+    subscribe/offset semantics need a real broker + connector jar (absent
+    in this container) and are exercised only on a real deployment."""
+    from time_series_and_data_lakes_spark.streaming.ingest import (
+        kafka_reader_options,
+    )
+
+    assert kafka_reader_options("sensor-readings") == {
+        "subscribe": "sensor-readings",
+        "startingOffsets": "latest",
+    }
+    opts = kafka_reader_options(
+        "sensor-readings",
+        {
+            "kafka.bootstrap.servers": "broker:9092",
+            "maxOffsetsPerTrigger": "10000",
+        },
+    )
+    assert opts["subscribe"] == "sensor-readings"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    # explicit caller choice wins over the default
+    assert (
+        kafka_reader_options("t", {"startingOffsets": "earliest"})["startingOffsets"]
+        == "earliest"
+    )
+
+
+def test_kafka_decode_drops_tombstones_and_garbage(spark, tmp_path):
+    """Tombstone (NULL value) records — Kafka's delete markers on compacted
+    topics — and non-JSON bytes must be dropped by the decode stage, not
+    crash the stream or emit all-NULL rows. Runs as a real streaming query
+    over a recorded Kafka-envelope fixture."""
+    from time_series_and_data_lakes_spark.streaming.ingest import (
+        KAFKA_SOURCE_SCHEMA,
+        decode_kafka_json,
+    )
+
+    rows = sensor_readings(seed=23, sensors=3, span_seconds=30)
+    good = [
+        (
+            str(r["sensor_id"]).encode(),
+            json.dumps(r).encode(),
+            "sensor-readings",
+            0,
+            i,
+            dt.datetime(2024, 1, 1, 0, 0, i % 60),
+            0,
+        )
+        for i, r in enumerate(rows)
+    ]
+    bad = [
+        (b"sensor-01", None, "sensor-readings", 0, 9001, dt.datetime(2024, 1, 1), 0),
+        (b"sensor-02", None, "sensor-readings", 1, 9002, dt.datetime(2024, 1, 1), 0),
+        (b"sensor-03", b"\xff\x00 not json", "sensor-readings", 0, 9003, dt.datetime(2024, 1, 1), 0),
+    ]
+    src = str(tmp_path / "kafka_tombstones")
+    spark.createDataFrame(good + bad, KAFKA_SOURCE_SCHEMA).coalesce(1).write.parquet(src)
+
+    raw = spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(src)
+    q = (
+        decode_kafka_json(raw)
+        .writeStream.format("memory")
+        .queryName("kafka_clean")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("kafka_clean").collect()
+    assert len(got) == len(rows)  # every valid record, nothing else
+    assert all(r["sensor_id"] is not None for r in got)

@@ -46,14 +46,48 @@ KAFKA_SOURCE_SCHEMA = T.StructType(
 )
 
 
+def kafka_reader_options(
+    topic: str,
+    kafka_options: dict[str, str] | None = None,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """Final option map for the Kafka connector reader.
+
+    ``startingOffsets`` defaults to ``latest`` — the reference's ``LATEST``
+    Kinesis start position (`notebook.txt:15`); on restart the checkpoint
+    wins, as with Kinesis. Throughput throttling goes through
+    ``kafka_options={"maxOffsetsPerTrigger": N}`` (the distributed-log
+    analogue of the file source's ``maxFilesPerTrigger``). Anything in
+    ``kafka_options`` overrides the defaults, so an explicit
+    ``startingOffsets`` from the caller is respected.
+
+    Split out from :func:`read_json_stream` so the option plumbing is
+    pinnable by tests: this container has no broker and no connector jar,
+    so subscribe/offset semantics beyond the option contract can only be
+    exercised on a real deployment (documented gap)."""
+    opts = {"subscribe": topic, "startingOffsets": starting_offsets}
+    opts.update(kafka_options or {})
+    return opts
+
+
 def decode_kafka_json(raw: DataFrame, schema=SENSOR_READING_SCHEMA) -> DataFrame:
     """Kafka envelope → typed wide records: parse the JSON ``value`` bytes
     against ``schema`` and attach the PROCTIME column — the same output
     contract as the file-source path, so everything downstream (melt, sink,
     CEP) is source-agnostic. Works on streaming and batch frames (tests
-    feed a Kafka-shaped parquet stream through it — no broker needed)."""
+    feed a Kafka-shaped parquet stream through it — no broker needed).
+
+    Tombstones (``value IS NULL`` — Kafka's delete markers on compacted
+    topics) and records whose bytes do not decode to a JSON object carrying
+    the record's identity fields (``from_json`` is PERMISSIVE: malformed
+    input yields an all-NULL struct, not a NULL) are DROPPED, not crashed
+    on and not emitted as all-NULL rows: an ingest pipeline must survive a
+    compaction pass or a rogue producer."""
+    key_field = schema.fields[0].name  # the record key (sensor_id)
     return (
-        raw.select(F.from_json(F.col("value").cast("string"), schema).alias("r"))
+        raw.filter(F.col("value").isNotNull())
+        .select(F.from_json(F.col("value").cast("string"), schema).alias("r"))
+        .filter(F.col(f"r.{key_field}").isNotNull())
         .select("r.*")
         .withColumn("ptime", F.current_timestamp())
     )
@@ -102,8 +136,8 @@ def read_json_stream(
                 "max_files_per_trigger is a file-source knob; throttle the "
                 "kafka source with kafka_options={'maxOffsetsPerTrigger': N}"
             )
-        reader = spark.readStream.format("kafka").option("subscribe", source)
-        for k, v in (kafka_options or {}).items():
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_reader_options(source, kafka_options).items():
             reader = reader.option(k, v)
         return decode_kafka_json(reader.load(), schema)
     reader = spark.readStream.schema(schema)
