@@ -25,11 +25,22 @@ def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFr
     """Materialize ``df`` and return a plan-root replacement for it.
 
     ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-memory blocks);
-    a directory → reliable ``checkpoint`` into it. The directory is set on
-    the SparkContext (Spark keeps one checkpoint root per context; each
-    ``setCheckpointDir`` call makes a fresh UUID subdirectory, so repeated
-    calls never collide)."""
+    a directory → reliable ``checkpoint`` into it. The SparkContext keeps
+    one checkpoint root per application: it is set from ``checkpoint_dir``
+    only when no root is set yet (each ``setCheckpointDir`` call would mint
+    a fresh UUID subdirectory — calling it per iteration would scatter the
+    run across directories), and an already-configured root wins over the
+    argument.
+
+    Reliable checkpoints persist in the store until cleaned: an iterative
+    caller accumulates one dataset-sized checkpoint per iteration. Spark's
+    own cleanup mechanism covers this — launch long jobs with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    startup-time conf) and superseded iterations are deleted as their RDDs
+    go out of scope; otherwise clear the directory after the job."""
     if checkpoint_dir is None:
         return df.localCheckpoint()
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint()

@@ -191,11 +191,10 @@ def ppm_encode(arr: "np.ndarray") -> bytes:
     return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
 
 
-def ppm_decode(payload: bytes) -> "np.ndarray":
-    """Binary P6 PPM -> (h, w, 3) uint8 RGB. Tokenized header parse per the
-    netpbm spec: magic, width, height, maxval as whitespace-separated
-    tokens with '#' comments; raster starts one whitespace byte after
-    maxval."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the P6 header per the netpbm spec — magic, width, height,
+    maxval as whitespace-separated tokens with '#' comments — WITHOUT
+    touching the raster. Returns (width, height, maxval, raster_offset)."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     tokens: list[int] = []
@@ -214,20 +213,29 @@ def ppm_decode(payload: bytes) -> "np.ndarray":
                 j += 1
             tokens.append(int(payload[i:j]))
             i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated P6 header")
     w, h, maxval = tokens
+    return w, h, maxval, i + 1  # one whitespace byte after maxval, then raster
+
+
+def ppm_decode(payload: bytes) -> "np.ndarray":
+    """Binary P6 PPM -> (h, w, 3) uint8 RGB."""
+    w, h, maxval, off = _ppm_header(payload)
     if maxval != 255:
         raise NotImplementedError("only maxval=255 PPM supported")
-    i += 1  # single whitespace byte after maxval, then raster
-    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i).reshape(h, w, 3).copy()
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=off).reshape(h, w, 3).copy()
 
 
 def ppm_dims(payload: bytes) -> tuple[int, int]:
-    """Width/height from the P6 header; (0, 0) on a non-PPM payload."""
+    """Width/height from the P6 header only — O(header) like the other
+    ``*_dims`` helpers, no raster read (so a truncated raster still reports
+    its header dims, matching BMP behavior); (0, 0) on a non-PPM payload."""
     try:
-        arr = ppm_decode(bytes(payload))
+        w, h, _, _ = _ppm_header(bytes(payload))
     except (ValueError, IndexError):
         return (0, 0)
-    return (arr.shape[1], arr.shape[0])
+    return (w, h)
 
 
 def bmp_dims(payload: bytes) -> tuple[int, int]:
@@ -412,6 +420,10 @@ def pixel_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             widths, heights, sums, sizes = [], [], [], []
             for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
+                if c not in _PIXEL_CODECS:
+                    raise NotImplementedError(
+                        f"pixel_stats needs a pixel codec (bmp/ppm), got {c!r}"
+                    )
                 arr = _PIXEL_CODECS[c][0](bytes(p))
                 widths.append(arr.shape[1])
                 heights.append(arr.shape[0])

@@ -70,7 +70,9 @@ def kafka_reader_options(
     return opts
 
 
-def decode_kafka_json(raw: DataFrame, schema=SENSOR_READING_SCHEMA) -> DataFrame:
+def decode_kafka_json(
+    raw: DataFrame, schema=SENSOR_READING_SCHEMA, key_field: str = "sensor_id"
+) -> DataFrame:
     """Kafka envelope → typed wide records: parse the JSON ``value`` bytes
     against ``schema`` and attach the PROCTIME column — the same output
     contract as the file-source path, so everything downstream (melt, sink,
@@ -79,11 +81,17 @@ def decode_kafka_json(raw: DataFrame, schema=SENSOR_READING_SCHEMA) -> DataFrame
 
     Tombstones (``value IS NULL`` — Kafka's delete markers on compacted
     topics) and records whose bytes do not decode to a JSON object carrying
-    the record's identity fields (``from_json`` is PERMISSIVE: malformed
-    input yields an all-NULL struct, not a NULL) are DROPPED, not crashed
-    on and not emitted as all-NULL rows: an ingest pipeline must survive a
-    compaction pass or a rogue producer."""
-    key_field = schema.fields[0].name  # the record key (sensor_id)
+    ``key_field`` (``from_json`` is PERMISSIVE: malformed input yields an
+    all-NULL struct, not a NULL) are DROPPED, not crashed on and not
+    emitted as all-NULL rows: an ingest pipeline must survive a compaction
+    pass or a rogue producer. Callers with a custom ``schema`` must name a
+    REQUIRED field as ``key_field`` — a legitimately-optional field here
+    would silently drop valid records."""
+    if key_field not in schema.fieldNames():
+        raise ValueError(
+            f"key_field {key_field!r} is not a field of the record schema "
+            f"{schema.fieldNames()}; pass key_field= naming a required field"
+        )
     return (
         raw.filter(F.col("value").isNotNull())
         .select(F.from_json(F.col("value").cast("string"), schema).alias("r"))
