@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: the Spark-side contract (schema, batch
-iteration, row expansion) is real even though the codec is a stub."""
+"""Multimodal tests: the Spark-side contract (schema, batch iteration, row
+expansion) plus the real codecs — full BMP/PPM pixel round-trips, PNG/JPEG
+/GIF container parsing (dims + GIF frame walk), and the stub codec."""
 
 from __future__ import annotations
 
@@ -80,10 +81,25 @@ def _real_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
 
 
-def _real_gif(width: int, height: int) -> bytes:
+def _real_gif(width: int, height: int, frames: int = 1) -> bytes:
+    """Structurally complete GIF89a: logical screen descriptor, an optional
+    graphic-control extension per frame, one image descriptor per frame
+    with a minimal LZW data stream, and the trailer."""
     import struct
 
-    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+    out = b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    for f in range(frames):
+        # graphic control extension (what real animations carry per frame)
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += (
+            b"\x2c"
+            + struct.pack("<HHHH", 0, 0, width, height)
+            + b"\x00"  # no local color table
+            + b"\x02"  # LZW minimum code size
+            + b"\x01\x44"  # one 1-byte data sub-block
+            + b"\x00"  # sub-block terminator
+        )
+    return out + b"\x3b"
 
 
 def test_real_image_codecs_decode_dimensions(spark):
@@ -303,3 +319,97 @@ def test_resize_media_transcodes_real_pixels(spark):
     assert stats[1]["pixel_sum"] == int(expected.sum(dtype=np.int64))
     assert stats[2]["pixel_sum"] == int(expected.sum(dtype=np.int64))
     assert stats[3]["pixel_sum"] == int(small.sum(dtype=np.int64))
+
+
+def test_codec_roundtrip_property_hypothesis():
+    # Property form of the round-trip: ANY uint8 array survives both
+    # codecs bit-exact, and the aspect-fit output always fits the box
+    # while preserving aspect ratio to integer-floor precision.
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _resize_dims,
+        bmp_decode,
+        bmp_encode,
+        nn_resize,
+        ppm_decode,
+        ppm_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        max_w=st.integers(1, 24),
+        max_h=st.integers(1, 24),
+    )
+    def check(w, h, seed, max_w, max_h):
+        arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (bmp_decode(bmp_encode(arr)) == arr).all()
+        assert (ppm_decode(ppm_encode(arr)) == arr).all()
+        nw, nh = _resize_dims(w, h, max_w, max_h)
+        # never upsizes; fits the box whenever a resize happened
+        assert nw <= w and nh <= h
+        if (w, h) != (nw, nh):
+            assert nw <= max_w and nh <= max_h
+            # aspect preserved to floor precision on the driven axis
+            if w * max_h <= h * max_w:
+                assert nh == max_h and nw == (w * max_h) // h
+            else:
+                assert nw == max_w and nh == (h * max_w) // w
+        if nw > 0 and nh > 0:
+            out = nn_resize(arr, nw, nh)
+            assert out.shape == (nh, nw, 3)
+            # every output pixel is a genuine source pixel
+            ys = (np.arange(nh) * h) // nh
+            xs = (np.arange(nw) * w) // nw
+            assert (out == arr[ys][:, xs]).all()
+
+    check()
+
+
+def test_gif_frame_count_walks_block_structure():
+    # Real container arithmetic: image descriptors are counted through
+    # extensions, color tables, and data sub-blocks; animations chain into
+    # frame_sample with genuine frame counts.
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        gif_dims,
+        gif_frames,
+    )
+
+    still = _real_gif(64, 33, frames=1)
+    anim = _real_gif(32, 32, frames=7)
+    assert gif_frames(still) == 1
+    assert gif_frames(anim) == 7
+    assert gif_dims(anim) == (32, 32)
+    # global color table skipped by its flagged size
+    import struct
+
+    with_gct = (
+        b"GIF89a" + struct.pack("<HH", 2, 2)
+        + bytes([0x80 | 0x01, 0, 0])  # GCT present, 2^(1+1)=4 entries
+        + bytes(4 * 3)
+        + _real_gif(2, 2, frames=2)[13:]
+    )
+    assert gif_frames(with_gct) == 2
+    # truncation and corruption degrade, never raise
+    assert gif_frames(anim[:20]) <= 7
+    assert gif_frames(b"GIF89a\x01") == 0
+    assert gif_frames(b"not a gif") == 0
+
+
+def test_gif_frames_flow_through_decode_media(spark):
+    from time_series_and_data_lakes_spark.operators.multimodal import decode_media
+
+    rows = [
+        (20, "video", _real_gif(16, 8, frames=5), ("s3", "gif")),
+        (21, "image", _real_gif(9, 9, frames=1), ("s3", "gif")),
+    ]
+    got = {
+        r["media_id"]: r
+        for r in decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    }
+    assert (got[20]["width"], got[20]["height"], got[20]["n_frames"]) == (16, 8, 5)
+    assert got[21]["n_frames"] == 1

@@ -12,9 +12,10 @@ The codec layer has three real tiers and one stub:
   :func:`resize_media` performs an actual pixel transcode
   (:func:`nn_resize`, integer nearest-neighbor) for them.
 - ``png`` / ``jpeg`` / ``gif``: REAL stdlib-only container parsing
-  (:func:`png_dims` / :func:`jpeg_dims` / :func:`gif_dims` — PNG IHDR,
-  JPEG SOF marker scan, GIF logical-screen descriptor). Dimension metadata
-  is genuine; PIXEL decode of these entropy-coded formats needs
+  (:func:`png_dims` / :func:`jpeg_dims` / :func:`gif_dims` /
+  :func:`gif_frames` — PNG IHDR, JPEG SOF marker scan, GIF logical-screen
+  descriptor + per-frame image-descriptor walk). Dimension and frame-count
+  metadata is genuine; PIXEL decode of these entropy-coded formats needs
   PIL/zlib-inflate+defilter/ffmpeg and raises ``NotImplementedError``
   where pixels would be touched.
 - ``tsdl-fake``: deterministic fake header layout for oracle-gated tests.
@@ -132,6 +133,52 @@ def gif_dims(payload: bytes) -> tuple[int, int]:
         return (0, 0)
     w, h = struct.unpack("<HH", payload[6:10])
     return (w, h)
+
+
+def gif_frames(payload: bytes) -> int:
+    """REAL frame count: walk the GIF block structure (GIF89a spec §20-23)
+    counting image descriptors — a still GIF has one, an animation one per
+    frame. Skips the global/local color tables by their flagged sizes and
+    extension/image data by their length-prefixed sub-blocks; stops at the
+    trailer or at any structural corruption (returning the frames counted
+    so far). No LZW decode — this is container arithmetic only."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return 0
+    n = len(payload)
+    i = 13  # 6-byte signature + 7-byte logical screen descriptor
+    if payload[10] & 0x80:  # global color table
+        i += 3 * (2 ** ((payload[10] & 0x07) + 1))
+
+    def skip_subblocks(j: int) -> int:
+        while j < n:
+            size = payload[j]
+            j += 1
+            if size == 0:
+                return j
+            j += size
+        return j
+
+    frames = 0
+    while i < n:
+        block = payload[i]
+        i += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            i = skip_subblocks(i + 1)
+        elif block == 0x2C:  # image descriptor = one frame
+            if i + 9 > n:
+                break
+            local_flags = payload[i + 8]
+            i += 9
+            if local_flags & 0x80:  # local color table
+                i += 3 * (2 ** ((local_flags & 0x07) + 1))
+            i += 1  # LZW minimum code size
+            i = skip_subblocks(i)
+            frames += 1
+        else:  # unknown block type: structure lost
+            break
+    return frames
 
 
 # --------------------------------------------------------------------------
@@ -281,8 +328,9 @@ def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
         w, h = jpeg_dims(bytes(payload))
         return (w, h, 1 if w else 0)
     if codec == "gif":
-        w, h = gif_dims(bytes(payload))
-        return (w, h, 1 if w else 0)
+        b = bytes(payload)
+        w, h = gif_dims(b)
+        return (w, h, gif_frames(b) if w else 0)
     if codec == "bmp":
         w, h = bmp_dims(bytes(payload))
         return (w, h, 1 if w else 0)
