@@ -12,18 +12,11 @@ from time_series_and_data_lakes_spark import queries as Q
 from time_series_and_data_lakes_spark.operators import resample
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def _nodes(plan: str, name: str) -> int:
-    """Count physical nodes by their detail header '(N) <name>' — the tree
-    section prints every node a second time."""
-    import re
-
-    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+# The helpers live in the package (time_series_and_data_lakes_spark.plans)
+# so users can gate their own queries the same way; these aliases keep the
+# assertions below terse.
+from time_series_and_data_lakes_spark.plans import count_nodes as _nodes  # noqa: E402
+from time_series_and_data_lakes_spark.plans import formatted_plan as _plan  # noqa: E402
 
 
 def test_enrichment_join_broadcasts_all_dims(spark, sf_dir):

@@ -1,0 +1,39 @@
+"""Plan inspection helpers — make physical-plan properties assertable.
+
+The engine's scale posture lives in physical plan properties (broadcasts
+instead of sort-merge joins, filters inside ``PushedFilters``, one exchange
+where one suffices). These helpers read them programmatically so tests —
+and users tuning their own queries — can gate on the plan rather than
+eyeball ``explain()`` output. Every ✔ claim in SCALE.md is asserted through
+these (``tests/test_plans.py``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The ``explain("formatted")`` text of ``df``'s physical plan: a node
+    tree followed by per-node detail sections ``(N) <NodeName>``."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_nodes(plan: str | DataFrame, name: str) -> int:
+    """Number of physical nodes named ``name``, counted by their detail
+    header ``(N) <name>`` (the tree section would double-count)."""
+    if isinstance(plan, DataFrame):
+        plan = formatted_plan(plan)
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
+def pushed_filters(plan: str | DataFrame) -> list[str]:
+    """Every ``PushedFilters`` list in the plan's scans, one string per scan
+    — empty brackets mean the scan reads unfiltered."""
+    if isinstance(plan, DataFrame):
+        plan = formatted_plan(plan)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
