@@ -601,3 +601,20 @@ def test_kafka_decode_drops_tombstones_and_garbage(spark, tmp_path):
     got = spark.table("kafka_clean").collect()
     assert len(got) == len(rows)  # every valid record, nothing else
     assert all(r["sensor_id"] is not None for r in got)
+
+
+def test_read_json_stream_source_dir_alias(spark, tmp_path):
+    # ADVICE_r3: source_dir is the deprecated pre-round-3 keyword for
+    # source; both spell the same stream, passing both is an error.
+    rows = sensor_readings(seed=31, sensors=2, span_seconds=10)
+    src = _write_json_batches(tmp_path, rows, n_batches=1)
+    assert read_json_stream(spark, source_dir=src).isStreaming
+    assert read_json_stream(spark, src).schema == read_json_stream(
+        spark, source_dir=src
+    ).schema
+    import pytest
+
+    with pytest.raises(TypeError, match="not both"):
+        read_json_stream(spark, src, source_dir=src)
+    with pytest.raises(TypeError, match="missing required"):
+        read_json_stream(spark)
