@@ -88,7 +88,7 @@ def _real_gif(width: int, height: int, frames: int = 1) -> bytes:
     import struct
 
     out = b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
-    for f in range(frames):
+    for _ in range(frames):
         # graphic control extension (what real animations carry per frame)
         out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
         out += (

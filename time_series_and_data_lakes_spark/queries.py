@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.melt import melt, pivot_measures
@@ -86,8 +86,9 @@ def _events_anchor(sf_dir: str):
     """max(ts) of the events table resolved from parquet FOOTER statistics —
     a metadata-only driver-side read (no Spark job, no table scan), the way
     an ``ago()`` anchor should come off a 100 TB table. Epoch-micros footer
-    max is converted with the same floor truncation ``load`` applies to the
-    data, so it equals ``max(time)`` of the loaded frame exactly. Returns
+    max is converted with the same toward-zero truncation ``load``'s ``div``
+    applies to the data, so it equals ``max(time)`` of the loaded frame
+    exactly. Returns
     ``None`` when any row group lacks statistics (``_anchored`` then falls
     back to its aggregate pre-scan)."""
     from time_series_and_data_lakes_spark.sources.stats import (
@@ -100,7 +101,9 @@ def _events_anchor(sf_dir: str):
     return F.timestamp_micros(F.lit(micros))
 
 
-def _anchored(df: DataFrame, time_col: str, lookback: str, anchor=None) -> DataFrame:
+def _anchored(
+    df: DataFrame, time_col: str, lookback: str, anchor: Column | None = None
+) -> DataFrame:
     """``time >= ago(lookback)`` with now() anchored at max(time) (P5).
 
     With ``anchor`` (a literal timestamp Column, e.g. from
