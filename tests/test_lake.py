@@ -239,3 +239,72 @@ def test_parquet_footer_max_matches_scan_and_falls_back(spark, tmp_path):
     assert parquet_footer_max_micros(p_nostats, "ts") is None
     # missing column -> None
     assert parquet_footer_max_micros(p, "nope") is None
+
+
+def test_compact_partitions_in_place(spark, tmp_path):
+    """sources/compaction.py: selected partitions collapse to one file with
+    identical rows; unselected partitions keep their original files byte
+    -for-byte; re-running is idempotent; the overwrite-mode conf is
+    restored."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from time_series_and_data_lakes_spark.sources.compaction import (
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("measure_name"),
+        F.to_date(F.lit("2024-01-01")).alias("date"),
+        F.col("id").alias("v"),
+    ).union(
+        spark.range(100).select(
+            F.lit("9").alias("measure_name"),
+            F.to_date(F.lit("2024-01-02")).alias("date"),
+            (F.col("id") + 10_000).alias("v"),
+        )
+    )
+    # fragment: many tasks -> many files per partition
+    df.repartition(16).write.partitionBy("measure_name", "date").parquet(store)
+
+    def files(part_glob):
+        return sorted(
+            p for p in glob.glob(f"{store}/{part_glob}/*") if p.endswith(".parquet")
+        )
+
+    assert len(files("measure_name=0/date=2024-01-01")) > 1
+    untouched_before = [(p, os.path.getmtime(p)) for p in files("measure_name=9/date=2024-01-02")]
+
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(store).filter("measure_name != '9'").collect()
+    )
+    mode_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    n = compact_partitions(
+        spark, store, ["measure_name", "date"], predicate=F.col("measure_name") != "9"
+    )
+    assert n == 2000
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == mode_before
+
+    for m in ("0", "1", "2"):
+        assert len(files(f"measure_name={m}/date=2024-01-01")) == 1, m
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(store).filter("measure_name != '9'").collect()
+    )
+    assert after == before
+    # untouched partition: same files, same mtimes
+    assert [(p, os.path.getmtime(p)) for p in files("measure_name=9/date=2024-01-02")] == untouched_before
+
+    # idempotent re-run
+    n2 = compact_partitions(
+        spark, store, ["measure_name", "date"], predicate=F.col("measure_name") != "9"
+    )
+    assert n2 == 2000
+    for m in ("0", "1", "2"):
+        assert len(files(f"measure_name={m}/date=2024-01-01")) == 1, m
+    # empty predicate is a no-op
+    assert compact_partitions(
+        spark, store, ["measure_name", "date"], predicate=F.col("measure_name") == -1
+    ) == 0

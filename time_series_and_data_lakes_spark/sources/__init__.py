@@ -9,8 +9,10 @@ from time_series_and_data_lakes_spark.sources.bucketing import (
     write_bucketed,
 )
 from time_series_and_data_lakes_spark.sources.stats import parquet_footer_max_micros
+from time_series_and_data_lakes_spark.sources.compaction import compact_partitions
 
 __all__ = [
+    "compact_partitions",
     "crawl_and_register",
     "export_window",
     "parquet_footer_max_micros",
