@@ -394,3 +394,138 @@ def test_kmeans_reliable_checkpoint_matches_local(spark, tmp_path):
     }
     # DECIMAL-exact sums -> bit-identical centroids in both modes
     assert reliable == local
+
+
+def _pq_ref_codes(vecs, codebooks):
+    """Pure-Python PQ reference replicating the Spark expressions' exact
+    IEEE fold order (zip_with squares, then a sequential left fold), so
+    codes and distances must match bit-for-bit, not approximately."""
+    def dist2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    m_subspaces = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    out = {}
+    for vid, v in vecs.items():
+        codes = []
+        for m in range(m_subspaces):
+            sub = v[m * sub_dim : (m + 1) * sub_dim]
+            dists = [dist2(sub, c) for c in codebooks[m]]
+            codes.append(dists.index(min(dists)))  # first-lowest tie-break
+        out[vid] = codes
+    return out
+
+
+def test_pq_encode_matches_python_reference(spark, sf_dir):
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, m_subspaces=8, n_codes=16, iters=2, dim=64)
+    assert len(cb) == 8 and all(len(b) == 16 for b in cb)
+    assert all(len(c) == 8 for b in cb for c in b)
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()
+    }
+    want = _pq_ref_codes(vecs, cb)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    assert got == want
+
+    # training is deterministic: a second run yields identical codebooks
+    assert pq_train(emb, m_subspaces=8, n_codes=16, iters=2, dim=64) == cb
+
+
+def test_pq_adc_matches_reference_and_recall_floor(spark, sf_dir):
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, m_subspaces=8, n_codes=16, iters=2, dim=64)
+    encoded = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = pq_topk(queries, encoded, cb, k=10).collect()
+
+    # ADC distances equal the reference LUT sums bit-for-bit
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    codes = _pq_ref_codes(vecs, cb)
+
+    def ref_adc(qid, nid):
+        acc = None
+        for m in range(8):
+            sub_q = vecs[qid][m * 8 : (m + 1) * 8]
+            cent = cb[m][codes[nid][m]]
+            d = 0.0
+            for x, y in zip(sub_q, cent):
+                d = d + (x - y) * (x - y)
+            acc = d if acc is None else acc + d
+        return acc
+
+    for r in got:
+        assert r["adc_dist2"] == ref_adc(r["query_id"], r["neighbor_id"])
+
+    # quality floor on the fixture: near-orthogonal random embeddings are
+    # PQ's worst case (no structure for the codebooks to capture), so the
+    # bar is "far above chance", not sota — measured ~0.34 here vs a random
+    # baseline of 10*5/499 ≈ 0.02; a broken LUT/argmin lands at random
+    ids = sorted(vecs)
+    mat = np.array([vecs[i] for i in ids])
+    hits = tot = 0
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in by_q:
+        d = ((mat - np.array(vecs[qid])) ** 2).sum(axis=1)
+        order = [ids[i] for i in np.argsort(d, kind="stable") if ids[i] != qid]
+        exact5 = set(order[:5])
+        hits += len(exact5 & by_q[qid])
+        tot += 5
+    assert tot == 50
+    assert hits / tot >= 0.2, f"PQ recall collapsed to chance: {hits}/{tot}"
+
+
+def test_pq_discriminates_clusters(spark):
+    """The property PQ actually guarantees: quantization error stays far
+    below inter-cluster distances, so every ADC top-k neighbor of a
+    clustered point comes from the point's own cluster (fine ranking
+    WITHIN a cell is not promised — same-cell points tie)."""
+    import hashlib
+
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    def noise(i, j):
+        h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+        return (h % 1000) / 1000.0 - 0.5
+
+    rows = []
+    for i in range(160):
+        cluster = i % 8
+        vec = [
+            (5.0 if j // 8 == cluster else 0.0) + noise(i, j) for j in range(64)
+        ]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_train(df, m_subspaces=8, n_codes=16, iters=2, dim=64)
+    encoded = pq_encode(df, cb)
+    queries = df.filter(F.col("vec_id") < 8)  # one per cluster
+    got = pq_topk(queries, encoded, cb, k=10).collect()
+    assert len(got) == 80
+    for r in got:
+        assert r["neighbor_id"] % 8 == r["query_id"] % 8, (
+            f"query {r['query_id']} pulled neighbor {r['neighbor_id']} "
+            "from another cluster"
+        )

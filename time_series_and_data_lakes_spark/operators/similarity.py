@@ -17,6 +17,8 @@ scores and bucket ids are bit-identical in the DuckDB oracle.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -371,3 +373,165 @@ def quantize_embedding(vec: Column, bits: int = 8) -> tuple[Column, Column]:
         ),
     )
     return s, codes
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance search — the memory-side
+# scale lever of the ANN family. IVF cuts the SCAN (probe a few lists); PQ
+# cuts the BYTES (a 64-dim float32 vector becomes M small codes) and scores
+# against compressed codes via per-query lookup tables. At 100 TB the two
+# compose: IVF-partition the corpus, PQ-encode each list, ADC-score probed
+# lists only. (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public literature.)
+# --------------------------------------------------------------------------
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as one sequential left fold — the same
+    deterministic-association contract as :func:`dot`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub(vec: Column, m: int, sub_dim: int) -> Column:
+    """Subvector m of a flat embedding (1-based slice)."""
+    return F.slice(vec, m * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split ``dim`` into ``m_subspaces`` contiguous
+    subspaces and run the exact-DECIMAL k-means trainer
+    (:func:`kmeans_centroids`) on each — deterministic init (lowest ids),
+    deterministic sums, so the codebooks are bit-reproducible. Returns
+    ``codebooks[m][c] -> sub_dim floats`` (the only driver-side state:
+    M × n_codes × sub_dim floats, literals for the encode/search plans).
+
+    Cost: M small trainings, each iters × (one corpus scan of one slice +
+    a k×sub_dim exchange). For very large corpora train on a
+    :func:`...operators.curation.deterministic_sample` instead — PQ
+    codebooks converge on samples.
+    """
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub_dim = dim // m_subspaces
+    v = corpus.select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
+    init_ids = v.orderBy("vec_id").limit(n_codes)
+    codebooks: list[list[list[float]]] = []
+    for m in range(m_subspaces):
+        sub = v.select("vec_id", _sub(F.col("v"), m, sub_dim).alias("embedding"))
+        init = init_ids.select("vec_id", _sub(F.col("v"), m, sub_dim).alias("embedding"))
+        cent = kmeans_centroids(
+            sub, init, iters=iters, dim=sub_dim, checkpoint_dir=checkpoint_dir
+        )
+        rows = sorted(
+            ((r["vec_id"], list(r["embedding"])) for r in cent.collect()),
+            key=lambda t: t[0],
+        )
+        codebooks.append([c for _, c in rows])
+    return codebooks
+
+
+def _codebook_lit(codebook: list[list[float]]) -> list[Column]:
+    return [F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``codes: array<int>`` — per subspace, the
+    index of the nearest codebook centroid (squared-euclidean; first-lowest
+    index wins ties via ``array_position`` on the min). Pure column
+    expressions against codebook literals: one corpus scan, no shuffle, no
+    UDF — the compressed representation costs M small ints per vector
+    instead of ``dim`` floats."""
+    from time_series_and_data_lakes_spark.operators.dedup import let
+
+    m_subspaces = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    v = as_double(F.col(vec_col))
+    code_cols = []
+    for m in range(m_subspaces):
+        dists = F.array(
+            *[_dist2(_sub(v, m, sub_dim), c) for c in _codebook_lit(codebooks[m])]
+        )
+        # let-bind: array_position(d, array_min(d)) would otherwise build
+        # the k-distance array twice per row (see dedup.let)
+        code_cols.append(
+            let(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+        )
+    return corpus.select(F.col(id_col).alias(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): each query
+    precomputes an M × n_codes lookup table of squared distances to every
+    codebook centroid ONCE (on the tiny broadcast query side, before the
+    join), and scoring a corpus row is just M table lookups + adds over its
+    ``codes`` — no per-pair vector arithmetic at all. Distance ascending,
+    ties on neighbor id. Returns (query_id, neighbor_id, adc_dist2, rank).
+
+    At 100 TB: the encoded corpus (M ints/row) streams through one scan;
+    the only shuffle is the per-query top-k window — same skeleton as
+    :func:`cosine_topk`, ~dim/M× less join-side compute and ~16x less
+    corpus I/O than scanning raw float32 vectors.
+    """
+    m_subspaces = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    qv = as_double(F.col(vec_col))
+    lut = F.array(
+        *[
+            F.array(
+                *[_dist2(_sub(qv, m, sub_dim), c) for c in _codebook_lit(codebooks[m])]
+            )
+            for m in range(m_subspaces)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
+    scored = (
+        encoded.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_dist2",
+            # left-to-right subspace fold — the same association order as
+            # the per-subspace reference sum, so ADC is bit-reproducible
+            functools.reduce(
+                lambda acc, term: acc + term,
+                [
+                    F.element_at(
+                        F.element_at("lut", m + 1),
+                        F.element_at("codes", m + 1) + 1,
+                    )
+                    for m in range(m_subspaces)
+                ],
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist2", "rank")
+    )
