@@ -65,6 +65,7 @@ UNDER_VERIFIED = {
     "pipe_quality_funnel",
     # added round 4 (no driver row yet):
     "multimodal_resize_pixels",
+    "ann_pq_adc_topk",
 }
 
 

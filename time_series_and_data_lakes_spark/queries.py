@@ -1771,11 +1771,12 @@ _DRIVER_TAIL: list[str] = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
-    # green r2+r3, rotated out in round 4 (range_join makes room for the
-    # new multimodal_resize_pixels gate):
+    # green r2+r3, rotated out in round 4 (range_join and g1 make room for
+    # the new multimodal_resize_pixels and ann_pq_adc_topk gates):
     "sessionize_events",
     "asof_latest_order",
     "range_join_cep_context",
+    "g1_cep_pivot_by_bin",
 ]
 
 

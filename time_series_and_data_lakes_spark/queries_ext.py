@@ -894,6 +894,94 @@ FROM fit f JOIN sums s USING (doc_id)
 """
 
 
+# PQ/ADC gate: pluggable codebooks (sub-slices of the _PQ_CODES lowest
+# vec_ids — the same stand-in contract ann_ivf_topk uses for its centroid
+# set) so the oracle replays encode + ADC without replaying training; the
+# trained path (pq_train) is pytest-gated bit-exact against a Python
+# reference in tests/test_llm_ops.py.
+_PQ_M, _PQ_CODES, _PQ_SUBDIM = 8, 16, 8
+_PQ_NQ, _PQ_TOPK = 10, 10
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k, value-gated end to end: encode every
+    vector as 8 codebook indices (argmin over codebook literals, one
+    no-shuffle scan), then rank by asymmetric distance — each query's 8x16
+    lookup table is computed on the broadcast side BEFORE the join, so
+    scoring a pair is 8 array lookups + adds. The 16-row collect here
+    resolves MODEL PARAMETERS (codebooks, O(M*k*sub_dim) floats embedded as
+    plan literals — same contract as pq_train and plane_weights), not data
+    movement; the corpus itself never touches the driver."""
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(_PQ_CODES).collect()
+    )
+    codebooks = [
+        [v[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM] for _, v in rows]
+        for m in range(_PQ_M)
+    ]
+    out = pq_topk(
+        emb.filter(F.col("vec_id") < _PQ_NQ),
+        pq_encode(emb, codebooks),
+        codebooks,
+        k=_PQ_TOPK,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _pq_d2_sql(a: str, b: str, m: str, sub_dim: int = _PQ_SUBDIM) -> str:
+    """Squared euclidean distance of subspace ``m`` (a SQL expression) —
+    the same zip-square + sequential-left-fold IEEE tree as the Spark
+    ``_dist2`` (0.0 + first term is exact, so omitting the initial
+    accumulator is bit-identical)."""
+    sq = (
+        f"list_transform(generate_series(1, {sub_dim}), "
+        f"i -> ({a}[{m} * {sub_dim} + i] - {b}[{m} * {sub_dim} + i])"
+        f" * ({a}[{m} * {sub_dim} + i] - {b}[{m} * {sub_dim} + i]))"
+    )
+    return _FOLD_SUM.format(lst=sq)
+
+
+ANN_PQ_ADC_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {_PQ_CODES})
+), dists AS (
+  SELECT n.vec_id AS nid, mm.m AS m, cb.c AS c,
+         {_pq_d2_sql('n.v', 'cb.v', 'mm.m')} AS d
+  FROM v n
+  JOIN range(0, {_PQ_M}) AS mm(m) ON TRUE
+  JOIN cb ON TRUE
+), codes AS (
+  SELECT nid, m, c FROM (
+    SELECT nid, m, c,
+           row_number() OVER (PARTITION BY nid, m ORDER BY d, c) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), adc AS (
+  SELECT l.nid AS query_id, cd.nid AS neighbor_id,
+         list_reduce(list(l.d ORDER BY l.m), (acc, x) -> acc + x) AS adc_dist2
+  FROM codes cd
+  JOIN dists l ON l.nid < {_PQ_NQ} AND l.m = cd.m AND l.c = cd.c
+  WHERE cd.nid <> l.nid
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist2, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {_PQ_TOPK}
+"""
+
+
 def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization readout: scale, integer code checksum,
     and the max dequantization error — one corpus scan of pure array HOFs
@@ -966,6 +1054,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_quantize_int8": ann_quantize_int8,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -988,6 +1077,7 @@ EXT_ORACLES: dict[str, str] = {
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
     "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
+    "ann_pq_adc_topk": ANN_PQ_ADC_ORACLE,
     "ann_quantize_int8": ANN_QUANTIZE_ORACLE,
     "multimodal_decode_stats": MULTIMODAL_ORACLE,
     "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
