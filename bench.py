@@ -57,6 +57,8 @@ HEADLINE = [
     # round 4: the real-pixel transcode chain (Arrow mapInPandas encode ->
     # resize -> decode) so the Python-heavy plan family is regression-visible
     "multimodal_resize_pixels",
+    # round 4: PQ encode (fused Arrow pass) + ADC lookup-table search
+    "ann_pq_adc_topk",
 ]
 
 # Per-query timing aggregation: this VM shares a host and random multi-second

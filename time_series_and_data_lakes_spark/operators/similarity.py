@@ -455,26 +455,43 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as ``codes: array<int>`` — per subspace, the
     index of the nearest codebook centroid (squared-euclidean; first-lowest
-    index wins ties via ``array_position`` on the min). Pure column
-    expressions against codebook literals: one corpus scan, no shuffle, no
-    UDF — the compressed representation costs M small ints per vector
-    instead of ``dim`` floats."""
-    from time_series_and_data_lakes_spark.operators.dedup import let
+    index wins ties). One fused Arrow batch pass: M × n_codes distances per
+    row is the same interpreted-HOF-pipeline trap as the minhash signature
+    stage (measured ~7 s at sf0.1 as column expressions vs well under a
+    second vectorized), so the distances run as numpy batch arithmetic with
+    an EXPLICIT left fold over the sub-dims — the same IEEE association as
+    :func:`_dist2`'s sequential aggregate, so codes (and therefore ADC
+    results and the SQL oracle) are bit-identical to the expression form.
+    One corpus scan, no shuffle; ``np.argmin`` returns the first minimum,
+    matching the lowest-index tie-break."""
+    import numpy as np
+    import pandas as pd
 
     m_subspaces = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    v = as_double(F.col(vec_col))
-    code_cols = []
-    for m in range(m_subspaces):
-        dists = F.array(
-            *[_dist2(_sub(v, m, sub_dim), c) for c in _codebook_lit(codebooks[m])]
-        )
-        # let-bind: array_position(d, array_min(d)) would otherwise build
-        # the k-distance array twice per row (see dedup.let)
-        code_cols.append(
-            let(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
-        )
-    return corpus.select(F.col(id_col).alias(id_col), F.array(*code_cols).alias("codes"))
+    cb = np.array(codebooks, dtype=np.float64)  # (M, k, sub_dim)
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(len(pdf), m_subspaces * sub_dim)
+            codes = np.empty((len(pdf), m_subspaces), dtype=np.int32)
+            for m in range(m_subspaces):
+                sub = mat[:, m * sub_dim : (m + 1) * sub_dim]  # (n, sub_dim)
+                # (n, k) distances via explicit left fold over sub-dims:
+                # acc starts at 0.0, + term per dim — _dist2's association
+                acc = np.zeros((len(pdf), cb.shape[1]))
+                for i in range(sub_dim):
+                    diff = sub[:, i : i + 1] - cb[m, :, i][None, :]
+                    acc = acc + diff * diff
+                codes[:, m] = np.argmin(acc, axis=1)  # first min wins ties
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [list(map(int, c)) for c in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
 
 
 def pq_topk(
