@@ -529,3 +529,41 @@ def test_pq_discriminates_clusters(spark):
             f"query {r['query_id']} pulled neighbor {r['neighbor_id']} "
             "from another cluster"
         )
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    """IVF x PQ: with every list probed the composition must equal plain
+    pq_topk EXACTLY (same ADC distances, same ranks); with fewer probes it
+    returns a subset drawn only from probed lists."""
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, m_subspaces=8, n_codes=16, iters=2, dim=64)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    full = sorted(
+        map(tuple, pq_topk(queries, pq_encode(emb, cb), cb, k=10).collect())
+    )
+    probe_all = sorted(
+        map(tuple, ivf_pq_topk(emb, queries, centroids, cb, k=10, n_probe=8).collect())
+    )
+    assert probe_all == full
+
+    few = ivf_pq_topk(emb, queries, centroids, cb, k=10, n_probe=2).collect()
+    assert 0 < len(few) <= 50
+    # every returned distance must exist in the full ADC ranking (same
+    # codebooks -> same compressed distances; probing only restricts the
+    # candidate set)
+    full_pairs = {(r[0], r[1]): r[2] for r in full}
+    all_adc = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist2"]
+        for r in pq_topk(queries, pq_encode(emb, cb), cb, k=10**9).collect()
+    }
+    for r in few:
+        assert all_adc[(r["query_id"], r["neighbor_id"])] == r["adc_dist2"]

@@ -21,6 +21,7 @@ import functools
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
 
@@ -463,14 +464,20 @@ def pq_encode(
     :func:`_dist2`'s sequential aggregate, so codes (and therefore ADC
     results and the SQL oracle) are bit-identical to the expression form.
     One corpus scan, no shuffle; ``np.argmin`` returns the first minimum,
-    matching the lowest-index tie-break."""
+    matching the lowest-index tie-break.
+
+    Every input column except ``vec_col`` passes through unchanged (so an
+    IVF list assignment computed upstream rides along — no extra join)."""
     import numpy as np
     import pandas as pd
 
     m_subspaces = len(codebooks)
     sub_dim = len(codebooks[0][0])
     cb = np.array(codebooks, dtype=np.float64)  # (M, k, sub_dim)
-    out_schema = f"{id_col} long, codes array<int>"
+    keep = [f for f in corpus.schema.fields if f.name != vec_col]
+    out_schema = T.StructType(
+        keep + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -487,11 +494,11 @@ def pq_encode(
                     diff = sub[:, i : i + 1] - cb[m, :, i][None, :]
                     acc = acc + diff * diff
                 codes[:, m] = np.argmin(acc, axis=1)  # first min wins ties
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": [list(map(int, c)) for c in codes]}
-            )
+            out = pdf[[f.name for f in keep]].copy()
+            out["codes"] = [list(map(int, c)) for c in codes]
+            yield out
 
-    return corpus.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+    return corpus.mapInPandas(encode, schema=out_schema)
 
 
 def pq_topk(
@@ -534,6 +541,110 @@ def pq_topk(
             "adc_dist2",
             # left-to-right subspace fold — the same association order as
             # the per-subspace reference sum, so ADC is bit-reproducible
+            functools.reduce(
+                lambda acc, term: acc + term,
+                [
+                    F.element_at(
+                        F.element_at("lut", m + 1),
+                        F.element_at("codes", m + 1) + 1,
+                    )
+                    for m in range(m_subspaces)
+                ],
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist2", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed full-scale ANN stack: IVF cuts the SCAN (each query
+    touches only its ``n_probe`` nearest lists), PQ cuts the BYTES (probed
+    rows are scored by ADC over their M codes, no vector arithmetic). Both
+    assignment and probing use squared-euclidean against the broadcast
+    centroid row — the same metric ADC approximates, so the list a vector
+    lives in is the list a matching query probes.
+
+    One corpus scan computes list assignment (pure projection) and PQ codes
+    (fused Arrow pass) together; the probe join is broadcast; the only real
+    shuffle is the per-query top-k window. With ``n_probe`` equal to the
+    number of centroids this is exactly :func:`pq_topk` (every list
+    probed) — the equivalence the tests pin."""
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    cent_row = F.broadcast(
+        cent.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    )
+
+    def d2_structs(v):
+        # struct ordering does the argmin: min distance, ties -> min cid
+        return lambda c: F.struct(_dist2(v, c["cv"]).alias("d"), c["cid"].alias("cid"))
+
+    assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+        .crossJoin(cent_row)
+        .withColumn(
+            "list_id",
+            F.array_min(F.transform(F.col("cents"), d2_structs(F.col("cv"))))["cid"],
+        )
+        .drop("cents")
+        .withColumnRenamed("cv", vec_col)
+    )
+    encoded = pq_encode(assigned, codebooks, id_col="neighbor_id", vec_col=vec_col)
+
+    m_subspaces = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _dist2(_sub(F.col("qv"), m, sub_dim), c)
+                    for c in _codebook_lit(codebooks[m])
+                ]
+            )
+            for m in range(m_subspaces)
+        ]
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .crossJoin(cent_row)
+        .withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.array_sort(F.transform(F.col("cents"), d2_structs(F.col("qv")))),
+                    1,
+                    n_probe,
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("probe")["cid"].alias("list_id"),
+            lut.alias("lut"),
+        )
+    )
+    scored = (
+        encoded.join(F.broadcast(probes), on="list_id", how="inner")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_dist2",
             functools.reduce(
                 lambda acc, term: acc + term,
                 [
