@@ -567,3 +567,42 @@ def test_ivf_pq_composition(spark, sf_dir):
     }
     for r in few:
         assert all_adc[(r["query_id"], r["neighbor_id"])] == r["adc_dist2"]
+
+
+def test_bm25_matches_python_reference_and_semantics(spark):
+    from time_series_and_data_lakes_spark.operators.text import bm25_topk
+
+    texts = {
+        1: "spark runs fast and spark scales out on spark clusters",
+        2: "spark is mentioned once in this much longer document " + "pad " * 20,
+        3: "vector search with vector indexes over vector embeddings",
+        4: "nothing relevant here at all just filler words",
+        5: "spark vector spark vector",
+    }
+    df = spark.createDataFrame(list(texts.items()), DOCS)
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["spark", "vector"], k=10).collect()}
+
+    # python reference (rational idf, same formula)
+    k1, b = 1.2, 0.75
+    toks = {d: t.lower().split(" ") for d, t in texts.items()}
+    n = len(texts)
+    avg = sum(len(v) for v in toks.values()) / n
+
+    def ref(d):
+        s = 0.0
+        for term in ("spark", "vector"):
+            tf = toks[d].count(term)
+            if tf == 0:
+                continue
+            df_t = sum(1 for v in toks.values() if term in v)
+            idf = (n - df_t + 0.5) / (df_t + 0.5)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * len(toks[d]) / avg))
+        return s
+
+    assert set(got) == {1, 2, 3, 5}  # doc 4 has no query term
+    for d, s in got.items():
+        assert abs(s - ref(d)) < 1e-9, (d, s, ref(d))
+    # semantics: tf saturation + length norm — the 3x-spark short doc beats
+    # the 1x-spark long doc; the mixed doc hits both terms
+    assert got[1] > got[2]
+    assert got[5] > got[1]

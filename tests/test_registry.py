@@ -66,6 +66,7 @@ UNDER_VERIFIED = {
     # added round 4 (no driver row yet):
     "multimodal_resize_pixels",
     "ann_pq_adc_topk",
+    "text_bm25_topk",
 }
 
 

@@ -194,3 +194,94 @@ def scrub_pii(text: Column, replacement: str = "[PII]") -> Column:
     for p in PII_PATTERNS.values():
         out = F.regexp_replace(out, p, replacement)
     return out
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 relevance ranking of documents against a fixed term set — the
+    full-text retrieval verb a curation pipeline uses for topic filtering
+    ("pull the top-N docs about X into the mixture").
+
+    Engineering shape: per-term term frequencies are array-HOF counts over
+    the tokenized text (no explode, no posting-list shuffle — each doc is
+    scored in place), corpus statistics (doc count, total length, per-term
+    document frequencies) come from ONE auxiliary aggregation broadcast as
+    a single row, and the score is a fixed-order sum of per-term
+    contributions. Only docs containing at least one query term survive,
+    then a global top-k.
+
+    Determinism contract (what makes this hash-oracle-able): idf uses the
+    RATIONAL form ``(N - df + 0.5) / (df + 0.5)`` instead of the customary
+    ``ln`` of it — ``ln`` is evaluated by each engine's libm and is not
+    bit-portable, while the rational form is plain IEEE arithmetic; ``ln``
+    is monotone, so rankings are unchanged (scores are scaled). All tf/df/
+    length inputs are integers; the float expression tree (including the
+    term-order sum) is identical on both engines.
+
+    At 100 TB: two scans of the corpus (statistics + scoring — the
+    statistics pass prunes to tokenized lengths only), a 1-row broadcast,
+    and a top-k exchange of only surviving docs.
+    """
+    from time_series_and_data_lakes_spark.operators.dedup import let, tokens_col
+
+    terms = [t.lower() for t in query_terms]
+    toks = tokens_col(F.lower(F.col(text_col)))
+
+    def tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def contribution(i: int) -> Column:
+        tf_i = F.col(f"tf_{i}").cast("double")
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        norm = F.lit(k1) * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b)
+            * F.col("dl").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("sum_dl").cast("double")
+        )
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm),
+        ).otherwise(F.lit(0.0))
+
+    import functools
+
+    score = functools.reduce(
+        lambda acc, c: acc + c, [contribution(i) for i in range(len(terms))]
+    )
+    any_hit = functools.reduce(
+        lambda acc, c: acc | c, [F.col(f"tf_{i}") > 0 for i in range(len(terms))]
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )

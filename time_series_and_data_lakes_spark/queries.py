@@ -1771,12 +1771,14 @@ _DRIVER_TAIL: list[str] = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
-    # green r2+r3, rotated out in round 4 (range_join and g1 make room for
-    # the new multimodal_resize_pixels and ann_pq_adc_topk gates):
+    # green r2+r3, rotated out in round 4 (range_join/g1/a2 make room for
+    # the new multimodal_resize_pixels, ann_pq_adc_topk, and text_bm25_topk
+    # gates):
     "sessionize_events",
     "asof_latest_order",
     "range_join_cep_context",
     "g1_cep_pivot_by_bin",
+    "a2_enrichment_view",
 ]
 
 

@@ -788,6 +788,68 @@ FROM dims
 """
 
 
+_BM25_TERMS = ["spark", "vector", "join", "stream"]
+_BM25_K, _BM25_K1, _BM25_B = 20, 1.2, 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 topic retrieval over the documents table — rational-idf variant
+    (ln-free, so scores are bit-portable; ranking identical, see
+    operators/text.py::bm25_topk). Corpus statistics come from one
+    broadcast aggregation row; scoring is per-doc array-HOF counts, no
+    posting-list shuffle."""
+    from time_series_and_data_lakes_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _load_docs(spark, sf_dir), _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_oracle() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    tfs = ",\n         ".join(
+        f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # identical IEEE trees to the Spark side: rational idf, then
+    # idf * (tf * (k1+1)) / (tf + k1*(1 - b + b*dl*n/sum_dl)), summed in
+    # term order (left-assoc +)
+    contribs = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r} * CAST(dl AS DOUBLE)"
+        f" * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))"
+        f" ELSE 0.0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_hit = " OR ".join(f"tf_{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS dl,
+         {tfs}
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {dfs}
+  FROM base
+)
+SELECT doc_id, {contribs} AS score
+FROM base, stats
+WHERE {any_hit}
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+TEXT_BM25_ORACLE = _bm25_oracle()
+
+
 # Real-pixel resize gate: small formula images so the DuckDB oracle can
 # replay every output pixel over a generate_series grid. Dims 4..16 x 4..14
 # straddle the 10x7 fit box, so both the identity and the resample paths run.
@@ -1050,6 +1112,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_winnow_fingerprint": text_winnow_fingerprint,
+    "text_bm25_topk": text_bm25_topk,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1073,6 +1136,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_winnow_fingerprint": TEXT_WINNOW_ORACLE,
+    "text_bm25_topk": TEXT_BM25_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
