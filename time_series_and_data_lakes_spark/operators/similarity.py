@@ -663,3 +663,92 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist2", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup — semantic deduplication of an embedding corpus (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540): cluster the embeddings,
+    then mark as duplicates the vectors whose cosine similarity to a
+    lower-id vector *in the same cluster* reaches ``threshold``. Matches
+    the paper's released formulation (upper-triangular similarity matrix
+    per cluster, drop a row when its max same-cluster similarity to an
+    earlier row crosses 1-eps).
+
+    Returns one row per DROPPED vector: ``(vec_id, cluster_id, kept_id,
+    score)`` where ``kept_id`` is the smallest lower-id in-cluster
+    duplicate and ``score`` its cosine — the audit-trail shape (who was
+    removed, on whose account) a curation pipeline logs.
+
+    Scale shape (what makes this 100 TB-safe, exactly the SemDeDup
+    argument): nearest-centroid assignment is a pure projection against a
+    one-row broadcast centroid list (the corpus is never shuffled to be
+    assigned); the only exchange hash-partitions by ``cluster_id``; the
+    quadratic pair join runs per cluster, so cost is sum-of-cluster-sizes
+    squared, bounded by choosing k ~ N/target_cluster_size — never the
+    global all-pairs square. AQE's skew-join split absorbs an oversized
+    cluster. ``centroids`` is pluggable (:func:`kmeans_centroids` in
+    production; any deterministic subset for oracle-gated tests).
+
+    Determinism contract: assignment argmax breaks score ties on the
+    smallest centroid id; cosine is the fixed-association fold of
+    :func:`cosine_topk`; the kept/dropped decision compares vector ids —
+    so the result is bit-reproducible cross-engine and oracle-able.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    cent_row = F.broadcast(
+        cent.agg(F.array_sort(F.collect_list(F.struct("cid", "cv", "cn"))).alias("cents"))
+    )
+
+    def scores(v, n):
+        # struct ordering does the argmax: max score, ties -> max negcid
+        # (= smallest cid), same contract as ivf_topk's assignment.
+        return lambda c: F.struct(
+            (dot(v, c["cv"]) / (n * c["cn"])).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        )
+
+    assigned = (
+        corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .crossJoin(cent_row)
+        .withColumn(
+            "cluster_id",
+            -F.array_max(F.transform(F.col("cents"), scores(F.col("v"), F.col("nrm"))))[
+                "negcid"
+            ],
+        )
+        .drop("cents")
+    )
+    keep = assigned.select(
+        "cluster_id",
+        F.col("vid").alias("kept_id"),
+        F.col("v").alias("kv"),
+        F.col("nrm").alias("kn"),
+    )
+    drop = assigned.select(
+        "cluster_id",
+        F.col("vid").alias(id_col),
+        F.col("v").alias("dv"),
+        F.col("nrm").alias("dn"),
+    )
+    pairs = (
+        keep.join(drop, on="cluster_id", how="inner")
+        .filter(F.col("kept_id") < F.col(id_col))
+        .withColumn("score", dot(F.col("kv"), F.col("dv")) / (F.col("kn") * F.col("dn")))
+        .filter(F.col("score") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("kept_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cluster_id", "kept_id", "score")
+    )

@@ -10,7 +10,7 @@ bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.dedup import h64, shingles_col, tokens_col
@@ -284,4 +284,77 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
         .select(id_col, "score")
+    )
+
+
+def repetition_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1 — the
+    duplicate-token and top-n-gram-fraction document filters): per
+    document, the fraction of repeated tokens and the share of characters
+    claimed by the single most frequent word bigram. High values flag
+    boilerplate/spam documents a corpus filter drops before training.
+
+    Output: ``(id, n_toks, n_distinct_toks, rep_token_frac, top_bigram,
+    top_bigram_n, top_bigram_char_frac)``; documents with fewer than two
+    tokens carry NULL bigram columns.
+
+    Engineering shape: the distinct-token stats are per-row array HOFs (no
+    shuffle); the top-bigram search explodes bigrams and aggregates per
+    (doc, bigram) — one hash exchange keyed by document id, partial
+    map-side combine, no all-pairs work. The char fraction multiplies
+    integers and divides once, capped at 1.0 (overlapping occurrences can
+    claim a character twice — same caveat as the Gopher paper), so values
+    are bit-identical in the DuckDB oracle.
+    """
+    from time_series_and_data_lakes_spark.operators.dedup import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__n_chars"),
+        toks.alias("__toks"),
+    )
+    stats = base.select(
+        id_col,
+        "__n_chars",
+        F.size("__toks").cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct("__toks")).cast("bigint").alias("n_distinct_toks"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - 1),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i, 2)),
+    )
+    grams = base.filter(F.size("__toks") >= 2).select(
+        id_col, F.explode(bigrams).alias("bigram")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n"), F.asc("bigram"))
+    top = (
+        grams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("bigram").alias("top_bigram"),
+            F.col("n").alias("top_bigram_n"),
+        )
+    )
+    return stats.join(top, on=id_col, how="left").select(
+        id_col,
+        "n_toks",
+        "n_distinct_toks",
+        ((F.col("n_toks") - F.col("n_distinct_toks")) / F.col("n_toks")).alias(
+            "rep_token_frac"
+        ),
+        "top_bigram",
+        "top_bigram_n",
+        F.least(
+            F.lit(1.0),
+            (F.col("top_bigram_n") * F.length("top_bigram")) / F.col("__n_chars"),
+        ).alias("top_bigram_char_frac"),
     )

@@ -1101,6 +1101,44 @@ ORDER BY vec_id
 ANN_QUANTIZE_ORACLE = _quantize_oracle(dim=_EMB_DIM)
 
 
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (operators/text.py::repetition_stats)
+# --------------------------------------------------------------------------
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_stats(_load_docs(spark, sf_dir))
+
+
+TEXT_REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, n_chars, len(toks)::BIGINT AS n_toks,
+         len(list_distinct(toks))::BIGINT AS n_distinct_toks
+  FROM base
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+  FROM base WHERE len(toks) >= 2
+), top AS (
+  SELECT doc_id, bigram AS top_bigram, n AS top_bigram_n FROM (
+    SELECT doc_id, bigram, count(*) AS n,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, bigram) AS rn
+    FROM grams GROUP BY doc_id, bigram
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.n_toks, s.n_distinct_toks,
+       (s.n_toks - s.n_distinct_toks) / s.n_toks AS rep_token_frac,
+       t.top_bigram, t.top_bigram_n,
+       least(1.0, (t.top_bigram_n * length(t.top_bigram)) / s.n_chars)
+         AS top_bigram_char_frac
+FROM stats s LEFT JOIN top t USING (doc_id)
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1113,6 +1151,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_bm25_topk": text_bm25_topk,
+    "text_repetition_stats": text_repetition_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1137,6 +1176,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_winnow_fingerprint": TEXT_WINNOW_ORACLE,
     "text_bm25_topk": TEXT_BM25_ORACLE,
+    "text_repetition_stats": TEXT_REPETITION_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,

@@ -414,6 +414,67 @@ SELECT query_id, label::BIGINT AS predicted_label, votes FROM (
 PIPE_KNN_IVF_ORACLE = _knn_ivf_oracle()
 
 
+# --------------------------------------------------------------------------
+# SemDeDup: embedding-space semantic deduplication (cluster, then drop
+# within-cluster near-duplicates) — similarity.py::semantic_dedup
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_CENTROIDS = 16
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def pipe_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup audit trail: each dropped vector with the in-cluster
+    lower-id duplicate that keeps it out of the corpus (SemDeDup, Abbas et
+    al. 2023). Deterministic centroid set (vec_id < 16 stands in for
+    k-means, as in pipe_knn_label_vote_ivf) so the oracle replays the
+    quantizer; threshold 0.3 sits in the tail of this fixture's
+    near-orthogonal cosine distribution (max pairwise ~0.51)."""
+    from time_series_and_data_lakes_spark.operators import similarity as S
+
+    emb = _load_embeddings(spark, sf_dir)
+    return S.semantic_dedup(
+        emb,
+        emb.filter(F.col("vec_id") < _SEMDEDUP_CENTROIDS),
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+def _semdedup_oracle() -> str:
+    dot_nc = _dot_sql("n.v", "c.cv")
+    dot_kd = _dot_sql("k.v", "d.v")
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM v0
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+  WHERE vec_id < {_SEMDEDUP_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS cluster_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY {dot_nc} / (n.nrm * c.cn) DESC, c.cid) AS rn
+    FROM n, cent c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT d.vec_id, d.cluster_id, k.vec_id AS kept_id,
+         {dot_kd} / (k.nrm * d.nrm) AS score
+  FROM assigned k JOIN assigned d
+    ON k.cluster_id = d.cluster_id AND k.vec_id < d.vec_id
+  WHERE {dot_kd} / (k.nrm * d.nrm) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, cluster_id, kept_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY kept_id) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
+PIPE_SEMDEDUP_ORACLE = _semdedup_oracle()
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_split_train_test": pipe_split_train_test,
     "pipe_sample_per_source": pipe_sample_per_source,
@@ -423,6 +484,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_knn_label_vote_ivf": pipe_knn_label_vote_ivf,
     "pipe_mix_weights": pipe_mix_weights,
     "pipe_quality_funnel": pipe_quality_funnel,
+    "pipe_semdedup": pipe_semdedup,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -434,4 +496,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pipe_knn_label_vote_ivf": PIPE_KNN_IVF_ORACLE,
     "pipe_mix_weights": PIPE_MIX_ORACLE,
     "pipe_quality_funnel": PIPE_FUNNEL_ORACLE,
+    "pipe_semdedup": PIPE_SEMDEDUP_ORACLE,
 }
