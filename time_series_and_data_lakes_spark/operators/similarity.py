@@ -444,8 +444,62 @@ def pq_train(
     return codebooks
 
 
-def _codebook_lit(codebook: list[list[float]]) -> list[Column]:
-    return [F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
+def _pq_lut_frame(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup tables as ``(query_id, qv, lut)`` — the
+    M × n_codes squared distances from each query subvector to every
+    codebook centroid, computed in ONE vectorized Arrow pass over the
+    (tiny) query side rather than as M × n_codes ``_dist2`` column trees:
+    the expression form costs thousands of py4j round trips just to BUILD
+    (measured ~4 s of driver time per invocation at M=8, k=16 — the same
+    construction trap pq_encode documents), while the numpy form is an
+    explicit left fold over the sub-dims with ``_dist2``'s exact IEEE
+    association (acc = 0.0; acc += diff² per dim), so LUT values — and
+    therefore ADC scores and the SQL oracle hash — are bit-identical to
+    the expression form. ``qv`` (the float64 query vector) rides along for
+    callers that still probe centroids (ivf_pq_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    m_subspaces = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cb = np.array(codebooks, dtype=np.float64)  # (M, k, sub_dim)
+    lut_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+            T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def build_lut(batches):
+        for pdf in batches:
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(len(pdf), m_subspaces * sub_dim)
+            luts = np.empty((len(pdf), m_subspaces, cb.shape[1]))
+            for m in range(m_subspaces):
+                sub = mat[:, m * sub_dim : (m + 1) * sub_dim]
+                acc = np.zeros((len(pdf), cb.shape[1]))
+                for i in range(sub_dim):
+                    diff = sub[:, i : i + 1] - cb[m, :, i][None, :]
+                    acc = acc + diff * diff
+                luts[:, m, :] = acc
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col],
+                    "qv": [list(row) for row in mat],
+                    "lut": [[list(row) for row in l] for l in luts],
+                }
+            )
+
+    return queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        build_lut, schema=lut_schema
+    )
 
 
 def pq_encode(
@@ -522,17 +576,7 @@ def pq_topk(
     corpus I/O than scanning raw float32 vectors.
     """
     m_subspaces = len(codebooks)
-    sub_dim = len(codebooks[0][0])
-    qv = as_double(F.col(vec_col))
-    lut = F.array(
-        *[
-            F.array(
-                *[_dist2(_sub(qv, m, sub_dim), c) for c in _codebook_lit(codebooks[m])]
-            )
-            for m in range(m_subspaces)
-        ]
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
+    q = _pq_lut_frame(queries, codebooks, id_col, vec_col).select("query_id", "lut")
     scored = (
         encoded.withColumnRenamed(id_col, "neighbor_id")
         .crossJoin(F.broadcast(q))
@@ -607,22 +651,11 @@ def ivf_pq_topk(
     encoded = pq_encode(assigned, codebooks, id_col="neighbor_id", vec_col=vec_col)
 
     m_subspaces = len(codebooks)
-    sub_dim = len(codebooks[0][0])
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _dist2(_sub(F.col("qv"), m, sub_dim), c)
-                    for c in _codebook_lit(codebooks[m])
-                ]
-            )
-            for m in range(m_subspaces)
-        ]
-    )
+    # LUT from the fused Arrow pass (see _pq_lut_frame) — also fixes the
+    # expression form's per-probe-row re-evaluation (the LUT is computed
+    # once per query here, then replicated across its n_probe rows).
     probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        )
+        _pq_lut_frame(queries, codebooks, id_col, vec_col)
         .crossJoin(cent_row)
         .withColumn(
             "probe",
@@ -637,7 +670,7 @@ def ivf_pq_topk(
         .select(
             "query_id",
             F.col("probe")["cid"].alias("list_id"),
-            lut.alias("lut"),
+            "lut",
         )
     )
     scored = (
