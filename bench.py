@@ -59,6 +59,11 @@ HEADLINE = [
     "multimodal_resize_pixels",
     # round 4: PQ encode (fused Arrow pass) + ADC lookup-table search
     "ann_pq_adc_topk",
+    # round 4: BM25 scoring pass (two corpus scans + 1-row broadcast stats)
+    "text_bm25_topk",
+    # round 4: SemDeDup per-cluster pair join + Gopher repetition explode/agg
+    "pipe_semdedup",
+    "text_repetition_stats",
 ]
 
 # Per-query timing aggregation: this VM shares a host and random multi-second

@@ -429,3 +429,33 @@ def test_bucketed_join_and_agg_have_zero_exchanges(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_semdedup_assignment_broadcast_cluster_pair_join(spark, sf_dir):
+    # SemDeDup's scale contract: centroid assignment is a broadcast
+    # projection (corpus never shuffled to be assigned), the pair join is
+    # keyed by cluster_id (or broadcast when a side is small enough), and
+    # nothing sort-merges or ends in a presentation sort. The only hash
+    # exchanges of real data are the cluster pair join and the final
+    # per-vector rank window.
+    import re
+
+    plan = _plan(Q.QUERIES["pipe_semdedup"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    hash_cols = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert hash_cols <= {"vec_id", "cluster_id"}, hash_cols
+
+
+def test_repetition_stats_shuffles_only_by_doc(spark, sf_dir):
+    # The top-bigram search is explode -> per-(doc, bigram) aggregation ->
+    # per-doc rank: every hash exchange must be keyed by doc_id (partial
+    # map-side combine collapses the bigram space before the wire); no
+    # sort-merge join, no global sort.
+    import re
+
+    plan = _plan(Q.QUERIES["text_repetition_stats"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    hash_cols = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert hash_cols <= {"doc_id"}, hash_cols
