@@ -1785,6 +1785,7 @@ _DRIVER_TAIL: list[str] = [
     # coverage now and enter the window in round 5 as 2x-green slots open.
     "text_repetition_stats",
     "pipe_semdedup",
+    "text_top_tokens",
 ]
 
 

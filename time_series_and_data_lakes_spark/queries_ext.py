@@ -1139,6 +1139,45 @@ FROM stats s LEFT JOIN top t USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus vocabulary report: top tokens by total occurrences + doc frequency
+# (the token-stats pass a tokenizer-training / stopword-curation job runs)
+# --------------------------------------------------------------------------
+
+_TOP_TOKENS_K = 50
+
+
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K tokens with occurrence and document-frequency counts.
+    One exchange keyed by token (explode feeds a partially-aggregated
+    hash agg; the distinct-doc count two-phases over (token, doc_id) with
+    map-side combine), then a K-row top-k — the vocabulary never sits on
+    one executor and the corpus is scanned once."""
+    docs = _load_docs(spark, sf_dir)
+    from time_series_and_data_lakes_spark.operators.dedup import tokens_col
+
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(_TOP_TOKENS_K)
+    )
+
+
+TEXT_TOP_TOKENS_ORACLE = f"""
+SELECT token, count(*)::BIGINT AS n_total,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_total DESC, token
+LIMIT {_TOP_TOKENS_K}
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1152,6 +1191,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_bm25_topk": text_bm25_topk,
     "text_repetition_stats": text_repetition_stats,
+    "text_top_tokens": text_top_tokens,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1177,6 +1217,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_winnow_fingerprint": TEXT_WINNOW_ORACLE,
     "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_repetition_stats": TEXT_REPETITION_ORACLE,
+    "text_top_tokens": TEXT_TOP_TOKENS_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
