@@ -83,3 +83,54 @@ def test_pick_level_chooses_coarsest_divisor(spark):
     assert pick_level(levels, "2 minutes") == "1 minute"
     with pytest.raises(ValueError):
         pick_level({"1 hour": "p"}, "90 minutes")
+
+
+def test_incremental_refresh_equals_full_materialization(spark, raw, tmp_path):
+    from time_series_and_data_lakes_spark.operators.rollup import refresh_rollup
+
+    path = str(tmp_path / "hourly")
+    # split mid-day-2 so the second batch BOTH extends an existing date
+    # partition (merge path) and creates a new one (insert path)
+    cut = dt.datetime(2024, 1, 2, 9, 0)
+    first = raw.filter(F.col("time") < F.lit(cut))
+    second = raw.filter(F.col("time") >= F.lit(cut))
+    assert first.count() and second.count()
+
+    n1 = refresh_rollup(spark, first, path, ["sensor_id"], "time", "1 hour", "temperature")
+    assert n1 > 0
+    n2 = refresh_rollup(spark, second, path, ["sensor_id"], "time", "1 hour", "temperature")
+    assert n2 > 0
+
+    refreshed = read_rollup(spark, path)
+    full = rollup_partials(raw, ["sensor_id"], "time", "1 hour", "temperature")
+    got = {tuple(r) for r in serve_stats(refreshed, ["sensor_id"]).collect()}
+    want = {tuple(r) for r in serve_stats(full, ["sensor_id"]).collect()}
+    assert got == want
+    # schema of refreshed partitions matches full materialization (the
+    # widened merge decimal is cast back before writing)
+    assert dict(refreshed.drop("date").dtypes) == dict(full.dtypes)
+
+
+def test_incremental_refresh_touches_only_affected_dates(spark, raw, tmp_path):
+    import os
+
+    from time_series_and_data_lakes_spark.operators.rollup import refresh_rollup
+
+    path = str(tmp_path / "hourly")
+    day1 = raw.filter(F.to_date("time") == "2024-01-01")
+    day2 = raw.filter(F.to_date("time") == "2024-01-02")
+    refresh_rollup(spark, day1, path, ["sensor_id"], "time", "1 hour", "temperature")
+
+    def snapshot(date):
+        d = os.path.join(path, f"date={date}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = snapshot("2024-01-01")
+    refresh_rollup(spark, day2, path, ["sensor_id"], "time", "1 hour", "temperature")
+    # day-1 partition files byte-untouched by a refresh that lands in day 2
+    assert snapshot("2024-01-01") == before
+    assert snapshot("2024-01-02")

@@ -116,3 +116,87 @@ def pick_level(levels: dict[str, str], query_step: str) -> str:
             f"{sorted(levels)}"
         )
     return best_step
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    keys: list[str],
+    time_col: str,
+    step: str,
+    value_col: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Incremental continuous-aggregate maintenance: fold a batch of NEW
+    raw rows into a materialized rollup level, touching only the date
+    partitions the batch lands in — the refresh a `foreachBatch` sink (or
+    a scheduled job over newly-arrived raw partitions) runs instead of
+    re-materializing the level from all of raw.
+
+    Mechanics: the delta's partials are merged (sum-of-sums / min-of-mins
+    — the algebraic-partials property the module docstring explains) with
+    the EXISTING partials of only the affected dates, and the result
+    replaces exactly those date partitions via dynamic partition
+    overwrite. Cost scales with the delta's time span, not the store's
+    history: a 5-minute micro-batch touches 1-2 date partitions of the
+    rollup regardless of how many years it holds.
+
+    The affected-date list is collected to the driver (one row per
+    distinct date in the delta — bounded by the batch's time span, the
+    same O(model-parameters) contract as the ANN centroid collects) so the
+    existing-store read is statically partition-pruned.
+
+    Exactness: decimal sums merge losslessly, so a refreshed level is
+    value-identical to re-materializing from all raw (pinned by test).
+    Exactly-once is the CALLER's checkpoint contract — feeding the same
+    delta twice double-counts, exactly like any continuous aggregate;
+    pair with a streaming checkpoint or an idempotent window ledger.
+
+    Returns the number of rollup rows (re)written.
+    """
+    from time_series_and_data_lakes_spark.operators.checkpointing import (
+        truncate_lineage,
+    )
+
+    partials = rollup_partials(delta, keys, time_col, step, value_col).withColumn(
+        "date", F.to_date("bin")
+    )
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first refresh: nothing materialized yet
+        existing = None
+    if existing is not None:
+        dates = [r["date"] for r in partials.select("date").distinct().collect()]
+        if not dates:
+            return 0
+        touched = existing.filter(F.col("date").isin(dates))
+        merged = (
+            touched.unionByName(partials)
+            .groupBy(*keys, "bin", "date")
+            .agg(
+                F.sum("n").alias("n"),
+                # cast back to the stored sum type: the merge's widened
+                # decimal is exact, so this is lossless and keeps refreshed
+                # partitions schema-identical to full materialization
+                F.sum("sum_dec")
+                .cast(dict(existing.dtypes)["sum_dec"])
+                .alias("sum_dec"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+            .select(*keys, "bin", "n", "sum_dec", "vmin", "vmax", "date")
+        )
+    else:
+        merged = partials
+    merged = truncate_lineage(merged, checkpoint_dir)
+    n = merged.count()
+    if n == 0:
+        return 0
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
