@@ -720,3 +720,53 @@ def test_streaming_cep_state_survives_restart(spark, tmp_path):
     # boundary, so got == want proves cross-restart state restoration, not
     # just two independent runs
     assert _count_matches_py(rows[:half]) + _count_matches_py(rows[half:]) < len(want)
+
+
+def test_stream_static_enrichment_join_equals_batch(spark, tmp_path):
+    # Streaming twin of the Athena enrichment join (reference
+    # README.md:411-425): events stream in and are enriched against the
+    # static sensor_mapping dimension as they arrive. Spark plans the
+    # static side as a broadcast into every micro-batch — the idiomatic
+    # upgrade from re-running the batch join on a schedule.
+    import csv
+
+    from time_series_and_data_lakes_spark.sources.csv_tables import (
+        SENSOR_MAPPING_SCHEMA,
+        read_headered_csv,
+    )
+
+    rows = sensor_readings(seed=11, sensors=5, span_seconds=30)
+    src = _write_json_batches(tmp_path, rows)
+    mapping_csv = tmp_path / "sensor_mapping.csv"
+    with open(mapping_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["sensor_id", "customer_id"])
+        for i in range(5):
+            w.writerow([f"sensor-{i:02d}", str(1001 + i % 5)])
+    dim = read_headered_csv(spark, str(mapping_csv), SENSOR_MAPPING_SCHEMA)
+
+    wide = read_json_stream(spark, src)
+    enriched = wide.join(F.broadcast(dim), on="sensor_id", how="inner")
+    out = str(tmp_path / "enriched")
+    q = (
+        enriched.drop("ptime")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = (
+        spark.createDataFrame(
+            [(r["sensor_id"],) for r in rows], "sensor_id string"
+        )
+        .join(dim, on="sensor_id", how="inner")
+    )
+    assert got.count() == batch.count() == len(rows)
+    # every streamed row carries its dimension attribute
+    pairs = {(r["sensor_id"], r["customer_id"]) for r in got.collect()}
+    want = {(r["sensor_id"], r["customer_id"]) for r in dim.collect() if int(r["sensor_id"][-2:]) < 5}
+    assert pairs == want
