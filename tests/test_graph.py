@@ -84,3 +84,54 @@ def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
         os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "reliable mode wrote no checkpoint files"
+
+
+def test_label_propagation_matches_python_reference(spark):
+    # Synchronous unweighted LP on a random graph vs a brute-force Python
+    # implementation of the same update rule (majority of neighbors'
+    # current labels, ties -> smallest label, seeds clamped).
+    import random
+
+    from time_series_and_data_lakes_spark.operators.graph import label_propagation
+
+    rng = random.Random(13)
+    n = 40
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(120)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    directed = edges + [(b, a) for a, b in edges]
+    seeds = {v: v % 3 for v in range(0, n, 4)}
+
+    iters = 3
+    labels = dict(seeds)
+    new: dict[int, tuple[int, int]] = {}
+    for _ in range(iters):
+        votes: dict[int, dict[int, int]] = {}
+        for s, d in directed:
+            if s in labels:
+                votes.setdefault(d, {}).setdefault(labels[s], 0)
+                votes[d][labels[s]] += 1
+        new = {
+            node: min(
+                ((c, lab) for lab, c in by_lab.items()),
+                key=lambda t: (-t[0], t[1]),
+            )[::-1]
+            for node, by_lab in votes.items()
+        }
+        labels = dict(seeds)
+        labels.update({v: lab for v, (lab, c) in new.items() if v not in seeds})
+    want = {
+        (v, lab, c) for v, (lab, c) in new.items() if v not in seeds
+    }
+
+    e_df = spark.createDataFrame(directed, "src bigint, dst bigint")
+    s_df = spark.createDataFrame(list(seeds.items()), "node bigint, label bigint")
+    got = {
+        (r["node"], r["label"], r["votes"])
+        for r in label_propagation(e_df, s_df, iters=iters).collect()
+    }
+    assert got == want

@@ -101,3 +101,70 @@ def connected_components(
         .distinct()
         .select(F.col("u").alias("node"), F.col("v").alias("component"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous unweighted label propagation (Zhu & Ghahramani 2002 /
+    the community-detection LPA of Raghavan et al. 2007 — public
+    literature): seed nodes are clamped to their labels; every round,
+    each non-seed node adopts the majority label among its neighbors'
+    current labels. The multi-hop generalization of the engine's 1-hop
+    kNN majority vote — labels reach nodes with no labeled neighbor
+    through intermediate adopters.
+
+    Determinism contract: votes are integer neighbor counts (unweighted —
+    no float summation order to pin), ties break on the smallest label,
+    and rounds are synchronous — so the fixture's result is
+    bit-reproducible in a chained-CTE SQL oracle.
+
+    Scale shape: per round, one join of the edge list with the current
+    label frame (both keyed by node id — co-partitioned after the first
+    round) plus one (node, label)-keyed counting aggregation with
+    map-side combine; driver state is zero (fixed round count), and
+    lineage is truncated per round like :func:`connected_components`.
+
+    Returns ``(node, label, votes)`` for NON-SEED nodes that hold a label
+    after ``iters`` rounds, with the final round's vote count.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    seed_lab = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    )
+    labels = seed_lab
+    w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
+    new = None
+    for _ in range(iters):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), on="src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        new = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label", "votes")
+        )
+        labels = truncate_lineage(
+            seed_lab.unionByName(
+                new.join(seed_lab.select("node"), on="node", how="left_anti").select(
+                    "node", "label"
+                )
+            ),
+            checkpoint_dir,
+        )
+    return new.join(seed_lab.select("node"), on="node", how="left_anti").select(
+        F.col("node").alias(node_col),
+        F.col("label").alias(label_col),
+        "votes",
+    )

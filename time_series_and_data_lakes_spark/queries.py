@@ -1786,6 +1786,7 @@ _DRIVER_TAIL: list[str] = [
     "text_repetition_stats",
     "pipe_semdedup",
     "text_top_tokens",
+    "pipe_label_propagation",
 ]
 
 

@@ -633,7 +633,7 @@ def ann_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_oracle() -> str:
+def _lsh_pairs_oracle(threshold: float = _COS_THRESHOLD) -> str:
     weights = S.plane_weights(_N_PLANES, _DIM)
     proj_terms = []
     for p, w in enumerate(weights):
@@ -653,7 +653,7 @@ WITH v AS (
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.v', 'b.v')} AS score
 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.v', 'b.v')} >= {_COS_THRESHOLD}
+WHERE {_cosine_sql('a.v', 'b.v')} >= {threshold}
 """
 
 

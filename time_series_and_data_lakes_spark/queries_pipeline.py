@@ -475,6 +475,96 @@ SELECT vec_id, cluster_id, kept_id, score FROM (
 PIPE_SEMDEDUP_ORACLE = _semdedup_oracle()
 
 
+# --------------------------------------------------------------------------
+# Label propagation over the embedding similarity graph — the multi-hop
+# generalization of the kNN vote (operators/graph.py::label_propagation)
+# --------------------------------------------------------------------------
+
+_LP_SEED_MOD = 5
+_LP_ITERS = 2
+_LP_EDGE_THRESHOLD = 0.0
+
+
+def pipe_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised labeling: clamp every 5th vector's label (the
+    seeds), hide the rest, and propagate by synchronous majority vote for
+    2 rounds over the hyperplane-LSH similarity graph (same-bucket pairs
+    with non-negative cosine). Unweighted integer votes + smallest-label
+    tie-break keep the fixture bit-reproducible in the chained-CTE
+    oracle."""
+    from time_series_and_data_lakes_spark.operators import graph as G
+    from time_series_and_data_lakes_spark.operators import similarity as S
+    from time_series_and_data_lakes_spark.queries_ext import _DIM, _N_PLANES
+
+    emb = _load_embeddings(spark, sf_dir)
+    pairs = S.lsh_bucket_pairs(
+        emb, n_planes=_N_PLANES, dim=_DIM, threshold=_LP_EDGE_THRESHOLD
+    ).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    seeds = emb.filter(F.col("vec_id") % _LP_SEED_MOD == 0)
+    return G.label_propagation(
+        edges,
+        seeds,
+        iters=_LP_ITERS,
+        src_col="id_a",
+        dst_col="id_b",
+        node_col="vec_id",
+        label_col="label",
+    )
+
+
+def _lp_oracle() -> str:
+    from time_series_and_data_lakes_spark.queries_ext import _lsh_pairs_oracle
+
+    ctes = [
+        f"pairs AS ({_lsh_pairs_oracle(threshold=_LP_EDGE_THRESHOLD)})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)",
+        f"seeds AS (SELECT vec_id AS node, label FROM embeddings"
+        f" WHERE vec_id % {_LP_SEED_MOD} = 0)",
+        "lab0 AS (SELECT node, label FROM seeds)",
+    ]
+    for i in range(1, _LP_ITERS + 1):
+        ctes.append(
+            f"""votes{i} AS (
+  SELECT e.dst AS node, l.label, count(*)::BIGINT AS votes
+  FROM edges e JOIN lab{i - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+)"""
+        )
+        ctes.append(
+            f"""new{i} AS (
+  SELECT node, label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY node
+                                 ORDER BY votes DESC, label) AS rn
+    FROM votes{i}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""lab{i} AS (
+  SELECT node, label FROM seeds
+  UNION ALL
+  SELECT n.node, n.label FROM new{i} n
+  WHERE n.node NOT IN (SELECT node FROM seeds)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.node AS vec_id, n.label, n.votes
+FROM new{_LP_ITERS} n
+WHERE n.node NOT IN (SELECT node FROM seeds)
+"""
+    )
+
+
+PIPE_LP_ORACLE = _lp_oracle()
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_split_train_test": pipe_split_train_test,
     "pipe_sample_per_source": pipe_sample_per_source,
@@ -485,6 +575,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_mix_weights": pipe_mix_weights,
     "pipe_quality_funnel": pipe_quality_funnel,
     "pipe_semdedup": pipe_semdedup,
+    "pipe_label_propagation": pipe_label_propagation,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -497,4 +588,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pipe_mix_weights": PIPE_MIX_ORACLE,
     "pipe_quality_funnel": PIPE_FUNNEL_ORACLE,
     "pipe_semdedup": PIPE_SEMDEDUP_ORACLE,
+    "pipe_label_propagation": PIPE_LP_ORACLE,
 }
