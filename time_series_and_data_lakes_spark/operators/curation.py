@@ -279,3 +279,51 @@ def knn_label_vote(
             F.col("votes").cast("bigint").alias("votes"),
         )
     )
+
+
+def pack_sequences_report(
+    docs: DataFrame,
+    token_count_col: Column,
+    seq_len: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing report (the GPT-style packing a
+    pretraining loader applies: concatenate documents in a deterministic
+    order, slice into fixed ``seq_len``-token training sequences): per
+    group, how many sequences the corpus fills, how much tail padding the
+    last one carries, and how many documents straddle a chunk boundary
+    (the packing artifact attention masking has to handle).
+
+    All integer arithmetic over a deterministic order (``id_col`` within
+    ``group_col``), so the report is exact and oracle-able. One exchange
+    keyed by the group (the cumulative-sum window), then a per-group
+    aggregation — at scale each group is packed independently, exactly
+    like per-source loader shards.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        group_col, id_col, token_count_col.cast("bigint").alias("__len")
+    ).withColumn("__cum", F.sum("__len").over(w))
+    before = F.col("__cum") - F.col("__len")
+    crosses = (
+        (F.col("__len") > 0)
+        & (F.floor(before / seq_len) != F.floor((F.col("__cum") - 1) / seq_len))
+    ).cast("bigint")
+    return (
+        sized.withColumn("__crosses", crosses)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("__cum").alias("total_tokens"),
+            F.ceil(F.max("__cum") / seq_len).cast("bigint").alias("n_sequences"),
+            (F.ceil(F.max("__cum") / seq_len) * seq_len - F.max("__cum"))
+            .cast("bigint")
+            .alias("tail_padding"),
+            F.sum("__crosses").alias("n_boundary_docs"),
+        )
+    )

@@ -1787,6 +1787,7 @@ _DRIVER_TAIL: list[str] = [
     "pipe_semdedup",
     "text_top_tokens",
     "pipe_label_propagation",
+    "pipe_pack_sequences",
 ]
 
 

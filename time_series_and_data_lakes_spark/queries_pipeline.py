@@ -565,6 +565,40 @@ WHERE n.node NOT IN (SELECT node FROM seeds)
 PIPE_LP_ORACLE = _lp_oracle()
 
 
+# --------------------------------------------------------------------------
+# Sequence-packing report (curation.py::pack_sequences_report)
+# --------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 512
+
+
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_docs(spark, sf_dir)
+    return C.pack_sequences_report(
+        docs, X.token_count(F.col("text")), seq_len=_PACK_SEQ_LEN
+    )
+
+
+PIPE_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT source, doc_id, len({_TOKS})::BIGINT AS len,
+         (sum(len({_TOKS})) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       max(cum)::BIGINT AS total_tokens,
+       ceil(max(cum) / {_PACK_SEQ_LEN})::BIGINT AS n_sequences,
+       (ceil(max(cum) / {_PACK_SEQ_LEN}) * {_PACK_SEQ_LEN} - max(cum))::BIGINT
+         AS tail_padding,
+       sum(CASE WHEN len > 0
+                AND floor((cum - len) / {_PACK_SEQ_LEN})
+                    <> floor((cum - 1) / {_PACK_SEQ_LEN})
+                THEN 1 ELSE 0 END)::BIGINT AS n_boundary_docs
+FROM sized GROUP BY source
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_split_train_test": pipe_split_train_test,
     "pipe_sample_per_source": pipe_sample_per_source,
@@ -576,6 +610,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_quality_funnel": pipe_quality_funnel,
     "pipe_semdedup": pipe_semdedup,
     "pipe_label_propagation": pipe_label_propagation,
+    "pipe_pack_sequences": pipe_pack_sequences,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -589,4 +624,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pipe_quality_funnel": PIPE_FUNNEL_ORACLE,
     "pipe_semdedup": PIPE_SEMDEDUP_ORACLE,
     "pipe_label_propagation": PIPE_LP_ORACLE,
+    "pipe_pack_sequences": PIPE_PACK_ORACLE,
 }
