@@ -5,6 +5,7 @@ expansion) plus the real codecs — full BMP/PPM pixel round-trips, PNG/JPEG
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.multimodal import (
     FEATURE_DIM,
@@ -413,3 +414,32 @@ def test_gif_frames_flow_through_decode_media(spark):
     }
     assert (got[20]["width"], got[20]["height"], got[20]["n_frames"]) == (16, 8, 5)
     assert got[21]["n_frames"] == 1
+
+
+def test_media_features_compose_with_ann_search(spark):
+    # End-to-end multimodal retrieval chain: payload bytes -> deterministic
+    # feature extraction -> cosine top-k over the feature vectors. Pins that
+    # extract_features' output shape (media_id, features float array) drops
+    # straight into the similarity stack with only column renames — the
+    # "image dedup / media search" composition, with the byte-histogram
+    # standing in for a real embedding model.
+    from time_series_and_data_lakes_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (i, "image", pack_fake_payload(64, 64, 1, bytes([i % 7] * 50 + [i] * 20)), ("s3", "tsdl-fake"))
+        for i in range(1, 13)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    queries = feats.filter(F.col("vec_id") <= 2)
+    out = cosine_topk(feats, queries, k=3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    # 3 neighbors per query, no self matches, deterministic
+    assert len(got) == 6
+    assert all(got[(q, r)] != q for (q, r) in got)
+    # payloads built from the same byte pattern (i % 7 equal) are the
+    # nearest non-self neighbors: 1's histogram matches 8's most closely
+    assert got[(1, 1)] == 8
+    assert got[(2, 1)] == 9
