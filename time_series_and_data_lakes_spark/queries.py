@@ -1331,6 +1331,44 @@ FROM events
 """
 
 
+_EWMA_ALPHA = 0.2
+
+
+def analytics_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor exponentially weighted moving average — the recursive
+    smoother (s₀ = x₀; sᵢ = α·xᵢ + (1-α)·sᵢ₋₁) dashboards overlay on noisy
+    series. A recursion over arrival order cannot be an OVER-clause window,
+    so it runs as a sequential left fold over each sensor's time-ordered
+    observation array — per-key-bounded state, exactly the cardinality the
+    reference's own ``timeseries`` value materializes per group (A1), and
+    the fold IS the determinism contract: both engines evaluate the same
+    chain ``0.2·x + 0.8·acc`` left to right, so the double is bit-exact."""
+    obs = sensor_obs(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("time"), F.col("temperature")))
+    )
+    ewma = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, p: F.when(acc.isNull(), p["temperature"]).otherwise(
+            F.lit(_EWMA_ALPHA) * p["temperature"] + F.lit(1 - _EWMA_ALPHA) * acc
+        ),
+    )
+    return obs.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        ewma.alias("ewma_temperature"),
+    )
+
+
+EWMA_ORACLE = f"""
+SELECT user_id AS sensor_id, count(*) AS n_obs,
+       list_reduce(list(value ORDER BY ts, value),
+                   (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc)
+         AS ewma_temperature
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Engine extensions: sessionization (gap-based dual of bin) and the as-of
 # join (batch analogue of LOCF alignment — SURVEY §2.3 note). DuckDB
@@ -1634,6 +1672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_part_suppliers": distinct_part_suppliers,
     "approx_distinct_parts": approx_distinct_parts,
     "analytics_moving_window": analytics_moving_window,
+    "analytics_ewma": analytics_ewma,
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
     "semi_anti_customers": semi_anti_customers,
@@ -1702,6 +1741,7 @@ ORACLES: dict[str, str] = {
     "rollup_pricing_totals": ROLLUP_ORACLE,
     "distinct_part_suppliers": DISTINCT_ORACLE,
     "analytics_moving_window": ANALYTICS_ORACLE,
+    "analytics_ewma": EWMA_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,
     "semi_anti_customers": SEMI_ANTI_ORACLE,
@@ -1788,6 +1828,7 @@ _DRIVER_TAIL: list[str] = [
     "text_top_tokens",
     "pipe_label_propagation",
     "pipe_pack_sequences",
+    "analytics_ewma",
 ]
 
 
