@@ -134,3 +134,40 @@ def test_incremental_refresh_touches_only_affected_dates(spark, raw, tmp_path):
     # day-1 partition files byte-untouched by a refresh that lands in day 2
     assert snapshot("2024-01-01") == before
     assert snapshot("2024-01-02")
+
+
+def test_streaming_rollup_maintenance_equals_batch(spark, raw, tmp_path):
+    # Continuous-aggregate path: the raw rows arrive as a stream (parquet
+    # file source, multiple micro-batches), each micro-batch folds into
+    # the hourly level via refresh_rollup; the maintained level must serve
+    # exactly what batch materialization over all raw serves.
+    from time_series_and_data_lakes_spark.operators.rollup import (
+        start_rollup_refresh_sink,
+    )
+
+    src = str(tmp_path / "raw_stream")
+    # several files -> several micro-batches (maxFilesPerTrigger=1)
+    for i, part in enumerate(raw.randomSplit([1.0, 1.0, 1.0], seed=5)):
+        part.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "hourly_stream")
+    q = start_rollup_refresh_sink(
+        stream,
+        path,
+        ["sensor_id"],
+        "time",
+        "1 hour",
+        "temperature",
+        str(tmp_path / "rckpt"),
+    )
+    q.awaitTermination(120)
+
+    maintained = read_rollup(spark, path)
+    full = rollup_partials(raw, ["sensor_id"], "time", "1 hour", "temperature")
+    got = {tuple(r) for r in serve_stats(maintained, ["sensor_id"]).collect()}
+    want = {tuple(r) for r in serve_stats(full, ["sensor_id"]).collect()}
+    assert got == want

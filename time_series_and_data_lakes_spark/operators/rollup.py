@@ -200,3 +200,34 @@ def refresh_rollup(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n
+
+
+def start_rollup_refresh_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    time_col: str,
+    step: str,
+    value_col: str,
+    checkpoint_location: str,
+):
+    """Continuous-aggregate maintenance as a streaming sink: every
+    micro-batch folds into the materialized level via
+    :func:`refresh_rollup` (micro-batch = the delta). The streaming
+    checkpoint supplies the exactly-once half of the contract
+    refresh_rollup documents: a batch is re-fed only on failure replay,
+    where the overwrite of the SAME affected partitions makes the retry
+    idempotent as long as each batch replays with the same contents (the
+    file/Kafka sources guarantee this per epoch)."""
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_rollup(
+            batch_df.sparkSession, batch_df, path, keys, time_col, step, value_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
