@@ -83,3 +83,70 @@ def test_time_bin_floors_to_epoch_multiple(spark):
     df = spark.createDataFrame([(dt.datetime(2024, 1, 1, 0, 0, 37),)], "t timestamp")
     got = df.select(time_bin("t", "30 seconds").alias("b")).collect()[0]["b"]
     assert got == dt.datetime(2024, 1, 1, 0, 0, 30)
+
+
+def test_lttb_matches_reference_implementation(spark):
+    """LTTB vs the textbook implementation (Steinarsson 2013 pseudocode,
+    written independently of the Spark fold) — includes the n <= threshold
+    passthrough series. Guards against a bug mirrored into the SQL oracle."""
+    import datetime as dt
+    import random
+
+    from time_series_and_data_lakes_spark.operators.timeseries import lttb_downsample
+
+    def lttb_ref(pts, t):
+        n = len(pts)
+        if n <= t:
+            return pts
+        mid, nb = n - 2, t - 2
+        sel = [pts[0]]
+        prev = pts[0]
+        for b in range(nb):
+            lo = 1 + (b * mid) // nb
+            hi = ((b + 1) * mid) // nb
+            if b < nb - 1:
+                nlo = 1 + ((b + 1) * mid) // nb
+                nhi = ((b + 2) * mid) // nb
+                sx = 0.0
+                for p in pts[nlo : nhi + 1]:
+                    sx += p[0]
+                sy = 0.0
+                for p in pts[nlo : nhi + 1]:
+                    sy += p[1]
+                ax, ay = sx / (nhi - nlo + 1), sy / (nhi - nlo + 1)
+            else:
+                ax, ay = pts[-1]
+            px, py = prev
+            best, barea = None, -1.0
+            for j in range(lo, hi + 1):
+                cx, cy = pts[j]
+                area = abs((px - ax) * (cy - py) - (px - cx) * (py - ay))
+                if area > barea:
+                    best, barea = pts[j], area
+            sel.append(best)
+            prev = best
+        sel.append(pts[-1])
+        return sel
+
+    rng = random.Random(3)
+    epoch = dt.datetime(1970, 1, 1)
+    rows = []
+    for k in range(5):
+        t0 = dt.datetime(2024, 1, 1)
+        npts = 8 + k * 23  # k=0 exercises the n <= threshold passthrough
+        for i in range(npts):
+            rows.append(
+                (f"s{k}", t0 + dt.timedelta(seconds=i * 13 + k), rng.uniform(-50, 150))
+            )
+    df = spark.createDataFrame(rows, "sensor_id string, time timestamp, temperature double")
+    got = {}
+    for r in lttb_downsample(df, ["sensor_id"], "time", "temperature", 12).collect():
+        got.setdefault(r["sensor_id"], []).append((r["time"], r["temperature"]))
+    by_key = {}
+    for s, t, v in rows:
+        by_key.setdefault(s, []).append((t, v))
+    for s, pts in by_key.items():
+        pts.sort()
+        ref = lttb_ref([((p[0] - epoch).total_seconds() * 1e6, p[1]) for p in pts], 12)
+        want = sorted((epoch + dt.timedelta(microseconds=x), y) for x, y in ref)
+        assert sorted(got[s]) == want, s

@@ -305,3 +305,126 @@ def _interval_micros(step: str) -> int:
         "day": 86_400_000_000,
     }[unit]
     return int(qty * scale)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    value_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013, the
+    de-facto dashboard downsampler — what a Grafana panel should receive
+    instead of a million raw points): per key, keep the first and last
+    observation and, for each of ``threshold - 2`` equal buckets of the
+    interior, the point forming the largest triangle with the previously
+    selected point and the next bucket's average point. Preserves visual
+    extremes that plain binned averaging flattens.
+
+    The selection is a left-to-right recursion (each bucket's choice
+    depends on the previous bucket's), so like EWMA it cannot be an
+    OVER-clause window: it runs as ONE sequential fold per key over the
+    sorted observation array, with a (prev, selected[]) struct
+    accumulator. The fold body is a single lambda — plan size is constant
+    in both the series length and the threshold.
+
+    Scale shape: one hash exchange (the per-key collect), per-key memory
+    bounded by the key's series (the same cardinality the reference's
+    ``timeseries`` value materializes — A1), O(n) work per key. Series
+    with <= threshold points pass through unchanged.
+
+    Determinism contract: bucket boundaries are exact integer floors,
+    triangle areas are one fixed-shape double expression, the in-bucket
+    argmax folds left-to-right keeping the FIRST maximum, and ties cannot
+    diverge because both engines evaluate bit-identical area values (the
+    DuckDB oracle mirrors the fold token-for-token).
+    """
+    nb = threshold - 2
+    if nb < 1:
+        raise ValueError("threshold must be >= 3")
+
+    pts = F.array_sort(
+        F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v")))
+    )
+
+    def x_of(p: Column) -> Column:
+        return F.unix_micros(p["t"]).cast("double")
+
+    def fold_sum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    def lttb(pts: Column) -> Column:
+        n = F.size(pts)
+        mid = (n - 2).cast("bigint")
+        last = F.element_at(pts, n)
+
+        def bound(e: Column) -> Column:
+            # exact integer floor(e / nb): e < 2^53 so the double divide is
+            # exact after subtracting the remainder
+            return ((e - F.pmod(e, F.lit(nb))) / F.lit(nb)).cast("bigint")
+
+        def step(acc: Column, b: Column) -> Column:
+            lo = bound(b * mid) + 2
+            hi = bound((b + 1) * mid) + 1
+            nlo = bound((b + 1) * mid) + 2
+            nhi = bound((b + 2) * mid) + 1
+            nxt = F.transform(
+                F.sequence(nlo.cast("int"), nhi.cast("int")),
+                lambda j: F.element_at(pts, j),
+            )
+            cnt = (nhi - nlo + 1).cast("double")
+            is_last = b == F.lit(nb - 1)
+            ax = F.when(is_last, x_of(last)).otherwise(
+                fold_sum(F.transform(nxt, x_of)) / cnt
+            )
+            ay = F.when(is_last, last["v"]).otherwise(
+                fold_sum(F.transform(nxt, lambda p: p["v"])) / cnt
+            )
+            px = x_of(acc["prev"])
+            py = acc["prev"]["v"]
+            cands = F.transform(
+                F.sequence(lo.cast("int"), hi.cast("int")),
+                lambda j: F.struct(
+                    F.abs(
+                        (px - ax) * (F.element_at(pts, j)["v"] - py)
+                        - (px - x_of(F.element_at(pts, j)))
+                        * (py - ay)
+                    ).alias("area"),
+                    F.element_at(pts, j)["t"].alias("t"),
+                    F.element_at(pts, j)["v"].alias("v"),
+                ),
+            )
+            best = F.aggregate(
+                cands,
+                F.element_at(cands, 1),
+                lambda bst, c: F.when(c["area"] > bst["area"], c).otherwise(bst),
+            )
+            sel = F.struct(best["t"].alias("t"), best["v"].alias("v"))
+            return F.struct(
+                sel.alias("prev"),
+                F.concat(acc["sel"], F.array(sel)).alias("sel"),
+            )
+
+        first = F.element_at(pts, 1)
+        init = F.struct(
+            first.alias("prev"), F.array(first).alias("sel")
+        )
+        folded = F.aggregate(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            init,
+            step,
+        )
+        return F.concat(folded["sel"], F.array(last))
+
+    from time_series_and_data_lakes_spark.operators.dedup import let
+
+    selected = F.when(F.size(pts) <= threshold, pts).otherwise(let(pts, lttb))
+    out = df.groupBy(*keys).agg(selected.alias("__sel"))
+    return out.select(
+        *keys, F.explode("__sel").alias("__p")
+    ).select(
+        *keys,
+        F.col("__p")["t"].alias(time_col),
+        F.col("__p")["v"].alias(value_col),
+    )

@@ -1369,6 +1369,105 @@ FROM events GROUP BY user_id
 """
 
 
+_LTTB_THRESHOLD = 20
+
+
+def analytics_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling of every sensor's series to 20 points — what a
+    dashboard panel should be served instead of the raw series (the
+    reference plots raw feeds, `grafana…json:285`; LTTB is the standard
+    renderer-side reduction). See
+    :func:`operators.timeseries.lttb_downsample` for the fold design and
+    determinism contract."""
+    from time_series_and_data_lakes_spark.operators.timeseries import lttb_downsample
+
+    obs = sensor_obs(spark, sf_dir)
+    return lttb_downsample(
+        obs, ["sensor_id"], "time", "temperature", _LTTB_THRESHOLD
+    )
+
+
+def _lttb_oracle(threshold: int = _LTTB_THRESHOLD) -> str:
+    """Replays the LTTB fold as a recursive CTE over buckets. Written
+    WITHOUT nested lambdas on purpose: DuckDB 1.0's list_reduce silently
+    stops accumulating when a lambda body contains another lambda that
+    references table columns, so each bucket step is one recursion row
+    with only single-level lambdas (the in-bucket argmax fold and the
+    next-bucket average fold — the latter starts from its first element,
+    which equals Spark's 0.0-seeded fold bit-exactly since adding 0.0 is
+    an identity)."""
+    t = threshold
+    nb = t - 2
+
+    def bnd(e: str) -> str:
+        return f"((({e}) - (({e}) % {nb})) / {nb})::BIGINT"
+
+    nxt_sum = (
+        "list_reduce(list_transform(generate_series({lo}, {hi}), j -> {v}), "
+        "(acc, x) -> acc + x)"
+    )
+    nlo = bnd("(s.b + 2) * a.mid") + " + 2"
+    nhi = bnd("(s.b + 3) * a.mid") + " + 1"
+    return f"""
+WITH RECURSIVE obs AS (
+  SELECT user_id AS sensor_id, ts, value FROM events
+), arr AS (
+  SELECT sensor_id, list({{'t': ts, 'v': value}} ORDER BY ts, value) AS pts
+  FROM obs GROUP BY sensor_id
+), arr2 AS (
+  SELECT sensor_id, pts, len(pts) AS n, (len(pts) - 2)::BIGINT AS mid,
+         pts[len(pts)] AS lastp
+  FROM arr
+), steps(sensor_id, b, prev_t, prev_v, sel) AS (
+  SELECT sensor_id, -1::BIGINT, pts[1].t, pts[1].v, [pts[1]]
+  FROM arr2 WHERE n > {t}
+  UNION ALL
+  SELECT sensor_id, b, (bst).t, (bst).v,
+         list_append(sel, {{'t': (bst).t, 'v': (bst).v}})
+  FROM (
+    SELECT sensor_id, b, sel,
+           list_reduce(cands,
+             (bst, c) -> CASE WHEN c.area > bst.area THEN c ELSE bst END) AS bst
+    FROM (
+      SELECT sensor_id, b, sel, prev_t, prev_v,
+             list_transform(generate_series(lo, hi), j -> {{
+               'area': abs((epoch_us(prev_t)::DOUBLE - ax) * (pts[j].v - prev_v)
+                         - (epoch_us(prev_t)::DOUBLE - epoch_us(pts[j].t)::DOUBLE)
+                           * (prev_v - ay)),
+               't': pts[j].t, 'v': pts[j].v }}) AS cands
+      FROM (
+        SELECT s.sensor_id, s.b + 1 AS b, s.sel, s.prev_t, s.prev_v, a.pts,
+               {bnd("(s.b + 1) * a.mid")} + 2 AS lo,
+               {bnd("(s.b + 2) * a.mid")} + 1 AS hi,
+               CASE WHEN s.b + 1 = {nb - 1} THEN epoch_us(a.lastp.t)::DOUBLE
+                    ELSE {nxt_sum.format(lo=nlo, hi=nhi, v="epoch_us(a.pts[j].t)::DOUBLE")}
+                         / (({nhi}) - ({nlo}) + 1)::DOUBLE
+               END AS ax,
+               CASE WHEN s.b + 1 = {nb - 1} THEN a.lastp.v
+                    ELSE {nxt_sum.format(lo=nlo, hi=nhi, v="a.pts[j].v")}
+                         / (({nhi}) - ({nlo}) + 1)::DOUBLE
+               END AS ay
+        FROM steps s JOIN arr2 a USING (sensor_id)
+        WHERE s.b + 1 <= {nb - 1}
+      )
+    )
+  )
+), result AS (
+  SELECT a.sensor_id,
+         CASE WHEN a.n <= {t} THEN a.pts ELSE f.sel || [a.lastp] END AS sel
+  FROM arr2 a
+  LEFT JOIN (SELECT sensor_id, sel FROM steps WHERE b = {nb - 1}) f
+    USING (sensor_id)
+), ex AS (
+  SELECT sensor_id, unnest(sel) AS p FROM result
+)
+SELECT sensor_id, p.t AS time, p.v AS temperature FROM ex
+"""
+
+
+LTTB_ORACLE = _lttb_oracle()
+
+
 # --------------------------------------------------------------------------
 # Engine extensions: sessionization (gap-based dual of bin) and the as-of
 # join (batch analogue of LOCF alignment — SURVEY §2.3 note). DuckDB
@@ -1673,6 +1772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_parts": approx_distinct_parts,
     "analytics_moving_window": analytics_moving_window,
     "analytics_ewma": analytics_ewma,
+    "analytics_lttb_downsample": analytics_lttb_downsample,
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
     "semi_anti_customers": semi_anti_customers,
@@ -1742,6 +1842,7 @@ ORACLES: dict[str, str] = {
     "distinct_part_suppliers": DISTINCT_ORACLE,
     "analytics_moving_window": ANALYTICS_ORACLE,
     "analytics_ewma": EWMA_ORACLE,
+    "analytics_lttb_downsample": LTTB_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,
     "semi_anti_customers": SEMI_ANTI_ORACLE,
@@ -1829,6 +1930,7 @@ _DRIVER_TAIL: list[str] = [
     "pipe_label_propagation",
     "pipe_pack_sequences",
     "analytics_ewma",
+    "analytics_lttb_downsample",
 ]
 
 
