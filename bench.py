@@ -64,6 +64,10 @@ HEADLINE = [
     # round 4: SemDeDup per-cluster pair join + Gopher repetition explode/agg
     "pipe_semdedup",
     "text_repetition_stats",
+    # round 4: sequential-fold analytics (per-key recursion the OVER clause
+    # cannot express) — EWMA smoother and LTTB dashboard downsampling
+    "analytics_ewma",
+    "analytics_lttb_downsample",
 ]
 
 # Per-query timing aggregation: this VM shares a host and random multi-second
