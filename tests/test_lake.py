@@ -308,3 +308,112 @@ def test_compact_partitions_in_place(spark, tmp_path):
     assert compact_partitions(
         spark, store, ["measure_name", "date"], predicate=F.col("measure_name") == -1
     ) == 0
+
+
+def test_zorder_layout_skips_more_files_than_linear(spark, sf_dir, tmp_path):
+    # Z-order clustering on (user_id, ts) must make file min/max envelopes
+    # tight in BOTH dimensions: for a box predicate, strictly fewer files
+    # intersect than under a time-sorted (linear) layout of the same data,
+    # and the layout is purely physical — query answers are unchanged.
+    from time_series_and_data_lakes_spark.queries import load
+    from time_series_and_data_lakes_spark.sources.zorder import (
+        files_intersecting_box,
+        write_zordered,
+    )
+
+    events = load(spark, sf_dir, "events")
+    zpath = str(tmp_path / "events_z")
+    lpath = str(tmp_path / "events_linear")
+    write_zordered(events, zpath, ["user_id", "ts"], bits=12, n_files=16)
+    (
+        events.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    uids = [r["user_id"] for r in events.select("user_id").distinct().collect()]
+    uids.sort()
+    lo_u, hi_u = uids[0], uids[len(uids) // 8]
+    tmin, tmax = events.selectExpr(
+        "min(unix_micros(ts))", "max(unix_micros(ts))"
+    ).first()
+    lo_t = tmin
+    hi_t = tmin + (tmax - tmin) // 8
+
+    import datetime as dt
+
+    box_sql = (
+        f"user_id BETWEEN {lo_u} AND {hi_u} AND "
+        f"unix_micros(ts) BETWEEN {lo_t} AND {hi_t}"
+    )
+    # correctness: same rows from both layouts
+    nz = spark.read.parquet(zpath).filter(F.expr(box_sql)).count()
+    nl = spark.read.parquet(lpath).filter(F.expr(box_sql)).count()
+    want = events.filter(F.expr(box_sql)).count()
+    assert nz == nl == want
+
+    epoch = dt.datetime(1970, 1, 1)
+    ts_box = (
+        epoch + dt.timedelta(microseconds=lo_t),
+        epoch + dt.timedelta(microseconds=hi_t),
+    )
+    z_hit, z_total = files_intersecting_box(
+        zpath, {"user_id": (lo_u, hi_u), "ts": ts_box}
+    )
+    l_hit, l_total = files_intersecting_box(
+        lpath, {"user_id": (lo_u, hi_u), "ts": ts_box}
+    )
+    assert z_total == l_total == 16
+    # the linear layout prunes on time only (~1/8 of files survive) but
+    # every surviving file spans all users; z-order prunes on both axes
+    assert z_hit < l_hit, (z_hit, l_hit)
+
+
+def test_merge_upsert_updates_inserts_and_leaves_partitions_untouched(
+    spark, tmp_path
+):
+    import os
+
+    from time_series_and_data_lakes_spark.sources.merge import merge_upsert
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i), "old") for i in range(30)],
+        "id bigint, part string, value double, tag string",
+    )
+    merge_upsert(spark, path, base, ["id"], ["part"])
+
+    def snapshot(part):
+        d = os.path.join(path, f"part={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_d2 = snapshot("d2")
+    # updates touch only d0/d1 partitions: overwrite two keys, insert two new
+    updates = spark.createDataFrame(
+        [
+            (0, "d0", 100.0, "new"),   # matched -> replaced
+            (4, "d1", 104.0, "new"),   # matched -> replaced
+            (90, "d0", 900.0, "new"),  # not matched -> inserted
+            (91, "d1", 910.0, "new"),  # not matched -> inserted
+        ],
+        "id bigint, part string, value double, tag string",
+    )
+    n = merge_upsert(spark, path, updates, ["id"], ["part"])
+    got = spark.read.parquet(path)
+    assert got.count() == 32
+    assert n == got.filter(F.col("part") != "d2").count()
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[0]["value"] == 100.0 and rows[0]["tag"] == "new"
+    assert rows[4]["value"] == 104.0 and rows[4]["tag"] == "new"
+    assert rows[90]["value"] == 900.0 and rows[91]["value"] == 910.0
+    assert rows[3]["tag"] == "old"  # unmatched key in a touched partition
+    # the d2 partition was never read or rewritten
+    assert snapshot("d2") == before_d2
+    # idempotent: re-merging the same batch changes nothing
+    merge_upsert(spark, path, updates, ["id"], ["part"])
+    assert spark.read.parquet(path).count() == 32

@@ -1,0 +1,81 @@
+"""MERGE (upsert) into a partitioned parquet store — the CDC/maintenance
+verb Delta/Iceberg call MERGE INTO, expressed with the same
+dynamic-partition-overwrite machinery as compaction and rollup refresh:
+
+- rows of ``updates`` whose key exists in the store REPLACE the stored row
+  (whole-row semantics: WHEN MATCHED THEN UPDATE SET *);
+- rows with new keys are inserted (WHEN NOT MATCHED THEN INSERT *);
+- only the partitions the updates land in are rewritten — untouched
+  partitions stay byte-identical, so merge cost follows the update batch,
+  not the table size.
+
+Contract: the partition value of a key must be immutable (true for
+date-partitioned event/fact tables, where the partition derives from an
+event-time column that identifies the row). A key whose partition value
+changed would leave its old copy behind — callers that need cross-partition
+moves must delete first. On Delta/Iceberg the same call shape becomes a
+transactional MERGE; this is the plain-parquet equivalent with
+snapshot-isolation-free semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
+
+_OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Upsert ``updates`` into the parquet store at ``path``. Returns the
+    number of rows written (the rewritten partitions' new contents).
+
+    The affected-partition list is collected to the driver (one row per
+    distinct partition tuple in the batch — bounded by the batch's span,
+    the same O(model-parameters) contract as rollup refresh), so the
+    store read is statically partition-pruned; within those partitions
+    the stored rows losing to an update are removed by a key anti join.
+    """
+    if updates.isEmpty():
+        return 0
+    parts = updates.select(*partition_cols).distinct().collect()
+    part_pred = None
+    for r in parts:
+        clause = None
+        for c in partition_cols:
+            cond = F.col(c) == F.lit(r[c])
+            clause = cond if clause is None else (clause & cond)
+        part_pred = clause if part_pred is None else (part_pred | clause)
+
+    try:
+        existing = spark.read.parquet(path).filter(part_pred)
+    except Exception:  # first write: nothing materialized yet
+        existing = None
+
+    cols = updates.columns
+    if existing is not None:
+        kept = existing.join(
+            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        merged = kept.select(*cols).unionByName(updates.select(*cols))
+    else:
+        merged = updates.select(*cols)
+
+    merged = truncate_lineage(merged, checkpoint_dir)
+    n = merged.count()
+    prev = spark.conf.get(_OVERWRITE_MODE)
+    spark.conf.set(_OVERWRITE_MODE, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(_OVERWRITE_MODE, prev)
+    return n
