@@ -1468,6 +1468,70 @@ SELECT sensor_id, p.t AS time, p.v AS temperature FROM ex
 LTTB_ORACLE = _lttb_oracle()
 
 
+_ZSCORE_K = 3.0
+
+
+def analytics_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor z-score anomaly report: observation count, mean, stddev,
+    and how many readings sit more than 3σ from the mean — the first-pass
+    outlier screen a monitoring pipeline runs over every series.
+
+    Determinism: the fixture's values carry two decimals, so moments are
+    EXACT — sum and sum-of-squares accumulate in decimal (the square of a
+    DECIMAL(12,2) is a lossless DECIMAL(25,4)), and mean/std are single
+    double expressions over those exact sums, bit-identical cross-engine.
+    Two scans (moments, then the 3σ count against the broadcast per-key
+    stats) — both partial-aggregated; the stats frame is |sensors| rows.
+    """
+    obs = sensor_obs(spark, sf_dir)
+    d = F.col("temperature").cast("decimal(12,2)")
+    stats = obs.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(d).alias("__s"),
+        F.sum(d * d).alias("__s2"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n_obs")
+    var = F.col("__s2").cast("double") / F.col("n_obs") - mean * mean
+    stats = stats.select(
+        "sensor_id",
+        "n_obs",
+        mean.alias("mean_value"),
+        F.sqrt(var).alias("std_value"),
+    )
+    flagged = obs.join(F.broadcast(stats), on="sensor_id").filter(
+        F.abs(F.col("temperature") - F.col("mean_value"))
+        > F.lit(_ZSCORE_K) * F.col("std_value")
+    )
+    counts = flagged.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_outliers")
+    )
+    return (
+        stats.join(counts, on="sensor_id", how="left")
+        .withColumn("n_outliers", F.coalesce("n_outliers", F.lit(0)).cast("bigint"))
+    )
+
+
+ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT user_id AS sensor_id, count(*) AS n_obs,
+         (sum(CAST(value AS DECIMAL(12,2)))::DOUBLE) / count(*) AS mean_value,
+         sqrt((sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))::DOUBLE) / count(*)
+              - ((sum(CAST(value AS DECIMAL(12,2)))::DOUBLE) / count(*))
+                * ((sum(CAST(value AS DECIMAL(12,2)))::DOUBLE) / count(*)))
+           AS std_value
+  FROM events GROUP BY user_id
+), flagged AS (
+  SELECT e.user_id AS sensor_id, count(*) AS n FROM events e
+  JOIN stats s ON e.user_id = s.sensor_id
+  WHERE abs(e.value - s.mean_value) > {_ZSCORE_K} * s.std_value
+  GROUP BY e.user_id
+)
+SELECT s.sensor_id, s.n_obs, s.mean_value, s.std_value,
+       coalesce(f.n, 0)::BIGINT AS n_outliers
+FROM stats s LEFT JOIN flagged f USING (sensor_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Engine extensions: sessionization (gap-based dual of bin) and the as-of
 # join (batch analogue of LOCF alignment — SURVEY §2.3 note). DuckDB
@@ -1773,6 +1837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_moving_window": analytics_moving_window,
     "analytics_ewma": analytics_ewma,
     "analytics_lttb_downsample": analytics_lttb_downsample,
+    "analytics_anomaly_zscore": analytics_anomaly_zscore,
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
     "semi_anti_customers": semi_anti_customers,
@@ -1843,6 +1908,7 @@ ORACLES: dict[str, str] = {
     "analytics_moving_window": ANALYTICS_ORACLE,
     "analytics_ewma": EWMA_ORACLE,
     "analytics_lttb_downsample": LTTB_ORACLE,
+    "analytics_anomaly_zscore": ZSCORE_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,
     "semi_anti_customers": SEMI_ANTI_ORACLE,
@@ -1931,6 +1997,7 @@ _DRIVER_TAIL: list[str] = [
     "pipe_pack_sequences",
     "analytics_ewma",
     "analytics_lttb_downsample",
+    "analytics_anomaly_zscore",
 ]
 
 
