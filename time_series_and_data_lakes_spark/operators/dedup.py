@@ -436,3 +436,69 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Directed near-duplicate CONTAINMENT join: emit ``(contained_id,
+    container_id, containment)`` where ``containment = |A∩B| / |A|`` ≥
+    ``threshold`` — the asymmetric cousin of Jaccard that catches a short
+    document living inside a longer one (quoted articles, boilerplate
+    wrappers, concatenated shards), which symmetric Jaccard misses because
+    the union is dominated by the long side.
+
+    Same inverted-index skeleton, scale posture, ``max_df`` skew cap, and
+    caching contract as :func:`ngram_jaccard_pairs`; each undirected
+    candidate pair yields up to two directed rows (A-in-B, B-in-A).
+    Single-shingle exact containment of trivial docs is still containment
+    1.0 by definition — filter short docs upstream if that is noise.
+    """
+    base = spread_small(df).select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    )
+    if persist:
+        base = base.persist()
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
+    post = base.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        df_counts = post.groupBy("shingle").agg(F.count("*").alias("df"))
+        post = post.join(
+            F.broadcast(df_counts.filter(F.col("df") > max_df)),
+            "shingle",
+            "left_anti",
+        )
+        if persist:
+            post = post.persist()
+    common = (
+        post.alias("a")
+        .join(post.alias("b"), on="shingle", how="inner")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sized = common.join(
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+        "doc_b",
+    )
+    fwd = sized.select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        (F.col("common") / F.col("na")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        (F.col("common") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

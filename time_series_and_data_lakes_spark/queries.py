@@ -1998,6 +1998,7 @@ _DRIVER_TAIL: list[str] = [
     "analytics_ewma",
     "analytics_lttb_downsample",
     "analytics_anomaly_zscore",
+    "dedup_containment",
 ]
 
 

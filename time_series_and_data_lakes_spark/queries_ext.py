@@ -262,6 +262,45 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 DEDUP_SIMHASH_ORACLE = _simhash_oracle(n_bits=48, max_hamming=2)
 
 
+_CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup join (|A∩B|/|A| — catches short docs
+    embedded in longer ones that symmetric Jaccard misses). Unpruned
+    (max_df=None) at this corpus scale; production sets max_df exactly as
+    dedup_ngram_jaccard documents."""
+    return D.ngram_containment_pairs(
+        _load_docs(spark, sf_dir), threshold=_CONTAINMENT_THRESHOLD
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), post AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sized AS (
+  SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb FROM common
+  JOIN (SELECT doc_id, len(sh) AS n FROM sh) sa ON doc_a = sa.doc_id
+  JOIN (SELECT doc_id, len(sh) AS n FROM sh) sb ON doc_b = sb.doc_id
+), directed AS (
+  SELECT doc_a AS contained_id, doc_b AS container_id,
+         common / na AS containment FROM sized
+  UNION ALL
+  SELECT doc_b AS contained_id, doc_a AS container_id,
+         common / nb AS containment FROM sized
+)
+SELECT contained_id, container_id, containment
+FROM directed WHERE containment >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -1184,6 +1223,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": dedup_components,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_containment": dedup_containment,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -1210,6 +1250,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
+    "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
