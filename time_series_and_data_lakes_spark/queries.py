@@ -1999,6 +1999,7 @@ _DRIVER_TAIL: list[str] = [
     "analytics_lttb_downsample",
     "analytics_anomaly_zscore",
     "dedup_containment",
+    "dedup_edit_distance",
 ]
 
 

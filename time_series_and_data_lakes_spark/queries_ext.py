@@ -301,6 +301,38 @@ FROM directed WHERE containment >= {_CONTAINMENT_THRESHOLD}
 """
 
 
+_EDIT_MAX_DISTANCE = 10
+_EDIT_MIN_COMMON = 3
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.edit_distance_pairs(
+        _load_docs(spark, sf_dir),
+        max_distance=_EDIT_MAX_DISTANCE,
+        min_common=_EDIT_MIN_COMMON,
+    )
+
+
+DEDUP_EDIT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, text, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+), post AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {_EDIT_MIN_COMMON}
+)
+SELECT doc_a, doc_b,
+       levenshtein(sa.text, sb.text)::BIGINT AS edit_distance
+FROM cand
+JOIN sh sa ON doc_a = sa.doc_id
+JOIN sh sb ON doc_b = sb.doc_id
+WHERE levenshtein(sa.text, sb.text) <= {_EDIT_MAX_DISTANCE}
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -1224,6 +1256,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_containment": dedup_containment,
+    "dedup_edit_distance": dedup_edit_distance,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -1251,6 +1284,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
+    "dedup_edit_distance": DEDUP_EDIT_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
