@@ -2000,6 +2000,7 @@ _DRIVER_TAIL: list[str] = [
     "analytics_anomaly_zscore",
     "dedup_containment",
     "dedup_edit_distance",
+    "text_rrf_hybrid_topk",
 ]
 
 

@@ -876,7 +876,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = _BM25_K) -> str:
     k1, b = _BM25_K1, _BM25_B
     tfs = ",\n         ".join(
         f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}')) AS tf_{i}"
@@ -914,11 +914,101 @@ SELECT doc_id, {contribs} AS score
 FROM base, stats
 WHERE {any_hit}
 ORDER BY score DESC, doc_id
-LIMIT {_BM25_K}
+LIMIT {k}
 """
 
 
 TEXT_BM25_ORACLE = _bm25_oracle()
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ embedding ANN fused with Reciprocal Rank Fusion
+# (Cormack/Clarke/Buettcher 2009 — the standard lexical+semantic fusion)
+# --------------------------------------------------------------------------
+
+_RRF_C = 60          # the canonical RRF constant
+_RRF_DEPTH = 50      # per-ranker candidate depth
+_RRF_TOPK = 10
+_RRF_QUERY_VEC = 0   # vec_id standing in for the encoded query
+
+
+def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: the BM25 lexical ranking and the embedding cosine
+    ranking (document 0's vector standing in for the encoded query) are
+    fused by Reciprocal Rank Fusion — ``score = Σ 1/(60 + rank)`` over the
+    rankers that returned the doc. Rank-based fusion needs no score
+    calibration between rankers, and the fused score is a sum of exact
+    rationals of small integers, so it is bit-portable by construction.
+
+    Shape: both rankings end in ``depth``-row frames, so the fusion join,
+    window, and top-k all run on ranker-output cardinality, never corpus
+    cardinality."""
+    from pyspark.sql import Window
+
+    from time_series_and_data_lakes_spark.operators.text import bm25_topk
+
+    docs = _load_docs(spark, sf_dir)
+    emb = _load_embeddings(spark, sf_dir)
+    lex = bm25_topk(docs, _BM25_TERMS, k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B)
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    sem = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == _RRF_QUERY_VEC), k=_RRF_DEPTH
+    )
+    sem_ranked = sem.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("sem_rank"),
+    )
+    fused = (
+        lex_ranked.join(sem_ranked, on="doc_id", how="full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")), F.lit(0.0)),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
+    )
+    return fused.select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH lex AS ({_bm25_oracle(k=_RRF_DEPTH)}),
+lex_ranked AS (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY score DESC, doc_id))::BIGINT AS lex_rank
+  FROM lex
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM v
+), q AS (
+  SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = {_RRF_QUERY_VEC}
+), sem_ranked AS (
+  SELECT vec_id AS doc_id, rank::BIGINT AS sem_rank FROM (
+    SELECT c.vec_id,
+           row_number() OVER (
+             ORDER BY {_dot_sql('q.qv', 'c.v')} / (q.qn * c.nrm) DESC, c.vec_id
+           ) AS rank
+    FROM n c, q WHERE c.vec_id <> {_RRF_QUERY_VEC}
+  ) WHERE rank <= {_RRF_DEPTH}
+)
+SELECT doc_id, lex_rank, sem_rank,
+       coalesce(1.0 / ({_RRF_C} + lex_rank), 0.0)
+         + coalesce(1.0 / ({_RRF_C} + sem_rank), 0.0) AS rrf_score
+FROM lex_ranked FULL OUTER JOIN sem_ranked USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOPK}
+"""
+
+
+TEXT_RRF_ORACLE = _rrf_oracle()
 
 
 # Real-pixel resize gate: small formula images so the DuckDB oracle can
@@ -1265,6 +1355,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": text_bm25_topk,
     "text_repetition_stats": text_repetition_stats,
     "text_top_tokens": text_top_tokens,
+    "text_rrf_hybrid_topk": text_rrf_hybrid_topk,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -1293,6 +1384,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_repetition_stats": TEXT_REPETITION_ORACLE,
     "text_top_tokens": TEXT_TOP_TOKENS_ORACLE,
+    "text_rrf_hybrid_topk": TEXT_RRF_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
