@@ -2001,6 +2001,7 @@ _DRIVER_TAIL: list[str] = [
     "dedup_containment",
     "dedup_edit_distance",
     "text_rrf_hybrid_topk",
+    "dedup_retention_report",
 ]
 
 

@@ -262,6 +262,70 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 DEDUP_SIMHASH_ORACLE = _simhash_oracle(n_bits=48, max_hamming=2)
 
 
+def dedup_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup composition as ONE gated query: MinHash-LSH pairs
+    → connected components → representative selection (keep a doc unless
+    it sits in a dup cluster under another representative) → per-source
+    retention counts. The report a curation run publishes after its dedup
+    stage; composes three driver-green stages and stays exactly
+    oracle-able because each stage is."""
+    from pyspark.sql import Window  # noqa: F401  (parity with dedup_components)
+
+    from time_series_and_data_lakes_spark.operators.graph import connected_components
+
+    docs = _load_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    dropped = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(dropped.withColumn("__dropped", F.lit(1)), on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("__dropped"), F.lit(0))))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def _dedup_retention_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component_id FROM reach GROUP BY a
+),
+dropped AS (
+  SELECT doc_id FROM labels WHERE doc_id <> component_id
+)
+SELECT d.source, count(*) AS n_docs,
+       sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped,
+       (count(*) - sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+         AS n_kept
+FROM documents d LEFT JOIN dropped dr USING (doc_id)
+GROUP BY d.source
+"""
+
+
+DEDUP_RETENTION_ORACLE = _dedup_retention_oracle()
+
+
 _CONTAINMENT_THRESHOLD = 0.9
 
 
@@ -1347,6 +1411,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_containment": dedup_containment,
     "dedup_edit_distance": dedup_edit_distance,
+    "dedup_retention_report": dedup_retention_report,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -1376,6 +1441,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_edit_distance": DEDUP_EDIT_ORACLE,
+    "dedup_retention_report": DEDUP_RETENTION_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
