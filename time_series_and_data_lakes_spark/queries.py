@@ -1468,6 +1468,33 @@ SELECT sensor_id, p.t AS time, p.v AS temperature FROM ex
 LTTB_ORACLE = _lttb_oracle()
 
 
+_HEATMAP_BAND = 20
+
+
+def g8_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap panel feed (the Grafana panel type the reference dashboard
+    stops short of): 2-D histogram of time bin × value band — one
+    partial-aggregated groupBy over epoch-floor arithmetic, integer-exact
+    cross-engine."""
+    from time_series_and_data_lakes_spark.operators.timeseries import time_bin
+
+    obs = sensor_obs(spark, sf_dir)
+    return obs.groupBy(
+        time_bin("time", "1 day").alias("bin"),
+        (F.floor(F.col("temperature") / _HEATMAP_BAND) * _HEATMAP_BAND)
+        .cast("bigint")
+        .alias("band_low"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+HEATMAP_ORACLE = f"""
+SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bin,
+       (floor(value / {_HEATMAP_BAND}) * {_HEATMAP_BAND})::BIGINT AS band_low,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 _ZSCORE_K = 3.0
 
 
@@ -1838,6 +1865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_ewma": analytics_ewma,
     "analytics_lttb_downsample": analytics_lttb_downsample,
     "analytics_anomaly_zscore": analytics_anomaly_zscore,
+    "g8_heatmap_bins": g8_heatmap_bins,
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
     "semi_anti_customers": semi_anti_customers,
@@ -1909,6 +1937,7 @@ ORACLES: dict[str, str] = {
     "analytics_ewma": EWMA_ORACLE,
     "analytics_lttb_downsample": LTTB_ORACLE,
     "analytics_anomaly_zscore": ZSCORE_ORACLE,
+    "g8_heatmap_bins": HEATMAP_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,
     "semi_anti_customers": SEMI_ANTI_ORACLE,
@@ -2002,6 +2031,7 @@ _DRIVER_TAIL: list[str] = [
     "dedup_edit_distance",
     "text_rrf_hybrid_topk",
     "dedup_retention_report",
+    "g8_heatmap_bins",
 ]
 
 
