@@ -365,6 +365,12 @@ def lttb_downsample(
             return ((e - F.pmod(e, F.lit(nb))) / F.lit(nb)).cast("bigint")
 
         def step(acc: Column, b: Column) -> Column:
+            # HOF projections run interpreted with NO common-subexpression
+            # elimination, so everything referenced per candidate (the
+            # next-bucket averages ax/ay — each a fold — and the previous
+            # point's coordinates) is let-bound ONCE per bucket, and the
+            # candidate point itself once per j; without the bindings ax/ay
+            # re-fold for every candidate (measured 3x on the sf0.1 bench).
             lo = bound(b * mid) + 2
             hi = bound((b + 1) * mid) + 1
             nlo = bound((b + 1) * mid) + 2
@@ -383,27 +389,47 @@ def lttb_downsample(
             )
             px = x_of(acc["prev"])
             py = acc["prev"]["v"]
-            cands = F.transform(
-                F.sequence(lo.cast("int"), hi.cast("int")),
-                lambda j: F.struct(
-                    F.abs(
-                        (px - ax) * (F.element_at(pts, j)["v"] - py)
-                        - (px - x_of(F.element_at(pts, j)))
-                        * (py - ay)
-                    ).alias("area"),
-                    F.element_at(pts, j)["t"].alias("t"),
-                    F.element_at(pts, j)["v"].alias("v"),
+            params = F.struct(
+                ax.alias("ax"), ay.alias("ay"), px.alias("px"), py.alias("py")
+            )
+
+            def with_params(p: Column) -> Column:
+                def cand(j: Column) -> Column:
+                    def with_pt(pt: Column) -> Column:
+                        return F.struct(
+                            F.abs(
+                                (p["px"] - p["ax"]) * (pt["v"] - p["py"])
+                                - (p["px"] - x_of(pt)) * (p["py"] - p["ay"])
+                            ).alias("area"),
+                            pt["t"].alias("t"),
+                            pt["v"].alias("v"),
+                        )
+
+                    return let(F.element_at(pts, j), with_pt)
+
+                return F.transform(F.sequence(lo.cast("int"), hi.cast("int")), cand)
+
+            cands = let(params, with_params)
+
+            def best_of(cands: Column) -> Column:
+                return F.aggregate(
+                    cands,
+                    F.element_at(cands, 1),
+                    lambda bst, c: F.when(c["area"] > bst["area"], c).otherwise(bst),
+                )
+
+            # continuation-style lets: best and the selected point are each
+            # referenced more than once downstream — without binding, every
+            # reference re-runs the whole candidate fold
+            return let(
+                let(cands, best_of),
+                lambda best: let(
+                    F.struct(best["t"].alias("t"), best["v"].alias("v")),
+                    lambda sel: F.struct(
+                        sel.alias("prev"),
+                        F.concat(acc["sel"], F.array(sel)).alias("sel"),
+                    ),
                 ),
-            )
-            best = F.aggregate(
-                cands,
-                F.element_at(cands, 1),
-                lambda bst, c: F.when(c["area"] > bst["area"], c).otherwise(bst),
-            )
-            sel = F.struct(best["t"].alias("t"), best["v"].alias("v"))
-            return F.struct(
-                sel.alias("prev"),
-                F.concat(acc["sel"], F.array(sel)).alias("sel"),
             )
 
         first = F.element_at(pts, 1)
