@@ -289,7 +289,9 @@ def test_corpus_queries_no_final_range_exchange(spark, sf_dir):
     # a global presentation sort — no range-partitioning exchange in the
     # final plans (the correctness hash is order-insensitive; writers that
     # need order sort within their own partitioning).
-    for q in ("dedup_components", "text_winnow_fingerprint", "ann_quantize_int8"):
+    for q in ("dedup_components", "text_winnow_fingerprint", "ann_quantize_int8",
+              "dedup_containment", "dedup_edit_distance", "analytics_ewma",
+              "analytics_lttb_downsample", "text_repetition_stats"):
         plan = _plan(Q.QUERIES[q](spark, sf_dir))
         assert "rangepartitioning" not in plan.lower(), q
 

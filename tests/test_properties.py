@@ -175,3 +175,88 @@ def test_quantize_roundtrip_error_bound(spark, vecs):
         else:
             for x, c in zip(v, r["c"]):
                 assert abs(x - c * r["s"] / 127.0) <= r["s"] / 254.0 + 1e-9
+
+
+def test_containment_pairs_match_brute_force(spark):
+    # Directed containment join vs a brute-force set computation on small
+    # synthetic docs (independent of the DuckDB oracle, which mirrors the
+    # Spark expression tree and could mirror a shared bug).
+    import itertools
+
+    from time_series_and_data_lakes_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = [
+        (0, "a b c d e f g"),
+        (1, "a b c d e f g h i j k l m n"),      # contains doc 0's shingles
+        (2, "x y z w q r s"),
+        (3, "a b c d e f g"),                      # exact duplicate of 0
+        (4, "completely different words here now"),
+    ]
+    def sh(text, n=3):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    threshold = 0.9
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        A, B = sh(ta), sh(tb)
+        inter = len(A & B)
+        if A and inter / len(A) >= threshold:
+            want.add((ia, ib))
+        if B and inter / len(B) >= threshold:
+            want.add((ib, ia))
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in ngram_containment_pairs(df, threshold=threshold, persist=False).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (1, 0) not in got  # asymmetry observed
+
+
+def test_pack_sequences_report_matches_python_reference(spark):
+    from time_series_and_data_lakes_spark.operators.curation import (
+        pack_sequences_report,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"src{i % 2}", " ".join("w" for _ in range(rng.randint(0, 40))))
+        for i in range(30)
+    ]
+    L = 64
+    want = {}
+    for src in ("src0", "src1"):
+        docs = sorted((i, t) for i, s, t in rows if s == src)
+        cum = 0
+        boundary = 0
+        for _i, t in docs:
+            ln = len(t.split(" "))  # split('') -> [''] -> 1, as in Spark
+            before, cum = cum, cum + ln
+            if ln > 0 and before // L != (cum - 1) // L:
+                boundary += 1
+        n_seq = -(-cum // L)
+        want[src] = (len(docs), cum, n_seq, n_seq * L - cum, boundary)
+
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    from pyspark.sql import functions as F
+    from time_series_and_data_lakes_spark.operators.dedup import tokens_col
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_tokens"],
+            r["n_sequences"],
+            r["tail_padding"],
+            r["n_boundary_docs"],
+        )
+        for r in pack_sequences_report(
+            df, F.size(tokens_col(F.col("text"))), seq_len=L, id_col="doc_id"
+        ).collect()
+    }
+    assert got == want
