@@ -260,3 +260,40 @@ def test_pack_sequences_report_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_edit_distance_join_finds_all_long_doc_pairs(spark):
+    # The blocking recall bound from the docstring: a pair within
+    # max_distance whose docs are long enough is always found; verified
+    # distances equal Python's textbook Levenshtein.
+    from time_series_and_data_lakes_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    docs = [
+        (0, base),
+        (1, base.replace("quick", "quack")),            # distance 1
+        (2, base.replace("lazy dog", "hazy hog")),      # distance 2
+        (3, "entirely unrelated words compose this other document of similar length"),
+        (4, base.replace("today", "tomorrow morning")), # tail edit
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, max_distance=12, persist=False).collect()
+    }
+    want = {
+        (a, b): lev(ta, tb)
+        for (a, ta) in docs
+        for (b, tb) in docs
+        if a < b and lev(ta, tb) <= 12
+    }
+    assert got == want and (0, 1) in got and got[(0, 1)] == 1

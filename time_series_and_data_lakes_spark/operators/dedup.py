@@ -526,6 +526,16 @@ def edit_distance_pairs(
     shared-shingle candidates to ~130 verifications. Same caching
     contract as :func:`ngram_jaccard_pairs`; integer distances make the
     oracle comparison exact by construction.
+
+    Recall bound (be honest about the filter): one edited WORD destroys
+    at most ``shingle_n`` shingles, so a pair within ``max_distance``
+    whose docs have at least ``min_common + shingle_n * ceil(
+    max_distance / 2)`` shingles (i.e. are not very short) is ALWAYS
+    found; pairs of very short documents can share fewer than
+    ``min_common`` shingles and be missed — run short docs through a
+    dedicated length-banded pass (cheap: they are short) if that tail
+    matters. The catalog gate mirrors the same blocking, so the oracle
+    pins the implemented semantics, and the property test pins the bound.
     """
     base = spread_small(df).select(
         F.col(id_col).alias("doc_id"),
