@@ -606,3 +606,22 @@ def test_bm25_matches_python_reference_and_semantics(spark):
     # the 1x-spark long doc; the mixed doc hits both terms
     assert got[1] > got[2]
     assert got[5] > got[1]
+
+
+def test_heavy_tokens_no_false_negatives(spark, sf_dir):
+    # The frequent-items guarantee: every token above the support
+    # threshold must be in the sketch output (false positives allowed).
+    from time_series_and_data_lakes_spark.operators import text as X
+    from time_series_and_data_lakes_spark.queries_ext import _load_docs
+
+    docs = _load_docs(spark, sf_dir)
+    support = 0.01
+    got = set(X.heavy_tokens(docs, support=support))
+    toks = docs.select(F.explode(X.tokens_col(F.col("text"))).alias("token"))
+    n = toks.count()
+    exact = {
+        r["token"]
+        for r in toks.groupBy("token").count().filter(F.col("count") > support * n).collect()
+    }
+    assert exact <= got
+    assert exact  # the fixture does have heavy tokens at 1% support

@@ -358,3 +358,19 @@ def repetition_stats(
             (F.col("top_bigram_n") * F.length("top_bigram")) / F.col("__n_chars"),
         ).alias("top_bigram_char_frac"),
     )
+
+
+def heavy_tokens(docs, support: float = 0.01, text_col: str = "text") -> list[str]:
+    """Approximate heavy hitters over the corpus token stream: every token
+    occurring in more than ``support`` fraction of token positions is
+    returned (false positives possible, false NEGATIVES not — the
+    Karp/Shenker/Papadimitriou frequent-items guarantee behind Spark's
+    ``freqItems``). The sketch is one pass with bounded memory
+    (~1/support counters per partition, merged), which is the 100 TB
+    shape — the exact counterpart is the token-keyed aggregation of
+    ``text_top_tokens``. Returns the candidate token list (driver-side
+    model state, like the ANN centroid collects); approximate by design,
+    so it is pytest-bounded rather than oracle-gated."""
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    row = toks.stat.freqItems(["token"], support).collect()[0]
+    return sorted(row["token_freqItems"])
