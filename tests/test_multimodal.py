@@ -443,3 +443,55 @@ def test_media_features_compose_with_ann_search(spark):
     # nearest non-self neighbors: 1's histogram matches 8's most closely
     assert got[(1, 1)] == 8
     assert got[(2, 1)] == 9
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    samples = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    payload = wav_encode(samples, 8000)
+    rate, ch, got = wav_decode(payload)
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(got, samples)
+
+    # a LIST chunk between fmt and data (common in the wild): the parser
+    # must walk past it, not assume the canonical 44-byte layout
+    fmt = payload[12:36]
+    data = payload[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    exotic = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(extra) + len(data)) + b"WAVE" + fmt + extra + data
+    rate2, _ch2, got2 = wav_decode(exotic)
+    assert rate2 == 8000 and np.array_equal(got2, samples)
+
+    # non-PCM (format tag 3 = IEEE float) raises honestly
+    import pytest as _pytest
+
+    bad_fmt = payload[:20] + struct.pack("<H", 3) + payload[22:]
+    with _pytest.raises(NotImplementedError):
+        wav_decode(bad_fmt)
+
+
+def test_audio_resample_decimates_real_payloads(spark):
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resample_audio,
+        wav_decode,
+        wav_encode,
+    )
+
+    samples = np.arange(-50, 50, dtype=np.int16)
+    rows = [(1, "audio", wav_encode(samples, 16000), ("s3", "wav"))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resample_audio(df, factor=5).collect()[0]
+    rate, _ch, got = wav_decode(out["payload"])
+    assert rate == 3200
+    assert np.array_equal(got, samples[::5])

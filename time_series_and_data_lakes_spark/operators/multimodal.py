@@ -18,8 +18,13 @@ The codec layer has three real tiers and one stub:
   metadata is genuine; PIXEL decode of these entropy-coded formats needs
   PIL/zlib-inflate+defilter/ffmpeg and raises ``NotImplementedError``
   where pixels would be touched.
+- ``wav``: REAL AUDIO codec (:func:`wav_encode` / :func:`wav_decode` —
+  RIFF chunk-walking parser, 16-bit PCM, pure stdlib/numpy), with real
+  DSP ops: :func:`audio_stats` (peak/RMS) and :func:`resample_audio`
+  (integer decimation). Compressed audio (mp3/aac/...) raises.
 - ``tsdl-fake``: deterministic fake header layout for oracle-gated tests.
-- anything else (audio/video codecs): explicit ``NotImplementedError``.
+- anything else (compressed audio / video codecs): explicit
+  ``NotImplementedError``.
 
 Swapping in PIL/ffmpeg later changes only ``_decode_payload`` /
 ``_transcode_resize``.
@@ -518,3 +523,133 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(sample, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL WAV/PCM codec (RIFF container + 16-bit PCM, pure stdlib/numpy)
+# ---------------------------------------------------------------------------
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def wav_encode(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Mono 16-bit PCM → RIFF/WAVE bytes (canonical 44-byte header)."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(pcm),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        sample_rate,
+        sample_rate * 2,
+        2,
+        16,
+        b"data",
+        len(pcm),
+    )
+    return hdr + pcm
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """RIFF/WAVE bytes → (sample_rate, n_channels, int16 sample array).
+    Walks the chunk list (fmt/data may be preceded by LIST/fact chunks in
+    the wild), so this is a real parser, not a fixed-offset slice. Only
+    uncompressed 16-bit PCM is supported — anything else raises, honestly,
+    like the image codecs."""
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[0:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM is implemented (got format={fmt}, bits={bits})"
+        )
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Decode ``wav`` payloads and emit per-media audio readouts: rate,
+    channels, sample count, integer peak (max |sample|), and RMS energy.
+    The RMS divides the EXACT int64 sum of squares by the count before one
+    sqrt — the same expression a SQL oracle replays bit-identically when
+    samples are a pure function of the media id."""
+    import math
+
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, counts, peaks, rmss = [], [], [], [], []
+            for p in pdf["payload"]:
+                rate, ch, samples = wav_decode(p)
+                s = samples.astype(np.int64)
+                n = len(s)
+                rates.append(rate)
+                chans.append(ch)
+                counts.append(n)
+                peaks.append(int(np.max(np.abs(s))) if n else 0)
+                rmss.append(
+                    math.sqrt(int(np.sum(s * s)) / n) if n else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
+
+
+def resample_audio(df: DataFrame, factor: int) -> DataFrame:
+    """REAL audio downsampling by integer decimation: keep every
+    ``factor``-th sample (the audio analogue of :func:`nn_resize`'s
+    nearest-neighbor resampling — index arithmetic, fully reproducible in
+    a SQL oracle), re-encode as WAV at ``rate // factor``. Output keeps
+    the media schema, so it chains with :func:`audio_stats`."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                rate, _ch, samples = wav_decode(p)
+                out.append(wav_encode(samples[::factor], rate // factor))
+            res = pdf.copy()
+            res["payload"] = out
+            yield res
+
+    return df.mapInPandas(resample, schema=MEDIA_SCHEMA)

@@ -2032,6 +2032,8 @@ _DRIVER_TAIL: list[str] = [
     "text_rrf_hybrid_topk",
     "dedup_retention_report",
     "g8_heatmap_bins",
+    "multimodal_audio_stats",
+    "multimodal_audio_resample",
 ]
 
 

@@ -1403,6 +1403,124 @@ LIMIT {_TOP_TOKENS_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Audio: REAL WAV/PCM codec gates — payloads synthesized as a pure integer
+# function of doc_id, pushed through encode → (decimate) → decode → stats,
+# every output value replayed arithmetically by the oracle
+# --------------------------------------------------------------------------
+
+_AUDIO_DECIMATE = 4
+
+
+def _fake_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → WAV media rows: mono 16-bit PCM where sample i of doc d
+    is ``((d*31 + i*7) % 65536) - 32768``, n = 1000 + d % 500, rate =
+    8000 + (d % 3) * 4000 — deterministic, so the stats are SQL-replayable
+    while the codec work (RIFF encode/parse) is entirely real."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        wav_encode,
+    )
+
+    docs = _load_docs(spark, sf_dir).select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 1000 + d % 500
+                i = np.arange(n, dtype=np.int64)
+                v = ((d * 31 + i * 7) % 65536) - 32768
+                payloads.append(wav_encode(v, 8000 + (d % 3) * 4000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [{"source": "docs", "codec": "wav"}] * len(pdf),
+                }
+            )
+
+    return docs.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_and_data_lakes_spark.operators.multimodal import audio_stats
+
+    out = audio_stats(_fake_wav_media(spark, sf_dir))
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("peak").cast("bigint").alias("peak"),
+        "rms",
+    )
+
+
+AUDIO_STATS_ORACLE = """
+WITH samp AS (
+  SELECT doc_id, unnest(generate_series(0, 1000 + doc_id % 500 - 1)) AS i
+  FROM documents
+), v AS (
+  SELECT doc_id, ((doc_id * 31 + i * 7) % 65536) - 32768 AS v FROM samp
+)
+SELECT doc_id,
+       (8000 + (doc_id % 3) * 4000)::BIGINT AS sample_rate,
+       1::BIGINT AS n_channels,
+       count(*)::BIGINT AS n_samples,
+       max(abs(v))::BIGINT AS peak,
+       sqrt((sum(v * v))::DOUBLE / count(*)) AS rms
+FROM v GROUP BY doc_id
+"""
+
+
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimate → decode → stats chain: the resampled payloads are REAL
+    re-encoded WAV bytes; the oracle replays the index arithmetic
+    (sample 4i of the original signal, ceil(n/4) samples, rate/4)."""
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        audio_stats,
+        resample_audio,
+    )
+
+    media = _fake_wav_media(spark, sf_dir)
+    out = audio_stats(resample_audio(media, factor=_AUDIO_DECIMATE))
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("peak").cast("bigint").alias("peak"),
+        "rms",
+    )
+
+
+AUDIO_RESAMPLE_ORACLE = f"""
+WITH samp AS (
+  SELECT doc_id,
+         unnest(generate_series(0, (1000 + doc_id % 500 + {_AUDIO_DECIMATE - 1})
+                                   // {_AUDIO_DECIMATE} - 1)) AS i
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         ((doc_id * 31 + (i * {_AUDIO_DECIMATE}) * 7) % 65536) - 32768 AS v
+  FROM samp
+)
+SELECT doc_id,
+       ((8000 + (doc_id % 3) * 4000) // {_AUDIO_DECIMATE})::BIGINT AS sample_rate,
+       count(*)::BIGINT AS n_samples,
+       max(abs(v))::BIGINT AS peak,
+       sqrt((sum(v * v))::DOUBLE / count(*)) AS rms
+FROM v GROUP BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1431,6 +1549,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_resize_pixels": multimodal_resize_pixels,
+    "multimodal_audio_stats": multimodal_audio_stats,
+    "multimodal_audio_resample": multimodal_audio_resample,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1461,4 +1581,6 @@ EXT_ORACLES: dict[str, str] = {
     "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
     "multimodal_resize_pixels": MULTIMODAL_RESIZE_PIXELS_ORACLE,
+    "multimodal_audio_stats": AUDIO_STATS_ORACLE,
+    "multimodal_audio_resample": AUDIO_RESAMPLE_ORACLE,
 }
