@@ -495,3 +495,53 @@ def test_audio_resample_decimates_real_payloads(spark):
     rate, _ch, got = wav_decode(out["payload"])
     assert rate == 3200
     assert np.array_equal(got, samples[::5])
+
+
+def test_avi_roundtrip_extract_and_compressed_raises(spark):
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        avi_decode,
+        avi_encode,
+        bmp_decode,
+        extract_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(5, 6, 8, 3), dtype=np.uint8)
+    payload = avi_encode(frames, fps=10)
+    fps, got = avi_decode(payload)
+    assert fps == 10
+    assert np.array_equal(got, frames)
+
+    # an idx1 chunk after movi (the common layout) is walked past
+    idx1 = b"idx1" + struct.pack("<I", 4) + b"\x00" * 4
+    body = payload[8:] + idx1
+    exotic = b"RIFF" + struct.pack("<I", len(body)) + body
+    _fps2, got2 = avi_decode(exotic)
+    assert np.array_equal(got2, frames)
+
+    # a compressed stream (strf fourcc != 0) raises honestly
+    import pytest as _pytest
+
+    strf_at = payload.index(struct.pack("<IiiHHI", 40, 8, 6, 1, 24, 0))
+    bad = (
+        payload[: strf_at + 16]
+        + struct.pack("<I", 0x34363248)  # 'H264'
+        + payload[strf_at + 20 :]
+    )
+    with _pytest.raises(NotImplementedError):
+        avi_decode(bad)
+
+    # extract_frames: every 2nd frame, re-encoded as BMP, pixels intact
+    df = spark.createDataFrame(
+        [(7, "video", payload, ("s3", "avi"))], MEDIA_SCHEMA
+    )
+    rows = {r["frame_index"]: r for r in extract_frames(df, every_n=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for k, r in rows.items():
+        assert r["meta"]["codec"] == "bmp"
+        assert np.array_equal(bmp_decode(r["payload"]), frames[k])

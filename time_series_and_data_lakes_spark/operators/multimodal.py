@@ -462,12 +462,13 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
-def pixel_stats(df: DataFrame) -> DataFrame:
+def pixel_stats(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Decode ``bmp``/``ppm`` payloads to pixels and emit per-media readouts
     (dimensions, uint8 pixel sum, encoded byte length). The pixel sum is a
     full-content check: any wrong byte anywhere in decode/resize/encode
     shifts it, and it is reproducible in a SQL oracle when the pixels are a
-    pure function of the media id."""
+    pure function of the media id. ``extra_cols`` pass through unchanged
+    (e.g. ``frame_index`` from :func:`extract_frames`)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -482,17 +483,22 @@ def pixel_stats(df: DataFrame) -> DataFrame:
                 heights.append(arr.shape[0])
                 sums.append(int(arr.sum(dtype=np.int64)))
                 sizes.append(len(p))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": pd.Series(widths, dtype="int32"),
-                    "height": pd.Series(heights, dtype="int32"),
-                    "pixel_sum": pd.Series(sums, dtype="int64"),
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
+                "pixel_sum": pd.Series(sums, dtype="int64"),
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+            }
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+    schema = T.StructType(
+        PIXEL_STATS_SCHEMA.fields
+        + [df.schema[c] for c in extra_cols]
+    )
+    return df.mapInPandas(stats, schema=schema)
 
 
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
@@ -653,3 +659,137 @@ def resample_audio(df: DataFrame, factor: int) -> DataFrame:
             yield res
 
     return df.mapInPandas(resample, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL AVI container codec (RIFF 'AVI ' + uncompressed DIB frames)
+# ---------------------------------------------------------------------------
+
+
+def avi_encode(frames: "np.ndarray", fps: int) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → RIFF/AVI bytes with uncompressed
+    24-bpp DIB video ('00db' chunks: bottom-up BGR rows, 4-byte padded —
+    the same raster layout as :func:`bmp_encode`). Writes the spec's hdrl
+    (avih + strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) and movi
+    lists, so the container structure is genuine, not a private format."""
+    import numpy as np
+
+    n, h, w, _ = frames.shape
+    stride = _bmp_stride(w)
+    frame_bytes = []
+    for f in frames:
+        buf = np.zeros((h, stride), dtype=np.uint8)
+        buf[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        frame_bytes.append(buf.tobytes())
+    frame_size = h * stride
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        frame_size * fps,  # max bytes/sec
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIii4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # scale/rate -> fps
+        0, n, frame_size, -1, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """RIFF/AVI bytes → (fps, (n, h, w, 3) uint8 RGB frames). A real chunk
+    walker: finds avih for dimensions/rate inside LIST hdrl and collects
+    '00db'/'00dc' DIB frames inside LIST movi wherever they sit.
+    Compressed streams ('00dc' whose strf declares a codec) raise."""
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    us_per_frame = w = h = None
+    compression = 0
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal us_per_frame, w, h, compression
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+            elif cid == b"avih":
+                vals = struct.unpack("<14I", b[body_lo : body_lo + 56])
+                us_per_frame, w, h = vals[0], vals[8], vals[9]
+            elif cid == b"strf" and size >= 40:
+                compression = struct.unpack("<I", b[body_lo + 16 : body_lo + 20])[0]
+            elif cid in (b"00db", b"00dc"):
+                frames.append(b[body_lo:body_hi])
+            pos = body_hi + (size & 1)
+
+    walk(12, len(b))
+    if us_per_frame is None or w is None:
+        raise ValueError("missing avih header")
+    if compression != 0:
+        raise NotImplementedError(f"only uncompressed DIB video (got fourcc {compression:#x})")
+    stride = _bmp_stride(w)
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        buf = np.frombuffer(fb, dtype=np.uint8, count=h * stride)
+        out[i] = buf.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    return 1_000_000 // us_per_frame, out
+
+
+def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction: decode ``avi`` payloads, keep every
+    ``every_n``-th frame, and emit each as a standalone 24-bpp BMP payload
+    (codec 'bmp' in the metadata) — one output row per kept frame, so the
+    result drops straight into the pixel pipeline (decode_media /
+    resize_media / pixel_stats). The row-expanding mapInPandas shape of
+    frame_sample, with actual pixels."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads, metas, idxs = [], [], [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                _fps, frames = avi_decode(p)
+                for k in range(0, len(frames), every_n):
+                    ids.append(mid)
+                    types.append("image")
+                    payloads.append(bmp_encode(frames[k]))
+                    metas.append({"source": m["source"], "codec": "bmp"})
+                    idxs.append(k)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "payload": payloads,
+                    "meta": metas,
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                }
+            )
+
+    schema = T.StructType(
+        MEDIA_SCHEMA.fields + [T.StructField("frame_index", T.IntegerType())]
+    )
+    return df.mapInPandas(expand, schema=schema)

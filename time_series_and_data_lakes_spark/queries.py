@@ -2034,6 +2034,7 @@ _DRIVER_TAIL: list[str] = [
     "g8_heatmap_bins",
     "multimodal_audio_stats",
     "multimodal_audio_resample",
+    "multimodal_video_frames",
 ]
 
 

@@ -1521,6 +1521,102 @@ FROM v GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Video: REAL AVI codec gate — synthesized uncompressed AVI payloads pushed
+# through encode → frame extraction → BMP re-encode → pixel stats, every
+# output pixel sum replayed arithmetically by the oracle
+# --------------------------------------------------------------------------
+
+_VID_W, _VID_H = 8, 6
+_VID_EVERY_N = 2
+
+
+def _fake_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → AVI media rows: 1 + doc_id % 5 frames of 8×6 RGB where
+    pixel (k, y, x, c) of doc d is ``(d*7 + k*13 + y*5 + x*3 + c) % 256``
+    — deterministic pixels, REAL container encoding."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        avi_encode,
+    )
+
+    docs = _load_docs(spark, sf_dir).select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 1 + d % 5
+                k = np.arange(n)[:, None, None, None]
+                y = np.arange(_VID_H)[None, :, None, None]
+                x = np.arange(_VID_W)[None, None, :, None]
+                c = np.arange(3)[None, None, None, :]
+                frames = ((d * 7 + k * 13 + y * 5 + x * 3 + c) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(avi_encode(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [{"source": "docs", "codec": "avi"}] * len(pdf),
+                }
+            )
+
+    return docs.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video path end to end: AVI encode → chunk-walking decode →
+    every-2nd-frame extraction re-encoded as BMP → pixel statistics. Any
+    wrong byte anywhere in the two container codecs or the raster
+    round-trip shifts a pixel sum and fails the hash."""
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        extract_frames,
+        pixel_stats,
+    )
+
+    media = _fake_avi_media(spark, sf_dir)
+    out = pixel_stats(
+        extract_frames(media, every_n=_VID_EVERY_N), extra_cols=("frame_index",)
+    )
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("bigint").alias("frame_index"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "pixel_sum",
+    )
+
+
+VIDEO_FRAMES_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         unnest(range(0, 1 + doc_id % 5, {_VID_EVERY_N})) AS frame_index
+  FROM documents
+), px AS (
+  SELECT f.doc_id, f.frame_index,
+         ((f.doc_id * 7 + f.frame_index * 13 + y.y * 5 + x.x * 3 + c.c) % 256)
+           AS v
+  FROM f
+  JOIN range(0, {_VID_H}) y(y) ON TRUE
+  JOIN range(0, {_VID_W}) x(x) ON TRUE
+  JOIN range(0, 3) c(c) ON TRUE
+)
+SELECT doc_id, frame_index,
+       {_VID_W}::BIGINT AS width, {_VID_H}::BIGINT AS height,
+       sum(v)::BIGINT AS pixel_sum
+FROM px GROUP BY doc_id, frame_index
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1551,6 +1647,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize_pixels": multimodal_resize_pixels,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_audio_resample": multimodal_audio_resample,
+    "multimodal_video_frames": multimodal_video_frames,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1583,4 +1680,5 @@ EXT_ORACLES: dict[str, str] = {
     "multimodal_resize_pixels": MULTIMODAL_RESIZE_PIXELS_ORACLE,
     "multimodal_audio_stats": AUDIO_STATS_ORACLE,
     "multimodal_audio_resample": AUDIO_RESAMPLE_ORACLE,
+    "multimodal_video_frames": VIDEO_FRAMES_ORACLE,
 }
