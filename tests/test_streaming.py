@@ -770,3 +770,55 @@ def test_stream_static_enrichment_join_equals_batch(spark, tmp_path):
     pairs = {(r["sensor_id"], r["customer_id"]) for r in got.collect()}
     want = {(r["sensor_id"], r["customer_id"]) for r in dim.collect() if int(r["sensor_id"][-2:]) < 5}
     assert pairs == want
+
+
+def test_streaming_cdc_upsert_equals_batch_apply(spark, tmp_path):
+    # CDC apply: a stream of change rows upserts into the partitioned
+    # store micro-batch by micro-batch; the final store must equal the
+    # one-shot batch application of all changes.
+    from time_series_and_data_lakes_spark.sources.merge import (
+        merge_upsert,
+        start_cdc_upsert_sink,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i), "base") for i in range(30)],
+        "id bigint, part string, value double, tag string",
+    )
+    stream_store = str(tmp_path / "stream_store")
+    batch_store = str(tmp_path / "batch_store")
+    merge_upsert(spark, stream_store, base, ["id"], ["part"])
+    merge_upsert(spark, batch_store, base, ["id"], ["part"])
+
+    changes = [
+        (0, "d0", 100.0, "chg"),
+        (40, "d1", 400.0, "chg"),
+        (7, "d1", 700.0, "chg"),
+        (41, "d2", 410.0, "chg"),
+    ]
+    src = str(tmp_path / "changes")
+    for i, row in enumerate(changes):  # one file per change -> several batches
+        spark.createDataFrame([row], base.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_cdc_upsert_sink(
+        stream, stream_store, ["id"], ["part"], str(tmp_path / "cdc_ckpt")
+    )
+    q.awaitTermination(120)
+
+    merge_upsert(
+        spark,
+        batch_store,
+        spark.createDataFrame(changes, base.schema),
+        ["id"],
+        ["part"],
+    )
+    got = {tuple(r) for r in spark.read.parquet(stream_store).collect()}
+    want = {tuple(r) for r in spark.read.parquet(batch_store).collect()}
+    assert got == want and len(got) == 32

@@ -79,3 +79,29 @@ def merge_upsert(
     finally:
         spark.conf.set(_OVERWRITE_MODE, prev)
     return n
+
+
+def start_cdc_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    checkpoint_location: str,
+):
+    """Change-data-capture apply as a streaming sink: every micro-batch of
+    updates upserts into the store via :func:`merge_upsert` (micro-batch =
+    the change set). The streaming checkpoint provides the exactly-once
+    half of the contract — a replayed batch re-applies the same upserts
+    idempotently. Caller contract: at most one change per key per batch
+    (real CDC feeds carry a sequence column — pre-aggregate to the latest
+    change per key before this sink if the feed can repeat keys)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, path, batch_df, key_cols, partition_cols)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
