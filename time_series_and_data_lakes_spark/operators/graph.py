@@ -137,6 +137,8 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     seed_lab = seeds.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("label")

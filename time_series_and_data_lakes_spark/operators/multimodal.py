@@ -652,7 +652,14 @@ def resample_audio(df: DataFrame, factor: int) -> DataFrame:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
-                rate, _ch, samples = wav_decode(p)
+                rate, ch, samples = wav_decode(p)
+                if ch != 1:
+                    # decimating the interleaved stream would mix channels
+                    # into corrupted mono — raise, honestly, like the
+                    # other codec boundaries
+                    raise NotImplementedError(
+                        f"decimation implemented for mono PCM only (got {ch} channels)"
+                    )
                 out.append(wav_encode(samples[::factor], rate // factor))
             res = pdf.copy()
             res["payload"] = out
@@ -695,7 +702,7 @@ def avi_encode(frames: "np.ndarray", fps: int) -> bytes:
         1_000_000 // fps,  # microseconds per frame
         frame_size * fps,  # max bytes/sec
         0,  # padding granularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        0,  # flags: no AVIF_HASINDEX (we write no idx1 chunk), nothing else
         n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(

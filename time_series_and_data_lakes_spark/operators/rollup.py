@@ -162,10 +162,11 @@ def refresh_rollup(
     partials = rollup_partials(delta, keys, time_col, step, value_col).withColumn(
         "date", F.to_date("bin")
     )
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first refresh: nothing materialized yet
-        existing = None
+    from time_series_and_data_lakes_spark.sources.merge import (
+        read_parquet_if_exists,
+    )
+
+    existing = read_parquet_if_exists(spark, path)
     if existing is not None:
         dates = [r["date"] for r in partials.select("date").distinct().collect()]
         if not dates:
@@ -213,17 +214,32 @@ def start_rollup_refresh_sink(
 ):
     """Continuous-aggregate maintenance as a streaming sink: every
     micro-batch folds into the materialized level via
-    :func:`refresh_rollup` (micro-batch = the delta). The streaming
-    checkpoint supplies the exactly-once half of the contract
-    refresh_rollup documents: a batch is re-fed only on failure replay,
-    where the overwrite of the SAME affected partitions makes the retry
-    idempotent as long as each batch replays with the same contents (the
-    file/Kafka sources guarantee this per epoch)."""
+    :func:`refresh_rollup` (micro-batch = the delta).
+
+    Delivery semantics, honestly: refresh_rollup is ADDITIVE (it merges
+    partials into already-updated state), so unlike the keyed-replace CDC
+    sink a replayed batch would double-count. A batch ledger under the
+    checkpoint location closes the common replay case: an applied batch
+    id is recorded after its refresh commits, and a replayed batch that
+    finds its marker is skipped. The residual window is a crash BETWEEN
+    the refresh's partition overwrite and the marker write — plain
+    parquet cannot close it (the overwrite and the marker are separate
+    operations); production deployments that need a zero-width window
+    put the level on a transactional table format (Delta/Iceberg), where
+    the refresh and the ledger commit atomically. The ledger uses the
+    Hadoop FileSystem API, so it follows the checkpoint onto HDFS/S3."""
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        refresh_rollup(
-            batch_df.sparkSession, batch_df, path, keys, time_col, step, value_col
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{checkpoint_location}/applied_batches/{batch_id}"
         )
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):  # replay of a fully-committed batch
+            return
+        refresh_rollup(spark, batch_df, path, keys, time_col, step, value_col)
+        fs.create(marker, True).close()
 
     return (
         stream_df.writeStream.foreachBatch(refresh)

@@ -311,8 +311,6 @@ def repetition_stats(
     claim a character twice — same caveat as the Gopher paper), so values
     are bit-identical in the DuckDB oracle.
     """
-    from time_series_and_data_lakes_spark.operators.dedup import tokens_col
-
     toks = tokens_col(F.col(text_col))
     base = docs.select(
         F.col(id_col),
@@ -353,9 +351,16 @@ def repetition_stats(
         ),
         "top_bigram",
         "top_bigram_n",
-        F.least(
-            F.lit(1.0),
-            (F.col("top_bigram_n") * F.length("top_bigram")) / F.col("__n_chars"),
+        # guard the NULL case explicitly: F.least SKIPS nulls, so a
+        # <2-token doc would otherwise score 1.0 (maximal boilerplate)
+        # instead of the documented NULL
+        F.when(
+            F.col("top_bigram_n").isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.least(
+                F.lit(1.0),
+                (F.col("top_bigram_n") * F.length("top_bigram")) / F.col("__n_chars"),
+            )
         ).alias("top_bigram_char_frac"),
     )
 

@@ -1358,8 +1358,9 @@ WITH base AS (
 SELECT s.doc_id, s.n_toks, s.n_distinct_toks,
        (s.n_toks - s.n_distinct_toks) / s.n_toks AS rep_token_frac,
        t.top_bigram, t.top_bigram_n,
-       least(1.0, (t.top_bigram_n * length(t.top_bigram)) / s.n_chars)
-         AS top_bigram_char_frac
+       CASE WHEN t.top_bigram_n IS NULL THEN NULL
+            ELSE least(1.0, (t.top_bigram_n * length(t.top_bigram)) / s.n_chars)
+       END AS top_bigram_char_frac
 FROM stats s LEFT JOIN top t USING (doc_id)
 """
 

@@ -28,6 +28,22 @@ from time_series_and_data_lakes_spark.operators.checkpointing import truncate_li
 _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
 
 
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet store, returning None ONLY when the path does not
+    exist yet (the bootstrap case). Any other failure — transient
+    filesystem errors, permissions, corrupt footers — re-raises: treating
+    it as 'first write' would make the subsequent partition overwrite
+    silently drop the stored rows of every touched partition."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -56,10 +72,8 @@ def merge_upsert(
             clause = cond if clause is None else (clause & cond)
         part_pred = clause if part_pred is None else (part_pred | clause)
 
-    try:
-        existing = spark.read.parquet(path).filter(part_pred)
-    except Exception:  # first write: nothing materialized yet
-        existing = None
+    store = read_parquet_if_exists(spark, path)
+    existing = store.filter(part_pred) if store is not None else None
 
     cols = updates.columns
     if existing is not None:

@@ -40,6 +40,11 @@ def zorder_key(coords: list[Column], bits: int = 16) -> Column:
     import functools
 
     k = len(coords)
+    if bits * k > 63:
+        raise ValueError(
+            f"zorder key needs bits*len(coords) <= 63 to fit a bigint "
+            f"(got {bits}*{k} = {bits * k}) — lower bits or cluster fewer columns"
+        )
     init = F.struct(
         F.lit(0).cast("bigint").alias("key"),
         F.lit(1).cast("bigint").alias("mult"),
