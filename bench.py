@@ -98,24 +98,26 @@ def main() -> None:
         F.pandas_udf(lambda s: s + 1, "long")("id")
     ).write.format("noop").mode("overwrite").save()
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
-        sf_dir
-    ):
-        # Warm every headline shape: whole-stage codegen compilation + JIT
-        # happen once per generated class, and a cold first execution costs
-        # 3-5x the steady state (measured: the 3-grouping-set decimal
-        # rollup runs 8 s cold, 2 s warm). Warming on the tiny fixture
-        # compiles the same classes while the measured runs at sf_dir still
-        # do all their own data processing.
-        for warm_q in HEADLINE:
-            Q.QUERIES[warm_q](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            spark.catalog.clearCache()
+    do_warm = os.path.isdir(warm_dir) and os.path.realpath(
+        warm_dir
+    ) != os.path.realpath(sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
+        if do_warm:
+            # Warm THIS query's shapes immediately before measuring it:
+            # whole-stage codegen compilation + JIT happen once per
+            # generated class and a cold first execution costs 3-8x steady
+            # state — but Spark's generated-class cache holds only ~100
+            # entries, so warming all 39 queries up front evicts the early
+            # ones before they are measured (observed: the quality funnel
+            # read 8 s in-bench vs 1.2 s standalone once the headline set
+            # grew). Per-query warming keeps the classes hot regardless of
+            # headline count; measured runs at sf_dir still do all their
+            # own data processing.
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
         best = float("inf")
         for _ in range(N_RUNS):
             start = time.perf_counter()
