@@ -297,3 +297,72 @@ def test_edit_distance_join_finds_all_long_doc_pairs(spark):
         if a < b and lev(ta, tb) <= 12
     }
     assert got == want and (0, 1) in got and got[(0, 1)] == 1
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    # SemDeDup vs a brute-force Python replay (assignment by nearest
+    # centroid with smallest-id ties, drop on any lower-id in-cluster
+    # neighbor above threshold) on a small random embedding set.
+    import math
+    import random
+
+    from time_series_and_data_lakes_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(23)
+    dim, n = 8, 40
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    cents = {i: vecs[i] for i in range(4)}
+    assign = {
+        i: min(cents, key=lambda c: (-cos(vecs[i], cents[c]), c)) for i in vecs
+    }
+    thr = 0.5
+    want = {}
+    for i in vecs:
+        lower = [
+            j for j in vecs
+            if j < i and assign[j] == assign[i] and cos(vecs[j], vecs[i]) >= thr
+        ]
+        if lower:
+            k = min(lower)
+            want[i] = (assign[i], k)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["kept_id"])
+        for r in semantic_dedup(
+            df, df.filter(F.col("vec_id") < 4), threshold=thr
+        ).collect()
+    }
+    assert got == want and want  # non-trivial fixture
+
+
+def test_ewma_query_matches_python_fold(spark, sf_dir):
+    import math
+
+    from time_series_and_data_lakes_spark import queries as Q
+
+    got = {
+        r["sensor_id"]: (r["n_obs"], r["ewma_temperature"])
+        for r in Q.QUERIES["analytics_ewma"](spark, sf_dir).collect()
+    }
+    rows = sorted(
+        (r["sensor_id"], r["time"], r["temperature"])
+        for r in Q.sensor_obs(spark, sf_dir).collect()
+    )
+    series: dict = {}
+    for s, t, v in rows:
+        series.setdefault(s, []).append(v)
+    for s, vals in series.items():
+        acc = None
+        for x in vals:
+            acc = x if acc is None else 0.2 * x + 0.8 * acc
+        n, e = got[s]
+        assert n == len(vals)
+        assert math.isclose(e, acc, rel_tol=0, abs_tol=0), s  # bit-exact
