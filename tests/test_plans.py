@@ -461,3 +461,18 @@ def test_repetition_stats_shuffles_only_by_doc(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
     hash_cols = set(re.findall(r"hashpartitioning\((\w+)#", plan))
     assert hash_cols <= {"doc_id"}, hash_cols
+
+
+def test_sequential_fold_analytics_cost_one_key_exchange(spark, sf_dir):
+    # EWMA and LTTB are per-key sequential folds: their whole plan must be
+    # scan -> ONE hash exchange on the series key -> fold/explode. A second
+    # exchange (or a sort-merge join / presentation sort) would mean the
+    # recursion leaked out of the single per-key aggregation.
+    import re
+
+    for q in ("analytics_ewma", "analytics_lttb_downsample"):
+        plan = _plan(Q.QUERIES[q](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, q
+        assert "rangepartitioning" not in plan.lower(), q
+        hash_cols = re.findall(r"hashpartitioning\((\w+)#", plan)
+        assert hash_cols == ["sensor_id"], (q, hash_cols)
