@@ -2035,6 +2035,7 @@ _DRIVER_TAIL: list[str] = [
     "multimodal_audio_stats",
     "multimodal_audio_resample",
     "multimodal_video_frames",
+    "pipe_quality_deciles",
 ]
 
 

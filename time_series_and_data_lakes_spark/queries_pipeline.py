@@ -599,6 +599,62 @@ FROM sized GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Quality-score decile matrix (threshold-tuning readout)
+# --------------------------------------------------------------------------
+
+_N_DECILES = 10
+
+
+def pipe_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution in deciles — the readout a curation run
+    publishes to pick its quality cutoff ('the top 3 deciles survive').
+    Deterministic ntile over (quality, doc_id); the reported min/max are
+    actual column values (no float aggregation), so the gate is exact.
+    The deciles window is a single-partition sort over |corpus| rows — at
+    real scale serve it from a sampled frame or a histogram; the exact
+    form is the fixture-scale reference."""
+    from pyspark.sql import Window
+
+    docs = _load_docs(spark, sf_dir)
+    q = docs.select("doc_id", X.quality_score(F.col("text")).alias("q"))
+    w = Window.orderBy(F.asc("q"), F.asc("doc_id"))
+    return (
+        q.withColumn("decile", F.ntile(_N_DECILES).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+        )
+    )
+
+
+def _quality_deciles_oracle() -> str:
+    quality = f"""
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+  (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
+  + (CASE WHEN length(text) / len({_TOKS}) >= 3.0
+          AND length(text) / len({_TOKS}) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3
+  END"""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, ({quality}) AS q FROM documents
+)
+SELECT decile, count(*) AS n_docs,
+       min(q) AS min_quality, max(q) AS max_quality
+FROM (
+  SELECT doc_id, q,
+         ntile({_N_DECILES}) OVER (ORDER BY q, doc_id)::BIGINT AS decile
+  FROM scored
+) GROUP BY decile
+"""
+
+
+PIPE_DECILES_ORACLE = _quality_deciles_oracle()
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_split_train_test": pipe_split_train_test,
     "pipe_sample_per_source": pipe_sample_per_source,
@@ -611,6 +667,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_semdedup": pipe_semdedup,
     "pipe_label_propagation": pipe_label_propagation,
     "pipe_pack_sequences": pipe_pack_sequences,
+    "pipe_quality_deciles": pipe_quality_deciles,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -625,4 +682,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pipe_semdedup": PIPE_SEMDEDUP_ORACLE,
     "pipe_label_propagation": PIPE_LP_ORACLE,
     "pipe_pack_sequences": PIPE_PACK_ORACLE,
+    "pipe_quality_deciles": PIPE_DECILES_ORACLE,
 }
