@@ -366,3 +366,67 @@ def test_ewma_query_matches_python_fold(spark, sf_dir):
         n, e = got[s]
         assert n == len(vals)
         assert math.isclose(e, acc, rel_tol=0, abs_tol=0), s  # bit-exact
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    from collections import Counter
+
+    from time_series_and_data_lakes_spark.operators.text import repetition_stats
+
+    docs = [
+        (0, "a b a b a b a b"),          # heavy bigram repetition
+        (1, "all distinct words here"),
+        (2, "x"),                         # single token -> NULL bigram cols
+        (3, "y y"),                       # one bigram, rep tokens
+        (4, "spam spam spam spam spam"),
+        (5, "a a a a"),                   # overlapping bigram claims > chars
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, text in docs:
+        toks = text.split(" ")
+        r = got[i]
+        assert r["n_toks"] == len(toks)
+        assert r["n_distinct_toks"] == len(set(toks))
+        assert r["rep_token_frac"] == (len(toks) - len(set(toks))) / len(toks)
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        if not grams:
+            assert r["top_bigram"] is None
+            assert r["top_bigram_n"] is None
+            assert r["top_bigram_char_frac"] is None
+        else:
+            counts = Counter(grams)
+            best_n = max(counts.values())
+            best = min(g for g, c in counts.items() if c == best_n)
+            assert (r["top_bigram"], r["top_bigram_n"]) == (best, best_n)
+            assert r["top_bigram_char_frac"] == min(
+                1.0, best_n * len(best) / len(text)
+            )
+    # the overlap cap engages: "a a a a"'s 3 overlapping "a a" occurrences
+    # claim 9 chars of a 7-char doc -> capped at 1.0
+    assert got[5]["top_bigram_char_frac"] == 1.0
+    assert got[4]["top_bigram"] == "spam spam"
+
+
+def test_top_tokens_matches_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from time_series_and_data_lakes_spark import queries as Q
+    from time_series_and_data_lakes_spark.queries_ext import _load_docs
+
+    docs = [(r["doc_id"], r["text"]) for r in _load_docs(spark, sf_dir).collect()]
+    total = Counter()
+    dfreq = Counter()
+    for _i, text in docs:
+        toks = text.split(" ")
+        total.update(toks)
+        dfreq.update(set(toks))
+    want = sorted(
+        ((n, tok) for tok, n in total.items()), key=lambda t: (-t[0], t[1])
+    )[:50]
+    got = [
+        (r["n_total"], r["token"], r["n_docs"])
+        for r in Q.QUERIES["text_top_tokens"](spark, sf_dir).collect()
+    ]
+    assert [(n, t) for n, t, _d in got] == want
+    assert all(d == dfreq[t] for _n, t, d in got)
