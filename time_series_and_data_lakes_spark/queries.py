@@ -1369,6 +1369,74 @@ FROM events GROUP BY user_id
 """
 
 
+_HOLT_ALPHA, _HOLT_GAMMA = 0.3, 0.1
+
+
+def analytics_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per sensor — the
+    trend-aware sibling of :func:`analytics_ewma`: l' = α·x + (1-α)(l+b),
+    b' = γ(l'-l) + (1-γ)b, seeded l₀=x₀, b₀=0. Same sequential-fold shape
+    and determinism contract as EWMA (both engines evaluate the identical
+    IEEE chain left to right); the l' sub-expression is inlined twice on
+    BOTH sides, so re-evaluation cannot diverge."""
+    obs = sensor_obs(spark, sf_dir)
+    a, g = _HOLT_ALPHA, _HOLT_GAMMA
+    arr = F.array_sort(F.collect_list(F.struct(F.col("time"), F.col("temperature"))))
+
+    def step(acc: Column, p: Column) -> Column:
+        x = p["temperature"]
+        lp = F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(
+            F.struct(
+                lp.alias("l"),
+                (F.lit(g) * (lp - acc["l"]) + F.lit(1 - g) * acc["b"]).alias("b"),
+            )
+        )
+
+    folded = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("double").alias("l"), F.lit(None).cast("double").alias("b")
+        ),
+        step,
+    )
+    return obs.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        folded["l"].alias("holt_level"),
+        folded["b"].alias("holt_trend"),
+    )
+
+
+# Lambda-free recursive-CTE replay: DuckDB 1.0's list_reduce mis-evaluates
+# the second field of a struct ACCUMULATOR (measured: the trend update sees
+# a stale/wrong level) — the same engine-side fold fragility the LTTB
+# oracle works around. Plain-SQL recursion over the observation index
+# avoids lambdas entirely.
+HOLT_ORACLE = f"""
+WITH RECURSIVE arr AS (
+  SELECT user_id AS sensor_id, list(value ORDER BY ts, value) AS vals
+  FROM events GROUP BY user_id
+), steps(sensor_id, i, l, b) AS (
+  SELECT sensor_id, 1, vals[1], 0.0::DOUBLE FROM arr
+  UNION ALL
+  SELECT s.sensor_id, s.i + 1,
+         {_HOLT_ALPHA}::DOUBLE * a.vals[s.i + 1]
+           + {1 - _HOLT_ALPHA}::DOUBLE * (s.l + s.b),
+         {_HOLT_GAMMA}::DOUBLE * (({_HOLT_ALPHA}::DOUBLE * a.vals[s.i + 1]
+             + {1 - _HOLT_ALPHA}::DOUBLE * (s.l + s.b)) - s.l)
+           + {1 - _HOLT_GAMMA}::DOUBLE * s.b
+  FROM steps s JOIN arr a USING (sensor_id)
+  WHERE s.i < len(a.vals)
+)
+SELECT a.sensor_id, len(a.vals)::BIGINT AS n_obs,
+       s.l AS holt_level, s.b AS holt_trend
+FROM arr a JOIN steps s ON a.sensor_id = s.sensor_id AND s.i = len(a.vals)
+"""
+
+
 _LTTB_THRESHOLD = 20
 
 
@@ -1863,6 +1931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_parts": approx_distinct_parts,
     "analytics_moving_window": analytics_moving_window,
     "analytics_ewma": analytics_ewma,
+    "analytics_holt": analytics_holt,
     "analytics_lttb_downsample": analytics_lttb_downsample,
     "analytics_anomaly_zscore": analytics_anomaly_zscore,
     "g8_heatmap_bins": g8_heatmap_bins,
@@ -1935,6 +2004,7 @@ ORACLES: dict[str, str] = {
     "distinct_part_suppliers": DISTINCT_ORACLE,
     "analytics_moving_window": ANALYTICS_ORACLE,
     "analytics_ewma": EWMA_ORACLE,
+    "analytics_holt": HOLT_ORACLE,
     "analytics_lttb_downsample": LTTB_ORACLE,
     "analytics_anomaly_zscore": ZSCORE_ORACLE,
     "g8_heatmap_bins": HEATMAP_ORACLE,
@@ -2036,6 +2106,7 @@ _DRIVER_TAIL: list[str] = [
     "multimodal_audio_resample",
     "multimodal_video_frames",
     "pipe_quality_deciles",
+    "analytics_holt",
 ]
 
 
