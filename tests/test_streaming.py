@@ -822,3 +822,60 @@ def test_streaming_cdc_upsert_equals_batch_apply(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(stream_store).collect()}
     want = {tuple(r) for r in spark.read.parquet(batch_store).collect()}
     assert got == want and len(got) == 32
+
+
+def test_streaming_ewma_equals_batch_fold(spark, tmp_path):
+    # Continuous per-key EWMA (O(1) state) must equal the batch sequential
+    # fold BIT-EXACTLY on a time-ordered replay split across micro-batches.
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        ewma_stream,
+    )
+
+    rows = sensor_readings(seed=21, sensors=4, span_seconds=40)
+    src = _write_json_batches(tmp_path, rows, n_batches=5)
+
+    wide = read_json_stream(spark, src)
+    out = ewma_stream(
+        wide.select("sensor_id", "event_time", "temperature"),
+        alpha=0.2,
+        time_col="event_time",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_live")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per key = the final running value
+    final = {}
+    for r in spark.sql("SELECT * FROM ewma_live").collect():
+        k = r["sensor_id"]
+        if k not in final or r["n_obs"] > final[k][0]:
+            final[k] = (r["n_obs"], r["ewma"])
+
+    batch = spark.createDataFrame(
+        [
+            (r["sensor_id"], r["event_time"], float(r["temperature"]))
+            for r in rows
+        ],
+        "sensor_id string, event_ms long, temperature double",
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("event_ms").alias("t"), F.col("temperature")))
+    )
+    fold = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, p: F.when(acc.isNull(), p["temperature"]).otherwise(
+            F.lit(0.2) * p["temperature"] + F.lit(0.8) * acc
+        ),
+    )
+    want = {
+        r["sensor_id"]: (r["n"], r["e"])
+        for r in batch.groupBy("sensor_id")
+        .agg(F.count(F.lit(1)).alias("n"), fold.alias("e"))
+        .collect()
+    }
+    assert final == want  # counts AND doubles bit-exact

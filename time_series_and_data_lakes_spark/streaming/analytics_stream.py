@@ -1,0 +1,81 @@
+"""Streaming per-key analytics with tiny keyed state.
+
+:func:`ewma_stream` maintains the EWMA recursion (s₀ = x₀; sᵢ = α·xᵢ +
+(1-α)·sᵢ₋₁ — the batch twin is ``queries.analytics_ewma``) continuously:
+per key, the state is ONE (count, ewma) pair, each micro-batch folds its
+rows in event-time order into that state, and the updated running value
+is emitted per key per batch (update-style readout of an aggregate).
+
+Because the fold is sequential and the state carries exactly the fold's
+accumulator, a time-ordered replay produces BIT-IDENTICAL values to the
+batch fold — pinned by test. Out-of-order arrival ACROSS micro-batches
+follows the reference's processing-time stance (arrival order is the
+fold order, like the CEP default); within a batch rows are sorted by
+event time.
+
+Scale: O(1) state per key (two numbers), no per-key history; the only
+shuffle is the hash exchange on the key — the streaming analogue of the
+batch query's single exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def ewma_stream(
+    stream: DataFrame,
+    alpha: float = 0.2,
+    key: str = "sensor_id",
+    time_col: str = "time",
+    value_col: str = "temperature",
+) -> DataFrame:
+    """Continuously maintained per-key EWMA; emits the running
+    ``(key, n_obs, ewma)`` once per key per micro-batch that carried rows
+    for it."""
+
+    def process(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_value,) = key_tuple
+        n, acc = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            for x in pdf[value_col]:
+                x = float(x)
+                acc = x if acc is None else alpha * x + (1.0 - alpha) * acc
+                n += 1
+        if n:
+            state.update((n, acc))
+            yield pd.DataFrame(
+                {"sensor_id": [key_value], "n_obs": [n], "ewma": [acc]}
+            )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        process,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
