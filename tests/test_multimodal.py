@@ -545,3 +545,49 @@ def test_avi_roundtrip_extract_and_compressed_raises(spark):
     for k, r in rows.items():
         assert r["meta"]["codec"] == "bmp"
         assert np.array_equal(bmp_decode(r["payload"]), frames[k])
+
+
+def test_wav_avi_roundtrip_property_sweep():
+    # Hypothesis sweep over shapes/contents: encode -> decode is the
+    # identity for both new container codecs at any size.
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode,
+        wav_decode,
+        wav_encode,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=400),
+        rate=st.integers(min_value=1, max_value=192_000),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def wav_case(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        got_rate, ch, got = wav_decode(wav_encode(samples, rate))
+        assert (got_rate, ch) == (rate, 1)
+        assert np.array_equal(got, samples)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nf=st.integers(min_value=1, max_value=6),
+        w=st.integers(min_value=1, max_value=17),
+        h=st.integers(min_value=1, max_value=13),
+        fps=st.integers(min_value=1, max_value=120),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def avi_case(nf, w, h, fps, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        got_fps, got = avi_decode(avi_encode(frames, fps))
+        assert got_fps == 1_000_000 // (1_000_000 // fps)
+        assert np.array_equal(got, frames)
+
+    wav_case()
+    avi_case()
