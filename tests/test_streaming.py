@@ -879,3 +879,45 @@ def test_streaming_ewma_equals_batch_fold(spark, tmp_path):
         .collect()
     }
     assert final == want  # counts AND doubles bit-exact
+
+
+def test_streaming_holt_equals_batch_fold(spark, tmp_path):
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        holt_stream,
+    )
+
+    rows = sensor_readings(seed=31, sensors=3, span_seconds=30)
+    src = _write_json_batches(tmp_path, rows, n_batches=4)
+    out = holt_stream(
+        read_json_stream(spark, src).select("sensor_id", "event_time", "temperature"),
+        alpha=0.3,
+        gamma=0.1,
+        time_col="event_time",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("holt_live")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("SELECT * FROM holt_live").collect():
+        k = r["sensor_id"]
+        if k not in final or r["n_obs"] > final[k][0]:
+            final[k] = (r["n_obs"], r["holt_level"], r["holt_trend"])
+
+    # python replay in event order (the batch fold's association)
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["sensor_id"], r["event_time"])):
+        series.setdefault(r["sensor_id"], []).append(float(r["temperature"]))
+    want = {}
+    for k, vals in series.items():
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            lp = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * (lp - l) + 0.9 * b
+            l = lp
+        want[k] = (len(vals), l, b)
+    assert final == want

@@ -79,3 +79,70 @@ def ewma_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("holt_level", T.DoubleType()),
+        T.StructField("holt_trend", T.DoubleType()),
+    ]
+)
+
+HOLT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("l", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),
+    ]
+)
+
+
+def holt_stream(
+    stream: DataFrame,
+    alpha: float = 0.3,
+    gamma: float = 0.1,
+    key: str = "sensor_id",
+    time_col: str = "time",
+    value_col: str = "temperature",
+) -> DataFrame:
+    """Continuously maintained Holt level+trend per key (the streaming twin
+    of ``queries.analytics_holt``) — state is one (count, level, trend)
+    triple, same ordered-replay bit-exactness contract as
+    :func:`ewma_stream`."""
+
+    def process(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_value,) = key_tuple
+        n, l, b = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            for x in pdf[value_col]:
+                x = float(x)
+                if l is None:
+                    l, b = x, 0.0
+                else:
+                    lp = alpha * x + (1.0 - alpha) * (l + b)
+                    b = gamma * (lp - l) + (1.0 - gamma) * b
+                    l = lp
+                n += 1
+        if n:
+            state.update((n, l, b))
+            yield pd.DataFrame(
+                {
+                    "sensor_id": [key_value],
+                    "n_obs": [n],
+                    "holt_level": [l],
+                    "holt_trend": [b],
+                }
+            )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        process,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
