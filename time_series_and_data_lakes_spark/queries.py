@@ -1536,6 +1536,31 @@ SELECT sensor_id, p.t AS time, p.v AS temperature FROM ex
 LTTB_ORACLE = _lttb_oracle()
 
 
+def g9_ohlc_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor OHLC summary (open = first reading by time, high, low,
+    close = last) — the stat-tile / candlestick feed a dashboard renders
+    next to the raw panels. One partial-aggregated pass; `min_by`/`max_by`
+    are deterministic here because timestamps are unique per sensor."""
+    obs = sensor_obs(spark, sf_dir)
+    return obs.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("min_by(temperature, time)").alias("open"),
+        F.max("temperature").alias("high"),
+        F.min("temperature").alias("low"),
+        F.expr("max_by(temperature, time)").alias("close"),
+    )
+
+
+OHLC_ORACLE = """
+SELECT user_id AS sensor_id, count(*) AS n_obs,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close
+FROM events GROUP BY user_id
+"""
+
+
 _HEATMAP_BAND = 20
 
 
@@ -1935,6 +1960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_lttb_downsample": analytics_lttb_downsample,
     "analytics_anomaly_zscore": analytics_anomaly_zscore,
     "g8_heatmap_bins": g8_heatmap_bins,
+    "g9_ohlc_per_sensor": g9_ohlc_per_sensor,
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
     "semi_anti_customers": semi_anti_customers,
@@ -2008,6 +2034,7 @@ ORACLES: dict[str, str] = {
     "analytics_lttb_downsample": LTTB_ORACLE,
     "analytics_anomaly_zscore": ZSCORE_ORACLE,
     "g8_heatmap_bins": HEATMAP_ORACLE,
+    "g9_ohlc_per_sensor": OHLC_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,
     "semi_anti_customers": SEMI_ANTI_ORACLE,
@@ -2107,6 +2134,8 @@ _DRIVER_TAIL: list[str] = [
     "multimodal_video_frames",
     "pipe_quality_deciles",
     "analytics_holt",
+    "g9_ohlc_per_sensor",
+    "dedup_minhash_eval",
 ]
 
 

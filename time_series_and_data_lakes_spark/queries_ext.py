@@ -326,6 +326,49 @@ GROUP BY d.source
 DEDUP_RETENTION_ORACLE = _dedup_retention_oracle()
 
 
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit as a gated query: MinHash-LSH pairs
+    versus the exact Jaccard join at the SAME threshold — the
+    precision/recall readout a pipeline publishes before trusting a
+    sketch at scale. (Precision is 1.0 by construction — the LSH verify
+    stage already filters candidates by exact Jaccard — so the metric
+    that matters is banding recall.) The two 1-row aggregates join as
+    broadcast anchors; all counts integer-exact, ratios rational."""
+    docs = _load_docs(spark, sf_dir)
+    approx = D.minhash_lsh_dedup(docs, threshold=0.8).select("doc_a", "doc_b")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.8, max_df=None).select(
+        "doc_a", "doc_b"
+    )
+    hit = approx.join(exact, on=["doc_a", "doc_b"], how="inner")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(F.broadcast(approx.agg(F.count(F.lit(1)).alias("n_approx"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+            (F.col("n_hit") / F.col("n_approx")).alias("precision"),
+        )
+    )
+
+
+DEDUP_MINHASH_EVAL_ORACLE = f"""
+WITH approx AS ({_minhash_oracle()}),
+exact AS ({_ngram_jaccard_oracle(threshold=0.8, max_df=None)}),
+hit AS (
+  SELECT a.doc_a, a.doc_b FROM approx a
+  JOIN exact e ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+)
+SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       (SELECT count(*) FROM approx)::BIGINT AS n_approx,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       (SELECT count(*) FROM hit) / (SELECT count(*) FROM exact) AS recall,
+       (SELECT count(*) FROM hit) / (SELECT count(*) FROM approx) AS precision
+"""
+
+
 _CONTAINMENT_THRESHOLD = 0.9
 
 
@@ -1627,6 +1670,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": dedup_containment,
     "dedup_edit_distance": dedup_edit_distance,
     "dedup_retention_report": dedup_retention_report,
+    "dedup_minhash_eval": dedup_minhash_eval,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -1660,6 +1704,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_edit_distance": DEDUP_EDIT_ORACLE,
     "dedup_retention_report": DEDUP_RETENTION_ORACLE,
+    "dedup_minhash_eval": DEDUP_MINHASH_EVAL_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
