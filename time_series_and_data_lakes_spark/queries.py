@@ -2136,6 +2136,7 @@ _DRIVER_TAIL: list[str] = [
     "analytics_holt",
     "g9_ohlc_per_sensor",
     "dedup_minhash_eval",
+    "dedup_simhash_eval",
 ]
 
 

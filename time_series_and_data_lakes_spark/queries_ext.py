@@ -369,6 +369,50 @@ SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
 """
 
 
+def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash audit against exact Jaccard >= 0.8 ground truth — unlike
+    the MinHash audit, BOTH metrics are non-trivial here: SimHash has no
+    exact-verify stage, so fingerprint collisions can emit non-duplicate
+    pairs (precision < 1) and 2-bit Hamming at 48 bits can miss true
+    pairs (recall < 1). The per-method audit pair (MinHash + SimHash)
+    is how a pipeline picks its sketch before scaling it."""
+    docs = _load_docs(spark, sf_dir)
+    approx = D.simhash_dedup(docs, n_bits=48, max_hamming=2).select(
+        "doc_a", "doc_b"
+    )
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.8, max_df=None).select(
+        "doc_a", "doc_b"
+    )
+    hit = approx.join(exact, on=["doc_a", "doc_b"], how="inner")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(F.broadcast(approx.agg(F.count(F.lit(1)).alias("n_approx"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+            (F.col("n_hit") / F.col("n_approx")).alias("precision"),
+        )
+    )
+
+
+DEDUP_SIMHASH_EVAL_ORACLE = f"""
+WITH approx AS ({_simhash_oracle(n_bits=48, max_hamming=2)}),
+exact AS ({_ngram_jaccard_oracle(threshold=0.8, max_df=None)}),
+hit AS (
+  SELECT a.doc_a, a.doc_b FROM approx a
+  JOIN exact e ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+)
+SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       (SELECT count(*) FROM approx)::BIGINT AS n_approx,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       (SELECT count(*) FROM hit) / (SELECT count(*) FROM exact) AS recall,
+       (SELECT count(*) FROM hit) / (SELECT count(*) FROM approx) AS precision
+"""
+
+
 _CONTAINMENT_THRESHOLD = 0.9
 
 
@@ -1671,6 +1715,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": dedup_edit_distance,
     "dedup_retention_report": dedup_retention_report,
     "dedup_minhash_eval": dedup_minhash_eval,
+    "dedup_simhash_eval": dedup_simhash_eval,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -1705,6 +1750,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_edit_distance": DEDUP_EDIT_ORACLE,
     "dedup_retention_report": DEDUP_RETENTION_ORACLE,
     "dedup_minhash_eval": DEDUP_MINHASH_EVAL_ORACLE,
+    "dedup_simhash_eval": DEDUP_SIMHASH_EVAL_ORACLE,
     "text_stats": TEXT_STATS_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
