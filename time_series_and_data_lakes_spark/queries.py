@@ -1561,6 +1561,36 @@ FROM events GROUP BY user_id
 """
 
 
+def g10_error_rate_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate panel: fraction of readings in error state per daily bin
+    — the ratio companion to the status-count panel (g4). Conditional sum
+    over one binned aggregation; int/int division, exact. The fixture's
+    status vocabulary is lowercase ('error'), matching the CEP queries."""
+    from time_series_and_data_lakes_spark.operators.timeseries import time_bin
+
+    obs = sensor_obs(spark, sf_dir)
+    return obs.groupBy(time_bin("time", "1 day").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_error"),
+        (
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("error_rate"),
+    )
+
+
+ERROR_RATE_ORACLE = """
+SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bin,
+       count(*) AS n_total,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / count(*)
+         AS error_rate
+FROM events GROUP BY 1
+"""
+
+
 _HEATMAP_BAND = 20
 
 
@@ -1961,6 +1991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_anomaly_zscore": analytics_anomaly_zscore,
     "g8_heatmap_bins": g8_heatmap_bins,
     "g9_ohlc_per_sensor": g9_ohlc_per_sensor,
+    "g10_error_rate_by_bin": g10_error_rate_by_bin,
     "sessionize_events": sessionize_events,
     "asof_latest_order": asof_latest_order,
     "semi_anti_customers": semi_anti_customers,
@@ -2035,6 +2066,7 @@ ORACLES: dict[str, str] = {
     "analytics_anomaly_zscore": ZSCORE_ORACLE,
     "g8_heatmap_bins": HEATMAP_ORACLE,
     "g9_ohlc_per_sensor": OHLC_ORACLE,
+    "g10_error_rate_by_bin": ERROR_RATE_ORACLE,
     "sessionize_events": SESSIONIZE_ORACLE,
     "asof_latest_order": ASOF_ORACLE,
     "semi_anti_customers": SEMI_ANTI_ORACLE,
@@ -2137,6 +2169,7 @@ _DRIVER_TAIL: list[str] = [
     "g9_ohlc_per_sensor",
     "dedup_minhash_eval",
     "dedup_simhash_eval",
+    "g10_error_rate_by_bin",
 ]
 
 
