@@ -430,3 +430,19 @@ def test_top_tokens_matches_python_reference(spark, sf_dir):
     ]
     assert [(n, t) for n, t, _d in got] == want
     assert all(d == dfreq[t] for _n, t, d in got)
+
+
+def test_ohlc_matches_python_reference(spark, sf_dir):
+    from time_series_and_data_lakes_spark import queries as Q
+
+    got = {
+        r["sensor_id"]: (r["n_obs"], r["open"], r["high"], r["low"], r["close"])
+        for r in Q.QUERIES["g9_ohlc_per_sensor"](spark, sf_dir).collect()
+    }
+    series = {}
+    for r in Q.sensor_obs(spark, sf_dir).collect():
+        series.setdefault(r["sensor_id"], []).append((r["time"], r["temperature"]))
+    for s, pts in series.items():
+        pts.sort()
+        vals = [v for _t, v in pts]
+        assert got[s] == (len(pts), vals[0], max(vals), min(vals), vals[-1]), s
