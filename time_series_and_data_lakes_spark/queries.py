@@ -2170,6 +2170,7 @@ _DRIVER_TAIL: list[str] = [
     "dedup_minhash_eval",
     "dedup_simhash_eval",
     "g10_error_rate_by_bin",
+    "text_tfidf_keywords",
 ]
 
 

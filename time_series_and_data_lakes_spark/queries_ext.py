@@ -1452,6 +1452,76 @@ FROM stats s LEFT JOIN top t USING (doc_id)
 """
 
 
+_TFIDF_K = 3
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 TF-IDF terms of every
+    document — the tagging/faceting pass a corpus browser or weak-labeler
+    runs. Rational idf (the BM25 form, ln-free so scores are bit-portable;
+    ranking unchanged), tf from the token-keyed posting aggregation, and a
+    per-doc top-k window. Scale shape: one token-keyed exchange builds tf
+    and df together (df is a broadcast-sized vocabulary aggregate), then
+    one doc-keyed rank window — no all-pairs work anywhere."""
+    from time_series_and_data_lakes_spark.operators.dedup import tokens_col
+    from pyspark.sql import Window
+
+    docs = _load_docs(spark, sf_dir)
+    post = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = post.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = post.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    scored = (
+        tf.join(dfreq, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf").cast("double") * idf)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("token").alias("keyword"),
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+        )
+    )
+
+
+TEXT_TFIDF_ORACLE = f"""
+WITH post AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM post GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM post) GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf::DOUBLE * ((n.n_docs::DOUBLE - dfreq.df::DOUBLE + 0.5)
+                          / (dfreq.df::DOUBLE + 0.5)) AS score
+  FROM tf JOIN dfreq USING (token), n
+)
+SELECT doc_id, rank::BIGINT AS rank, token AS keyword, tf::BIGINT AS tf, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rank
+  FROM scored
+) WHERE rank <= {_TFIDF_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus vocabulary report: top tokens by total occurrences + doc frequency
 # (the token-stats pass a tokenizer-training / stopword-curation job runs)
@@ -1724,6 +1794,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": text_bm25_topk,
     "text_repetition_stats": text_repetition_stats,
     "text_top_tokens": text_top_tokens,
+    "text_tfidf_keywords": text_tfidf_keywords,
     "text_rrf_hybrid_topk": text_rrf_hybrid_topk,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1759,6 +1830,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_repetition_stats": TEXT_REPETITION_ORACLE,
     "text_top_tokens": TEXT_TOP_TOKENS_ORACLE,
+    "text_tfidf_keywords": TEXT_TFIDF_ORACLE,
     "text_rrf_hybrid_topk": TEXT_RRF_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
