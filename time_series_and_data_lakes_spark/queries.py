@@ -1536,6 +1536,53 @@ SELECT sensor_id, p.t AS time, p.v AS temperature FROM ex
 LTTB_ORACLE = _lttb_oracle()
 
 
+_CUSUM_TARGET, _CUSUM_SLACK = 100.0, 10.0
+
+
+def analytics_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control-chart statistics per sensor (Page 1954 — the
+    classic drift detector): s⁺ accumulates excursions above
+    target+slack, s⁻ below target-slack, each clamped at zero —
+    ``s⁺ᵢ = max(0, s⁺ᵢ₋₁ + xᵢ - (target+slack))``. Two SCALAR sequential
+    folds per key (scalar on purpose: DuckDB's struct-accumulator
+    list_reduce is broken, see analytics_holt — scalar folds are the
+    proven-portable shape, so the oracle seeds each fold by prepending
+    0.0 to the value list). Same one-key-exchange plan as EWMA."""
+    obs = sensor_obs(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct(F.col("time"), F.col("temperature"))))
+    hi_k = _CUSUM_TARGET + _CUSUM_SLACK
+    lo_k = _CUSUM_TARGET - _CUSUM_SLACK
+    s_hi = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, p: F.greatest(F.lit(0.0), acc + (p["temperature"] - F.lit(hi_k))),
+    )
+    s_lo = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, p: F.greatest(F.lit(0.0), acc + (F.lit(lo_k) - p["temperature"])),
+    )
+    return obs.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        s_hi.alias("cusum_high"),
+        s_lo.alias("cusum_low"),
+    )
+
+
+CUSUM_ORACLE = f"""
+SELECT user_id AS sensor_id, count(*) AS n_obs,
+       list_reduce([0.0::DOUBLE] || list(value ORDER BY ts, value),
+                   (acc, x) -> greatest(0.0::DOUBLE,
+                                        acc + (x - {_CUSUM_TARGET + _CUSUM_SLACK})))
+         AS cusum_high,
+       list_reduce([0.0::DOUBLE] || list(value ORDER BY ts, value),
+                   (acc, x) -> greatest(0.0::DOUBLE,
+                                        acc + ({_CUSUM_TARGET - _CUSUM_SLACK} - x)))
+         AS cusum_low
+FROM events GROUP BY user_id
+"""
+
+
 def g9_ohlc_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sensor OHLC summary (open = first reading by time, high, low,
     close = last) — the stat-tile / candlestick feed a dashboard renders
@@ -1987,6 +2034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_moving_window": analytics_moving_window,
     "analytics_ewma": analytics_ewma,
     "analytics_holt": analytics_holt,
+    "analytics_cusum": analytics_cusum,
     "analytics_lttb_downsample": analytics_lttb_downsample,
     "analytics_anomaly_zscore": analytics_anomaly_zscore,
     "g8_heatmap_bins": g8_heatmap_bins,
@@ -2062,6 +2110,7 @@ ORACLES: dict[str, str] = {
     "analytics_moving_window": ANALYTICS_ORACLE,
     "analytics_ewma": EWMA_ORACLE,
     "analytics_holt": HOLT_ORACLE,
+    "analytics_cusum": CUSUM_ORACLE,
     "analytics_lttb_downsample": LTTB_ORACLE,
     "analytics_anomaly_zscore": ZSCORE_ORACLE,
     "g8_heatmap_bins": HEATMAP_ORACLE,
@@ -2171,6 +2220,7 @@ _DRIVER_TAIL: list[str] = [
     "dedup_simhash_eval",
     "g10_error_rate_by_bin",
     "text_tfidf_keywords",
+    "analytics_cusum",
 ]
 
 
