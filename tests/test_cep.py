@@ -189,3 +189,76 @@ def test_event_time_reorder_property_pure_python():
 
         _, got = run(batches, lateness_us)
         assert got == want, f"seed {seed}: event-time replay diverged"
+
+
+def test_event_time_stream_equals_batch_twin(spark):
+    """Binds the streaming event-time mode to its driver-gated batch twin
+    (`queries.f3_cep_event_time`, VERDICT_r4 item 6): for random streams
+    under random bounded disorder, `_advance_key` with lateness >= disorder
+    plus a frontier flush emits exactly the matches of the declarative
+    `match_error_pattern` with F3's parameterization (B{1,3}, event-time
+    order). Timestamps are unique per key, so the tiebreak is inert here —
+    its determinism under duplicate timestamps is pinned by the F3 oracle."""
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.streaming.cep_stream import _advance_key
+
+    within_us = 60_000_000
+    nfa_args = ("time", "status", "temperature", "ERROR", 1, 3, within_us, 2)
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        t, rows = 0, []
+        for i in range(rng.randrange(80, 200)):
+            t += rng.randrange(1_000_000, 20_000_000)
+            status = rng.choice(["OK", "WARNING", "ERROR", "ERROR"])
+            rows.append((t, status, float(rng.randrange(10, 181))))
+
+        # batch twin: one key, event-time order, B{1,3}
+        df = spark.createDataFrame(
+            [("k", dt.datetime.utcfromtimestamp(r[0] / 1e6), r[1], r[2], i)
+             for i, r in enumerate(rows)],
+            SCHEMA + ", event_id long",
+        )
+        want = sorted(
+            tuple(r)
+            for r in match_error_pattern(
+                df, min_b=1, max_b=3, within="INTERVAL 1 MINUTE", tiebreak="event_id"
+            ).collect()
+        )
+
+        # streaming event-time mode on a bounded-disorder arrival order
+        d_us = rng.randrange(5_000_000, 60_000_000)
+        jittered = sorted(rows, key=lambda r: r[0] + rng.randrange(-d_us, d_us))
+        running_max, lateness_us = 0, 0
+        for r in jittered:
+            lateness_us = max(lateness_us, running_max - r[0])
+            running_max = max(running_max, r[0])
+        flush_t = rows[-1][0] + lateness_us + 120_000_000
+        batches = [jittered, [(flush_t, "OK", 0.0)]]
+        state, got = None, []
+        for batch in batches:
+            pdf = pd.DataFrame(
+                {
+                    "time": pd.to_datetime([r[0] for r in batch], unit="us"),
+                    "status": [r[1] for r in batch],
+                    "temperature": [r[2] for r in batch],
+                }
+            )
+            state, emitted = _advance_key(state, iter([pdf]), *nfa_args, lateness_us)
+            got += emitted
+
+        got_rows = sorted(
+            (
+                "k",
+                dt.datetime.utcfromtimestamp(m["a_time_us"] / 1e6),
+                m["non_errors"],
+                m["history"],
+                m["min_temperature"],
+                m["avg_temperature"],
+                m["max_temperature"],
+                m["elapsed"],
+            )
+            for m in got
+        )
+        assert got_rows == want, f"seed {seed}: stream/batch-twin divergence"

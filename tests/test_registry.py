@@ -5,91 +5,100 @@ The external correctness harness verifies the FIRST 50 entries of
 pin the rotation invariants so a future registry edit can't silently push a
 never-driver-verified query out of the checked window (the round-2 failure
 mode: 22 queries appended past entry 50 had no driver row at all).
+
+Green counts are derived from the driver's own ``CORRECTNESS_r*.json`` rows
+at the repo root — never from a hand-maintained set. (The round-3 tail
+comment mis-claimed greens for 13 entries; the round-4 UNDER_VERIFIED set
+then silently exempted 24 brand-new queries. Both failure modes are
+un-writable now: a query with <2 driver-green rows that is outside the
+window fails ``test_under_verified_queries_inside_driver_window`` no matter
+what any comment or set claims.)
 """
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 import __spark_entry__ as entrymod
 from time_series_and_data_lakes_spark import queries as Q
 
-# Queries with FEWER THAN TWO driver-green CORRECTNESS rows through round 3
-# (audited against CORRECTNESS_r01/r02/r03 in round 4 — the round-3 tail
-# comment wrongly claimed r01 greens for the events-based entries that hit
-# the round-1 loader bug). Every name here MUST sit inside the 50-entry
-# window until it banks its second green round.
-UNDER_VERIFIED = {
-    # green only in round 2 (errored in round 1 under the events-loader bug):
-    "q2_interpolated_series",
-    "q3_timeseries_roundtrip",
-    "g2_measure_series",
-    "g3_raw_feed_ordered",
-    "g4_status_counts",
-    "g4b_status_case_pivot",
-    "g5_binned_percentiles",
-    "g6_top_sensors_recent_max",
-    "g7_per_sensor_interval_max",
-    "rollup_cascade_stats",
-    "json_props_extract",
-    "analytics_moving_window",
-    "gap_report_sensors",
-    # green only in round 3 (added to the window in rounds 2-3):
-    "text_winnow_fingerprint",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_lsh_dup_pairs",
-    "ann_quantize_int8",
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "tpch_q7_nation_volume",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier_revenue",
-    "tpch_q16_supplier_count",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_late_suppliers",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_by_status",
-    "tpch_q20_excess_share_suppliers",
-    "pipe_split_train_test",
-    "pipe_sample_per_source",
-    "pipe_token_budget",
-    "pipe_decontaminate",
-    "pipe_knn_label_vote",
-    "pipe_knn_label_vote_ivf",
-    "pipe_mix_weights",
-    "pipe_quality_funnel",
-    # added round 4 (no driver row yet):
-    "multimodal_resize_pixels",
-    "ann_pq_adc_topk",
-    "text_bm25_topk",
-}
+REPO = Path(__file__).resolve().parent.parent
+
+# Approximate-by-design: no exact oracle row can ever exist (APPROX_PERCENTILE
+# / APPROX_COUNT_DISTINCT sketches). Error-bounded by property tests
+# (tests/test_properties.py, tests/test_approx_bounds.py) with exact
+# driver-green twins (g5_binned_percentiles, distinct_part_suppliers); a
+# driver row for these would be weaker than the checks they already carry.
+APPROXIMATE_BY_DESIGN = {"g5b_approx_percentiles", "approx_distinct_parts"}
+
+# Explicitly-parked overflow: catalog entries with <2 greens allowed outside
+# the window THIS round only, each with the round by which it must enter.
+# Empty means every under-verified query occupies a window slot right now.
+PARKED: dict[str, int] = {}
 
 
-def test_unverified_queries_inside_driver_window():
-    window = list(entrymod.queries())[:50]
-    missing = UNDER_VERIFIED - set(window)
-    assert not missing, f"not in driver window: {sorted(missing)}"
+def _driver_green_counts() -> dict[str, int]:
+    """Rounds each query was driver-green, from CORRECTNESS_r*.json."""
+    counts: dict[str, int] = {}
+    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    assert files, "no CORRECTNESS_r*.json at repo root"
+    for f in files:
+        for name, row in json.loads(f.read_text()).items():
+            ok = (
+                row.get("err") is None
+                and bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                # hash_match is None for rows-only (no-oracle) checks
+                and row.get("hash_match") in (True, None)
+            )
+            if ok:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def test_under_verified_queries_inside_driver_window():
+    # Rotation policy: every query with fewer than two driver-green rounds
+    # sits inside the 50-entry window until it banks its second green.
+    green = _driver_green_counts()
+    window = set(list(entrymod.queries())[:50])
+    violations = [
+        name
+        for name in entrymod.queries()
+        if green.get(name, 0) < 2
+        and name not in window
+        and name not in APPROXIMATE_BY_DESIGN
+        and name not in PARKED
+    ]
+    assert not violations, f"under-verified queries outside window: {violations}"
 
 
 def test_tail_holds_only_multiround_green_or_approximate():
-    # Rotation policy: the tail may contain only entries driver-green in >=2
-    # rounds, or the approximate-by-design pair that can never have an oracle
-    # row. UNDER_VERIFIED entries must never be rotated out.
-    overlap = set(Q._DRIVER_TAIL) & UNDER_VERIFIED
-    assert not overlap, f"under-verified queries rotated out: {sorted(overlap)}"
+    green = _driver_green_counts()
+    bad = [
+        name
+        for name in Q._DRIVER_TAIL
+        if green.get(name, 0) < 2
+        and name not in APPROXIMATE_BY_DESIGN
+        and name not in PARKED
+    ]
+    assert not bad, f"tail entries without 2x driver-green: {bad}"
+
+
+def test_parked_deadlines_not_passed():
+    # CORRECTNESS files arrive one per round; a parked query must enter the
+    # window before its deadline round's check runs.
+    n_rounds = len(list(REPO.glob("CORRECTNESS_r*.json")))
+    next_round = n_rounds + 1
+    overdue = [name for name, by_round in PARKED.items() if by_round < next_round]
+    assert not overdue, f"parked queries past their deadline round: {overdue}"
 
 
 def test_no_oracle_queries_rotated_out_of_window():
     # The two approximate-by-design queries have no oracle; keeping them in
     # the tail lets the 50-entry window be 50/50 oracle-green.
     window = list(entrymod.queries())[:50]
-    assert "g5b_approx_percentiles" not in window
-    assert "approx_distinct_parts" not in window
+    assert not APPROXIMATE_BY_DESIGN & set(window)
 
 
 def test_rotation_drops_nothing():
@@ -104,4 +113,4 @@ def test_every_oracle_key_has_query():
     # every query is oracle-backed except the documented approximate ones and
     # genuinely non-SQL-expressible ops
     no_oracle = set(Q.QUERIES) - set(Q.ORACLES)
-    assert no_oracle <= {"g5b_approx_percentiles", "approx_distinct_parts"}
+    assert no_oracle <= APPROXIMATE_BY_DESIGN

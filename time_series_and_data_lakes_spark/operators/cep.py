@@ -48,6 +48,7 @@ def match_error_pattern(
     max_b: int = 5,
     within: str = "INTERVAL 1 MINUTE",
     round_avg: int = 2,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Detect ``(A B{min_b,max_b} C) WITHIN within`` per key, skip-past-last-row.
 
@@ -60,25 +61,37 @@ def match_error_pattern(
     Batch ordering is by ``time_col`` (event time). The reference orders by
     processing time (`notebook.txt:52`) — equivalent whenever the stream is
     replayed in event order; the streaming variant documents the divergence.
+    ``tiebreak`` names a column that breaks equal-timestamp ties (ascending),
+    making the per-key order — and therefore the match set — deterministic
+    even if a fixture carries duplicate timestamps; without it, ties fall to
+    Spark's arbitrary-but-stable sort.
     """
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
     within_us = _interval_micros(within)
 
-    w_key = Window.partitionBy(key).orderBy("__t")
-    rows = df.select(
+    order_cols = ["__t"] + (["__tb"] if tiebreak else [])
+    w_key = Window.partitionBy(key).orderBy(*order_cols)
+    sel = [
         key,
         F.col(time_col).alias("__t"),
         F.col(status_col).alias("__status"),
         F.col(value_col).alias("__v"),
-    ).withColumn("__is_err", (F.col("__status") == error_value).cast("int"))
+    ]
+    if tiebreak:
+        sel.append(F.col(tiebreak).alias("__tb"))
+    rows = df.select(*sel).withColumn(
+        "__is_err", (F.col("__status") == error_value).cast("int")
+    )
     # Running count of error rows, inclusive: for an error row this is its
     # 1-based error index k; non-error rows carry the index of the error
     # segment they follow.
     rows = rows.withColumn(
         "__err_seq",
         F.sum("__is_err").over(
-            Window.partitionBy(key).orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(key)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     ).withColumn("__pos", F.row_number().over(w_key))
 
