@@ -1426,6 +1426,46 @@ FROM events
 
 _EWMA_ALPHA = 0.2
 
+# Upper bound on the points a batch sequential fold materializes per key
+# (VERDICT_r4 item 4). The folds below collect each key's time-ordered
+# history into ONE array value inside one task — the only DuckDB-portable
+# exact-fold shape, and the same cardinality the reference's
+# CREATE_TIME_SERIES materializes per group — but an unbounded key (years
+# of 1 Hz data) would OOM that task. Each fold therefore consumes only the
+# most recent _FOLD_MAX_POINTS observations per key, pruned BEFORE the
+# collect by a key-partitioned row_number (so the giant array is never
+# built; the filter rides the same single key exchange the fold already
+# pays). 50k points ≈ 1.2 MB of struct<timestamp,double> per key — safely
+# inside any executor. Inert at every fixture scale (max key cardinality at
+# sf0.1 is ~3k rows); the streaming twins (streaming/analytics_stream.py,
+# O(1) keyed state) are the unbounded-history path — see SCALE.md.
+_FOLD_MAX_POINTS = 50_000
+
+
+def _bounded_obs(obs: DataFrame, max_points: int = _FOLD_MAX_POINTS) -> DataFrame:
+    """Most recent ``max_points`` observations per sensor, under the same
+    (time, temperature) ordering the folds sort by — ties broken identically
+    on both engines, so the kept set is deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sensor_id").orderBy(
+        F.col("time").desc(), F.col("temperature").desc()
+    )
+    return (
+        obs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_points)
+        .drop("__rn")
+    )
+
+
+# Oracle-side mirror of _bounded_obs: DuckDB QUALIFY over the same
+# descending (ts, value) row_number.
+_BOUNDED_OBS_SQL = f"""
+  SELECT user_id, ts, value FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, value DESC) <= {_FOLD_MAX_POINTS}
+"""
+
 
 def analytics_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sensor exponentially weighted moving average — the recursive
@@ -1435,8 +1475,10 @@ def analytics_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation array — per-key-bounded state, exactly the cardinality the
     reference's own ``timeseries`` value materializes per group (A1), and
     the fold IS the determinism contract: both engines evaluate the same
-    chain ``0.2·x + 0.8·acc`` left to right, so the double is bit-exact."""
-    obs = sensor_obs(spark, sf_dir)
+    chain ``0.2·x + 0.8·acc`` left to right, so the double is bit-exact.
+    History per key is capped at the most recent ``_FOLD_MAX_POINTS``
+    observations (inert at fixture scales)."""
+    obs = _bounded_obs(sensor_obs(spark, sf_dir))
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("time"), F.col("temperature")))
     )
@@ -1454,11 +1496,12 @@ def analytics_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EWMA_ORACLE = f"""
+WITH bounded AS ({_BOUNDED_OBS_SQL})
 SELECT user_id AS sensor_id, count(*) AS n_obs,
        list_reduce(list(value ORDER BY ts, value),
                    (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc)
          AS ewma_temperature
-FROM events GROUP BY user_id
+FROM bounded GROUP BY user_id
 """
 
 
@@ -1471,8 +1514,9 @@ def analytics_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     b' = γ(l'-l) + (1-γ)b, seeded l₀=x₀, b₀=0. Same sequential-fold shape
     and determinism contract as EWMA (both engines evaluate the identical
     IEEE chain left to right); the l' sub-expression is inlined twice on
-    BOTH sides, so re-evaluation cannot diverge."""
-    obs = sensor_obs(spark, sf_dir)
+    BOTH sides, so re-evaluation cannot diverge. History per key is capped
+    at the most recent ``_FOLD_MAX_POINTS`` observations."""
+    obs = _bounded_obs(sensor_obs(spark, sf_dir))
     a, g = _HOLT_ALPHA, _HOLT_GAMMA
     arr = F.array_sort(F.collect_list(F.struct(F.col("time"), F.col("temperature"))))
 
@@ -1509,9 +1553,10 @@ def analytics_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle works around. Plain-SQL recursion over the observation index
 # avoids lambdas entirely.
 HOLT_ORACLE = f"""
-WITH RECURSIVE arr AS (
+WITH RECURSIVE bounded AS ({_BOUNDED_OBS_SQL}
+), arr AS (
   SELECT user_id AS sensor_id, list(value ORDER BY ts, value) AS vals
-  FROM events GROUP BY user_id
+  FROM bounded GROUP BY user_id
 ), steps(sensor_id, i, l, b) AS (
   SELECT sensor_id, 1, vals[1], 0.0::DOUBLE FROM arr
   UNION ALL
@@ -1539,10 +1584,11 @@ def analytics_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference plots raw feeds, `grafana…json:285`; LTTB is the standard
     renderer-side reduction). See
     :func:`operators.timeseries.lttb_downsample` for the fold design and
-    determinism contract."""
+    determinism contract. History per key is capped at the most recent
+    ``_FOLD_MAX_POINTS`` observations."""
     from time_series_and_data_lakes_spark.operators.timeseries import lttb_downsample
 
-    obs = sensor_obs(spark, sf_dir)
+    obs = _bounded_obs(sensor_obs(spark, sf_dir))
     return lttb_downsample(
         obs, ["sensor_id"], "time", "temperature", _LTTB_THRESHOLD
     )
@@ -1570,8 +1616,9 @@ def _lttb_oracle(threshold: int = _LTTB_THRESHOLD) -> str:
     nlo = bnd("(s.b + 2) * a.mid") + " + 2"
     nhi = bnd("(s.b + 3) * a.mid") + " + 1"
     return f"""
-WITH RECURSIVE obs AS (
-  SELECT user_id AS sensor_id, ts, value FROM events
+WITH RECURSIVE bounded AS ({_BOUNDED_OBS_SQL}
+), obs AS (
+  SELECT user_id AS sensor_id, ts, value FROM bounded
 ), arr AS (
   SELECT sensor_id, list({{'t': ts, 'v': value}} ORDER BY ts, value) AS pts
   FROM obs GROUP BY sensor_id
@@ -1640,8 +1687,9 @@ def analytics_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds per key (scalar on purpose: DuckDB's struct-accumulator
     list_reduce is broken, see analytics_holt — scalar folds are the
     proven-portable shape, so the oracle seeds each fold by prepending
-    0.0 to the value list). Same one-key-exchange plan as EWMA."""
-    obs = sensor_obs(spark, sf_dir)
+    0.0 to the value list). Same one-key-exchange plan as EWMA; history
+    per key is capped at the most recent ``_FOLD_MAX_POINTS``."""
+    obs = _bounded_obs(sensor_obs(spark, sf_dir))
     arr = F.array_sort(F.collect_list(F.struct(F.col("time"), F.col("temperature"))))
     hi_k = _CUSUM_TARGET + _CUSUM_SLACK
     lo_k = _CUSUM_TARGET - _CUSUM_SLACK
@@ -1663,6 +1711,7 @@ def analytics_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUSUM_ORACLE = f"""
+WITH bounded AS ({_BOUNDED_OBS_SQL})
 SELECT user_id AS sensor_id, count(*) AS n_obs,
        list_reduce([0.0::DOUBLE] || list(value ORDER BY ts, value),
                    (acc, x) -> greatest(0.0::DOUBLE,
@@ -1672,7 +1721,7 @@ SELECT user_id AS sensor_id, count(*) AS n_obs,
                    (acc, x) -> greatest(0.0::DOUBLE,
                                         acc + ({_CUSUM_TARGET - _CUSUM_SLACK} - x)))
          AS cusum_low
-FROM events GROUP BY user_id
+FROM bounded GROUP BY user_id
 """
 
 
