@@ -417,3 +417,20 @@ def test_merge_upsert_updates_inserts_and_leaves_partitions_untouched(
     # idempotent: re-merging the same batch changes nothing
     merge_upsert(spark, path, updates, ["id"], ["part"])
     assert spark.read.parquet(path).count() == 32
+
+
+def test_merge_upsert_null_partition_value(spark, tmp_path):
+    # ADVICE_r4: a NULL partition value lands in the writer's default
+    # partition; the affected-partition predicate must be null-safe or the
+    # stored rows there are never read and the key duplicates.
+    from time_series_and_data_lakes_spark.sources.merge import merge_upsert
+
+    path = str(tmp_path / "store")
+    schema = "id bigint, part string, value double"
+    base = spark.createDataFrame([(1, None, 1.0), (2, None, 2.0), (3, "d0", 3.0)], schema)
+    merge_upsert(spark, path, base, ["id"], ["part"])
+    merge_upsert(
+        spark, path, spark.createDataFrame([(1, None, 10.0)], schema), ["id"], ["part"]
+    )
+    got = sorted((r["id"], r["part"], r["value"]) for r in spark.read.parquet(path).collect())
+    assert got == [(1, None, 10.0), (2, None, 2.0), (3, "d0", 3.0)]

@@ -497,6 +497,38 @@ def test_audio_resample_decimates_real_payloads(spark):
     assert np.array_equal(got, samples[::5])
 
 
+def test_audio_stats_multichannel_interleaved_contract(spark):
+    # ADVICE_r4: stats over multi-channel WAV are defined over the
+    # INTERLEAVED stream — n_samples = frames x channels, peak/RMS pool
+    # all channels — while resample_audio raises for the same payload.
+    import math
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stats,
+        resample_audio,
+    )
+
+    # hand-packed stereo 16-bit PCM: L = [100, -300], R = [200, 50]
+    interleaved = np.array([100, 200, -300, 50], dtype="<i2")
+    pcm = interleaved.tobytes()
+    rate = 8000
+    payload = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 2, rate, rate * 2 * 2, 4, 16, b"data", len(pcm),
+    ) + pcm
+    df = spark.createDataFrame([(1, "audio", payload, ("s3", "wav"))], MEDIA_SCHEMA)
+    (row,) = audio_stats(df).collect()
+    assert (row["n_channels"], row["n_samples"], row["peak"]) == (2, 4, 300)
+    assert row["rms"] == math.sqrt((100**2 + 200**2 + 300**2 + 50**2) / 4)
+    with pytest.raises(Exception, match="mono"):
+        resample_audio(df, factor=2).collect()
+
+
 def test_avi_roundtrip_extract_and_compressed_raises(spark):
     import struct
 

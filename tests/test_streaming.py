@@ -921,3 +921,60 @@ def test_streaming_holt_equals_batch_fold(spark, tmp_path):
             l = lp
         want[k] = (len(vals), l, b)
     assert final == want
+
+
+def test_kafka_broker_smoke(spark, tmp_path):
+    """End-to-end broker smoke (VERDICT_r4 item 7): produce JSON records to
+    a real Kafka topic with Spark's own Kafka sink, then stream them back
+    through kafka_reader_options + decode_kafka_json and assert the decoded
+    store matches. Auto-enables when KAFKA_BOOTSTRAP=host:port points at a
+    reachable broker (requires the spark-sql-kafka connector on the
+    classpath); skipped in this sandbox, which has neither."""
+    import os
+    import uuid
+
+    import pytest as _pytest
+
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        _pytest.skip(
+            "needs a real broker: set KAFKA_BOOTSTRAP=host:port "
+            "(and the spark-sql-kafka connector jar)"
+        )
+    from time_series_and_data_lakes_spark.streaming.ingest import (
+        decode_kafka_json,
+        kafka_reader_options,
+    )
+
+    topic = f"tsdl-smoke-{uuid.uuid4().hex[:8]}"
+    rows = sensor_readings(seed=5, sensors=2, span_seconds=20)
+    (
+        spark.createDataFrame(
+            [(str(r["sensor_id"]), json.dumps(r)) for r in rows],
+            "key string, value string",
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+    opts = kafka_reader_options(
+        topic,
+        {"kafka.bootstrap.servers": bootstrap},
+        starting_offsets="earliest",
+    )
+    raw = spark.readStream.format("kafka").options(**opts).load()
+    out, ck = str(tmp_path / "kafka_out"), str(tmp_path / "kafka_ck")
+    q = (
+        decode_kafka_json(raw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["sensor_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == len({r["sensor_id"] for r in rows})
+    assert sum(1 for _ in spark.read.parquet(out).collect()) == len(rows)

@@ -121,6 +121,15 @@ def label_propagation(
     kNN majority vote — labels reach nodes with no labeled neighbor
     through intermediate adopters.
 
+    Edge contract (ADVICE_r4): edges are DIRECTED — votes flow only
+    src → dst. A caller modeling an undirected graph must symmetrize the
+    pair list first (union the (dst, src) flips, as
+    ``queries_pipeline.pipe_label_propagation`` does); passing one-way
+    pairs silently yields one-way propagation. Kept directed internally
+    because the operator is also the right shape for genuinely directed
+    relations (citation/link graphs), and symmetrizing inside would
+    double the edge volume for callers that already did.
+
     Determinism contract: votes are integer neighbor counts (unweighted —
     no float summation order to pin), ties break on the smallest label,
     and rounds are synchronous — so the fixture's result is

@@ -608,7 +608,15 @@ def audio_stats(df: DataFrame) -> DataFrame:
     channels, sample count, integer peak (max |sample|), and RMS energy.
     The RMS divides the EXACT int64 sum of squares by the count before one
     sqrt — the same expression a SQL oracle replays bit-identically when
-    samples are a pure function of the media id."""
+    samples are a pure function of the media id.
+
+    Multi-channel contract (ADVICE_r4): stats are computed over the
+    INTERLEAVED sample stream — ``n_samples`` counts channel-samples
+    (frames x channels), and peak/RMS pool all channels (a frame whose
+    left channel clips reports the clip regardless of the right). This is
+    deliberate and differs from :func:`resample_audio`, which raises for
+    multi-channel input because decimating an interleaved stream would
+    corrupt it; computing order-insensitive stats over it cannot."""
     import math
 
     import numpy as np

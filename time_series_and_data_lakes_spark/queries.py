@@ -1728,25 +1728,33 @@ FROM bounded GROUP BY user_id
 def g9_ohlc_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sensor OHLC summary (open = first reading by time, high, low,
     close = last) — the stat-tile / candlestick feed a dashboard renders
-    next to the raw panels. One partial-aggregated pass; `min_by`/`max_by`
-    are deterministic here because timestamps are unique per sensor."""
+    next to the raw panels. One partial-aggregated pass; ``min_by``/
+    ``max_by`` order by struct(time, temperature) so equal timestamps
+    break ties on the value (ADVICE_r4) — deterministic for ANY fixture,
+    matching the (ts, value) ordering the sequential folds pin."""
     obs = sensor_obs(spark, sf_dir)
     return obs.groupBy("sensor_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.expr("min_by(temperature, time)").alias("open"),
+        F.expr("min_by(temperature, struct(time, temperature))").alias("open"),
         F.max("temperature").alias("high"),
         F.min("temperature").alias("low"),
-        F.expr("max_by(temperature, time)").alias("close"),
+        F.expr("max_by(temperature, struct(time, temperature))").alias("close"),
     )
 
 
 OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn_a,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn_d
+  FROM events
+)
 SELECT user_id AS sensor_id, count(*) AS n_obs,
-       arg_min(value, ts) AS open,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
        max(value) AS high,
        min(value) AS low,
-       arg_max(value, ts) AS close
-FROM events GROUP BY user_id
+       max(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM ranked GROUP BY user_id
 """
 
 

@@ -68,7 +68,11 @@ def merge_upsert(
     for r in parts:
         clause = None
         for c in partition_cols:
-            cond = F.col(c) == F.lit(r[c])
+            # eqNullSafe: a NULL partition value in updates lands in the
+            # writer's default partition — plain == would make the predicate
+            # never-true, skip the stored rows there, and duplicate keys
+            # after the overwrite (ADVICE_r4).
+            cond = F.col(c).eqNullSafe(F.lit(r[c]))
             clause = cond if clause is None else (clause & cond)
         part_pred = clause if part_pred is None else (part_pred | clause)
 
