@@ -476,3 +476,19 @@ def test_sequential_fold_analytics_cost_one_key_exchange(spark, sf_dir):
         assert "rangepartitioning" not in plan.lower(), q
         hash_cols = re.findall(r"hashpartitioning\((\w+)#", plan)
         assert hash_cols == ["sensor_id"], (q, hash_cols)
+
+
+def test_cep_queries_cost_one_key_exchange(spark, sf_dir):
+    # The CEP batch twins (proc-time f2 and event-time f3) are window
+    # functions + one aggregation over the same key: the whole plan must
+    # hash-exchange on sensor_id only — the segment aggregation and the
+    # pair/selection windows all reuse that partitioning. A second
+    # exchange would mean a window picked up a different ordering key.
+    import re
+
+    for q in ("f2_cep_match_recognize", "f3_cep_event_time"):
+        plan = _plan(Q.QUERIES[q](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, q
+        assert "rangepartitioning" not in plan.lower(), q
+        hash_cols = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+        assert hash_cols == {"sensor_id"}, (q, hash_cols)
