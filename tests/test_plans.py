@@ -17,6 +17,7 @@ from time_series_and_data_lakes_spark.operators import resample
 # assertions below terse.
 from time_series_and_data_lakes_spark.plans import count_nodes as _nodes  # noqa: E402
 from time_series_and_data_lakes_spark.plans import formatted_plan as _plan  # noqa: E402
+from time_series_and_data_lakes_spark.plans import hash_exchange_keys as _hash_keys  # noqa: E402
 
 
 def test_enrichment_join_broadcasts_all_dims(spark, sf_dir):
@@ -445,7 +446,7 @@ def test_semdedup_assignment_broadcast_cluster_pair_join(spark, sf_dir):
     plan = _plan(Q.QUERIES["pipe_semdedup"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
-    hash_cols = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    hash_cols = {c for keys in _hash_keys(plan) for c in keys}
     assert hash_cols <= {"vec_id", "cluster_id"}, hash_cols
 
 
@@ -459,8 +460,12 @@ def test_repetition_stats_shuffles_only_by_doc(spark, sf_dir):
     plan = _plan(Q.QUERIES["text_repetition_stats"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
-    hash_cols = set(re.findall(r"hashpartitioning\((\w+)#", plan))
-    assert hash_cols <= {"doc_id"}, hash_cols
+    # The full-key parser (round 5) shows the aggregation exchange is the
+    # compound (doc_id, bigram) key — correct: that IS the group-by key,
+    # and partial combine collapses the bigram space map-side. The rank
+    # window then exchanges by doc_id alone. Nothing else may shuffle.
+    keysets = set(_hash_keys(plan))
+    assert keysets <= {("doc_id",), ("doc_id", "bigram")}, keysets
 
 
 def test_sequential_fold_analytics_cost_one_key_exchange(spark, sf_dir):
@@ -474,8 +479,7 @@ def test_sequential_fold_analytics_cost_one_key_exchange(spark, sf_dir):
         plan = _plan(Q.QUERIES[q](spark, sf_dir))
         assert "SortMergeJoin" not in plan, q
         assert "rangepartitioning" not in plan.lower(), q
-        hash_cols = re.findall(r"hashpartitioning\((\w+)#", plan)
-        assert hash_cols == ["sensor_id"], (q, hash_cols)
+        assert _hash_keys(plan) == [("sensor_id",)], (q, _hash_keys(plan))
 
 
 def test_cep_queries_cost_one_key_exchange(spark, sf_dir):
@@ -490,5 +494,5 @@ def test_cep_queries_cost_one_key_exchange(spark, sf_dir):
         plan = _plan(Q.QUERIES[q](spark, sf_dir))
         assert "SortMergeJoin" not in plan, q
         assert "rangepartitioning" not in plan.lower(), q
-        hash_cols = set(re.findall(r"hashpartitioning\((\w+)#", plan))
-        assert hash_cols == {"sensor_id"}, (q, hash_cols)
+        keysets = set(_hash_keys(plan))
+        assert keysets == {("sensor_id",)}, (q, keysets)

@@ -33,9 +33,23 @@ REPO = Path(__file__).resolve().parent.parent
 APPROXIMATE_BY_DESIGN = {"g5b_approx_percentiles", "approx_distinct_parts"}
 
 # Explicitly-parked overflow: catalog entries with <2 greens allowed outside
-# the window THIS round only, each with the round by which it must enter.
+# the window, each mapped to the round whose driver check it must be inside
+# the window FOR. A parked entry stops being exempt as soon as the upcoming
+# round reaches its deadline (strictly-greater test below — deadline round
+# N means "in the window when check N runs", not "park through check N").
 # Empty means every under-verified query occupies a window slot right now.
 PARKED: dict[str, int] = {}
+
+
+def _next_round() -> int:
+    # CORRECTNESS files arrive one per completed round; the upcoming
+    # driver check is round N+1.
+    return len(list(REPO.glob("CORRECTNESS_r*.json"))) + 1
+
+
+def _actively_parked() -> set[str]:
+    nxt = _next_round()
+    return {name for name, by_round in PARKED.items() if by_round > nxt}
 
 
 def _driver_green_counts() -> dict[str, int]:
@@ -62,36 +76,39 @@ def test_under_verified_queries_inside_driver_window():
     # sits inside the 50-entry window until it banks its second green.
     green = _driver_green_counts()
     window = set(list(entrymod.queries())[:50])
+    parked = _actively_parked()
     violations = [
         name
         for name in entrymod.queries()
         if green.get(name, 0) < 2
         and name not in window
         and name not in APPROXIMATE_BY_DESIGN
-        and name not in PARKED
+        and name not in parked
     ]
     assert not violations, f"under-verified queries outside window: {violations}"
 
 
 def test_tail_holds_only_multiround_green_or_approximate():
     green = _driver_green_counts()
+    parked = _actively_parked()
     bad = [
         name
         for name in Q._DRIVER_TAIL
         if green.get(name, 0) < 2
         and name not in APPROXIMATE_BY_DESIGN
-        and name not in PARKED
+        and name not in parked
     ]
     assert not bad, f"tail entries without 2x driver-green: {bad}"
 
 
-def test_parked_deadlines_not_passed():
-    # CORRECTNESS files arrive one per round; a parked query must enter the
-    # window before its deadline round's check runs.
-    n_rounds = len(list(REPO.glob("CORRECTNESS_r*.json")))
-    next_round = n_rounds + 1
-    overdue = [name for name, by_round in PARKED.items() if by_round < next_round]
-    assert not overdue, f"parked queries past their deadline round: {overdue}"
+def test_parked_entries_exist_and_deadlines_future():
+    # A parked name must be a real catalog entry, and a deadline at or
+    # before the upcoming round exempts nothing (the window tests above
+    # use _actively_parked) — it should be deleted, not left behind.
+    stale = [n for n, by in PARKED.items() if by <= _next_round()]
+    assert not stale, f"parked deadlines reached — move into window and unpark: {stale}"
+    unknown = [n for n in PARKED if n not in Q.QUERIES]
+    assert not unknown, f"parked names not in catalog: {unknown}"
 
 
 def test_no_oracle_queries_rotated_out_of_window():

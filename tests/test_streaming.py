@@ -974,7 +974,7 @@ def test_kafka_broker_smoke(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120 s"
     got = {r["sensor_id"]: r for r in spark.read.parquet(out).collect()}
     assert len(got) == len({r["sensor_id"] for r in rows})
     assert sum(1 for _ in spark.read.parquet(out).collect()) == len(rows)

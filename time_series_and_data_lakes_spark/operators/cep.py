@@ -88,11 +88,7 @@ def match_error_pattern(
     # segment they follow.
     rows = rows.withColumn(
         "__err_seq",
-        F.sum("__is_err").over(
-            Window.partitionBy(key)
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        F.sum("__is_err").over(w_key.rowsBetween(Window.unboundedPreceding, 0)),
     ).withColumn("__pos", F.row_number().over(w_key))
 
     # B-segment aggregates: non-error rows between error k and error k+1

@@ -37,3 +37,23 @@ def pushed_filters(plan: str | DataFrame) -> list[str]:
     if isinstance(plan, DataFrame):
         plan = formatted_plan(plan)
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def hash_exchange_keys(plan: str | DataFrame) -> list[tuple[str, ...]]:
+    """The FULL key tuple of every ``hashpartitioning`` exchange in the
+    plan, in order of appearance. A single-group regex like
+    ``hashpartitioning\\((\\w+)#`` sees only the first column, so a
+    regression that turns a one-key exchange into a compound-key one
+    (``hashpartitioning(sensor_id#1, run#2, 200)``) slips through; this
+    parses the whole argument list and drops the trailing partition
+    count."""
+    if isinstance(plan, DataFrame):
+        plan = formatted_plan(plan)
+    out: list[tuple[str, ...]] = []
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        cols = tuple(
+            m.group(1) for m in re.finditer(r"(\w+)#\d+", args)
+        )
+        if cols:
+            out.append(cols)
+    return out

@@ -724,17 +724,27 @@ def f2_cep_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-F2_ORACLE = f"""
+def _cep_oracle(
+    within_us: int, min_b: int, max_b: int, tiebreak: str | None = None
+) -> str:
+    """One SQL template for both CEP driver gates (F2 proc-time-equivalent,
+    F3 event-time with tiebreak) so a future edit to the shared logic —
+    the avg-rounding fold, the skip-past-last-row run/rn parity trick —
+    cannot desynchronize them. Mirrors operators/cep.py step for step."""
+    tb_sel = f", {tiebreak}" if tiebreak else ""
+    order = f"time{tb_sel}"
+    return f"""
 WITH obs AS (
-  SELECT user_id AS sensor_id, ts AS time, event_type AS status, value AS temperature
+  SELECT user_id AS sensor_id, ts AS time, event_type AS status,
+         value AS temperature{", event_id" if tiebreak else ""}
   FROM events
 ), rows_ AS (
   SELECT sensor_id, time, status, temperature,
     CASE WHEN status = 'error' THEN 1 ELSE 0 END AS is_err,
     sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
-      OVER (PARTITION BY sensor_id ORDER BY time
+      OVER (PARTITION BY sensor_id ORDER BY {order}
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_seq,
-    row_number() OVER (PARTITION BY sensor_id ORDER BY time) AS pos
+    row_number() OVER (PARTITION BY sensor_id ORDER BY {order}) AS pos
   FROM obs
 ), segs AS (
   SELECT sensor_id, err_seq, count(*) AS b_count,
@@ -749,8 +759,8 @@ WITH obs AS (
   FROM rows_ WHERE is_err = 1
   WINDOW w AS (PARTITION BY sensor_id ORDER BY err_seq)
 ), pairs AS (
-  SELECT *, CASE WHEN pos_c - pos_a - 1 BETWEEN 1 AND 5
-                  AND epoch_us(t_c) - epoch_us(t_a) <= {_CEP_WITHIN_US}
+  SELECT *, CASE WHEN pos_c - pos_a - 1 BETWEEN {min_b} AND {max_b}
+                  AND epoch_us(t_c) - epoch_us(t_a) <= {within_us}
              THEN 1 ELSE 0 END AS valid
   FROM errs WHERE t_c IS NOT NULL
 ), runs AS (
@@ -771,6 +781,9 @@ SELECT s.sensor_id, s.t_a AS event_time, g.b_count AS non_errors, g.history,
 FROM sel s JOIN segs g ON s.sensor_id = g.sensor_id AND s.k = g.err_seq
 WHERE s.rn % 2 = 1
 """
+
+
+F2_ORACLE = _cep_oracle(_CEP_WITHIN_US, min_b=1, max_b=5)
 
 
 # --------------------------------------------------------------------------
@@ -816,54 +829,7 @@ def f3_cep_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-F3_ORACLE = f"""
-WITH obs AS (
-  SELECT user_id AS sensor_id, ts AS time, event_type AS status,
-         value AS temperature, event_id
-  FROM events
-), rows_ AS (
-  SELECT sensor_id, time, status, temperature,
-    CASE WHEN status = 'error' THEN 1 ELSE 0 END AS is_err,
-    sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
-      OVER (PARTITION BY sensor_id ORDER BY time, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_seq,
-    row_number() OVER (PARTITION BY sensor_id ORDER BY time, event_id) AS pos
-  FROM obs
-), segs AS (
-  SELECT sensor_id, err_seq, count(*) AS b_count,
-    string_agg(status, '-' ORDER BY pos) AS history,
-    min(temperature) AS b_min, max(temperature) AS b_max,
-    list(temperature ORDER BY pos) AS b_temps
-  FROM rows_ WHERE is_err = 0 AND err_seq >= 1
-  GROUP BY sensor_id, err_seq
-), errs AS (
-  SELECT sensor_id, err_seq AS k, time AS t_a, pos AS pos_a, temperature AS v_a,
-    lead(time) OVER w AS t_c, lead(pos) OVER w AS pos_c, lead(temperature) OVER w AS v_c
-  FROM rows_ WHERE is_err = 1
-  WINDOW w AS (PARTITION BY sensor_id ORDER BY err_seq)
-), pairs AS (
-  SELECT *, CASE WHEN pos_c - pos_a - 1 BETWEEN 1 AND 3
-                  AND epoch_us(t_c) - epoch_us(t_a) <= {_F3_WITHIN_US}
-             THEN 1 ELSE 0 END AS valid
-  FROM errs WHERE t_c IS NOT NULL
-), runs AS (
-  SELECT *, sum(1 - valid) OVER (PARTITION BY sensor_id ORDER BY k
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-  FROM pairs
-), sel AS (
-  SELECT *, row_number() OVER (PARTITION BY sensor_id, run ORDER BY k) AS rn
-  FROM runs WHERE valid = 1
-)
-SELECT s.sensor_id, s.t_a AS event_time, g.b_count AS non_errors, g.history,
-  least(g.b_min, s.v_a, s.v_c) AS min_temperature,
-  floor(list_reduce(list_concat(list_concat([s.v_a], g.b_temps), [s.v_c]),
-                    (acc, x) -> acc + x) / (g.b_count + 2) * 100.0 + 0.5) / 100.0
-    AS avg_temperature,
-  greatest(g.b_max, s.v_a, s.v_c) AS max_temperature,
-  (epoch_ms(s.t_c) - epoch_ms(s.t_a)) // 1000 AS elapsed
-FROM sel s JOIN segs g ON s.sensor_id = g.sensor_id AND s.k = g.err_seq
-WHERE s.rn % 2 = 1
-"""
+F3_ORACLE = _cep_oracle(_F3_WITHIN_US, min_b=1, max_b=3, tiebreak="event_id")
 
 
 # --------------------------------------------------------------------------
