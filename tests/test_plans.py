@@ -72,13 +72,10 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
     # remaining exchanges are scale-no-ops: spread_small's round-robin
     # (skipped on properly-sized scans) and the 16-row centroid collect's
     # SinglePartition agg. The probe join is broadcast, never sort-merge.
-    import re
-
     plan = _plan(Q.QUERIES["ann_ivf_topk"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert _nodes(plan, "BroadcastHashJoin") == 1  # candidate ⋈ probes
-    hash_exchanges = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
-    assert hash_exchanges == ["query_id"]
+    assert _hash_keys(plan) == [("query_id",)], _hash_keys(plan)
 
 
 def test_store_partition_pruning(spark, tmp_path):
@@ -441,13 +438,11 @@ def test_semdedup_assignment_broadcast_cluster_pair_join(spark, sf_dir):
     # nothing sort-merges or ends in a presentation sort. The only hash
     # exchanges of real data are the cluster pair join and the final
     # per-vector rank window.
-    import re
-
     plan = _plan(Q.QUERIES["pipe_semdedup"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
-    hash_cols = {c for keys in _hash_keys(plan) for c in keys}
-    assert hash_cols <= {"vec_id", "cluster_id"}, hash_cols
+    keysets = set(_hash_keys(plan))
+    assert keysets <= {("vec_id",), ("cluster_id",)}, keysets
 
 
 def test_repetition_stats_shuffles_only_by_doc(spark, sf_dir):
@@ -455,8 +450,6 @@ def test_repetition_stats_shuffles_only_by_doc(spark, sf_dir):
     # per-doc rank: every hash exchange must be keyed by doc_id (partial
     # map-side combine collapses the bigram space before the wire); no
     # sort-merge join, no global sort.
-    import re
-
     plan = _plan(Q.QUERIES["text_repetition_stats"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
@@ -473,8 +466,6 @@ def test_sequential_fold_analytics_cost_one_key_exchange(spark, sf_dir):
     # scan -> ONE hash exchange on the series key -> fold/explode. A second
     # exchange (or a sort-merge join / presentation sort) would mean the
     # recursion leaked out of the single per-key aggregation.
-    import re
-
     for q in ("analytics_ewma", "analytics_lttb_downsample"):
         plan = _plan(Q.QUERIES[q](spark, sf_dir))
         assert "SortMergeJoin" not in plan, q
@@ -488,8 +479,6 @@ def test_cep_queries_cost_one_key_exchange(spark, sf_dir):
     # hash-exchange on sensor_id only — the segment aggregation and the
     # pair/selection windows all reuse that partitioning. A second
     # exchange would mean a window picked up a different ordering key.
-    import re
-
     for q in ("f2_cep_match_recognize", "f3_cep_event_time"):
         plan = _plan(Q.QUERIES[q](spark, sf_dir))
         assert "SortMergeJoin" not in plan, q

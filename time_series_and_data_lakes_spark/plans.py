@@ -50,10 +50,17 @@ def hash_exchange_keys(plan: str | DataFrame) -> list[tuple[str, ...]]:
     if isinstance(plan, DataFrame):
         plan = formatted_plan(plan)
     out: list[tuple[str, ...]] = []
-    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
-        cols = tuple(
-            m.group(1) for m in re.finditer(r"(\w+)#\d+", args)
-        )
+    # Paren-balanced scan: keys are often expression-wrapped —
+    # hashpartitioning(knownfloatingpointnormalized(normalizenanandzero(v#5)),
+    # k#1, 200) — so a [^)]* regex would truncate at the first ')' and drop
+    # trailing key columns.
+    for m in re.finditer(r"hashpartitioning\(", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            depth += {"(": 1, ")": -1}.get(plan[i], 0)
+            i += 1
+        args = plan[m.end() : i - 1]
+        cols = tuple(c.group(1) for c in re.finditer(r"(\w+)#\d+", args))
         if cols:
             out.append(cols)
     return out

@@ -736,7 +736,7 @@ def _cep_oracle(
     return f"""
 WITH obs AS (
   SELECT user_id AS sensor_id, ts AS time, event_type AS status,
-         value AS temperature{", event_id" if tiebreak else ""}
+         value AS temperature{tb_sel}
   FROM events
 ), rows_ AS (
   SELECT sensor_id, time, status, temperature,
