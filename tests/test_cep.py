@@ -331,3 +331,29 @@ def test_f3_oracle_parity_under_duplicate_timestamps(spark, tmp_path):
     assert not any(k == 2 for k, _ in got)
     assert (3, "warn-ok") in got
     assert_matches_oracle(out, sf_dir, Q.ORACLES["f3_cep_event_time"], "f3_dup_ts")
+
+
+def _write_synthetic_events(tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value) → events.parquet."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        [(*r, "{}") for r in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+    )
+    pq.write_table(table, f"{tmp_path}/events.parquet")
+    return str(tmp_path)

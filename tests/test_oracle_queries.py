@@ -83,3 +83,58 @@ def test_bounded_fold_caps_oversized_key(spark):
         acc = x if acc is None else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc
     assert got["big"] == acc
     assert got["small"] == 5.0
+
+
+def test_g9_ohlc_oracle_parity_under_duplicate_timestamps(spark, tmp_path):
+    # ADVICE_r4: open/close must be deterministic when a sensor carries
+    # duplicate timestamps — both engines break the tie on the value.
+    # Synthetic fixture: the first/last instants each hold two readings.
+    import datetime as dt
+
+    from tests.oracle_util import assert_matches_oracle
+    from tests.test_cep import _write_synthetic_events
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        # key 1: duplicate first and last instants
+        (1, t0, 1, "ok", 20.0),
+        (2, t0, 1, "ok", 10.0),                                   # open = 10 (min value at min ts)
+        (3, t0 + dt.timedelta(hours=1), 1, "ok", 99.0),
+        (4, t0 + dt.timedelta(hours=2), 1, "ok", 40.0),
+        (5, t0 + dt.timedelta(hours=2), 1, "ok", 30.0),           # close = 40 (max value at max ts)
+        # key 2: single reading
+        (6, t0, 2, "ok", 55.0),
+    ]
+    sf_dir = _write_synthetic_events(tmp_path, rows)
+    out = Q.QUERIES["g9_ohlc_per_sensor"](spark, sf_dir)
+    got = {r["sensor_id"]: r for r in out.collect()}
+    assert (got[1]["open"], got[1]["high"], got[1]["low"], got[1]["close"]) == (
+        10.0, 99.0, 10.0, 40.0,
+    )
+    assert (got[2]["open"], got[2]["close"]) == (55.0, 55.0)
+    assert_matches_oracle(out, sf_dir, Q.ORACLES["g9_ohlc_per_sensor"], "g9_dup_ts")
+
+
+def test_ewma_oracle_parity_at_fold_cap(spark, tmp_path):
+    # End-to-end cap parity: a key with more observations than
+    # _FOLD_MAX_POINTS — including duplicate timestamps near the cap
+    # boundary — must produce the SAME bounded fold in Spark and DuckDB.
+    import datetime as dt
+
+    from tests.oracle_util import assert_matches_oracle
+    from tests.test_cep import _write_synthetic_events
+    from time_series_and_data_lakes_spark.queries import _FOLD_MAX_POINTS
+
+    t0 = dt.datetime(2020, 1, 1)
+    n = _FOLD_MAX_POINTS + 200
+    rows = [
+        # duplicate timestamps every 7th row (i and i+1 share an instant)
+        (i, t0 + dt.timedelta(seconds=(i - i % 7 if i % 7 == 1 else i)), 1,
+         "ok", float((i * 37) % 101))
+        for i in range(n)
+    ]
+    sf_dir = _write_synthetic_events(tmp_path, rows)
+    out = Q.QUERIES["analytics_ewma"](spark, sf_dir)
+    (row,) = out.collect()
+    assert row["n_obs"] == _FOLD_MAX_POINTS  # capped, not the full history
+    assert_matches_oracle(out, sf_dir, Q.ORACLES["analytics_ewma"], "ewma_cap")
