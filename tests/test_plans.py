@@ -485,3 +485,56 @@ def test_cep_queries_cost_one_key_exchange(spark, sf_dir):
         assert "rangepartitioning" not in plan.lower(), q
         keysets = set(_hash_keys(plan))
         assert keysets == {("sensor_id",)}, (q, keysets)
+
+
+def test_dashboard_bin_aggs_single_exchange(spark, sf_dir):
+    # g8 (2-D histogram) and g10 (error-rate ratio) are plain
+    # partial-aggregated groupBys over epoch-floor arithmetic: one scan,
+    # one hash exchange carrying partials, nothing else.
+    for q in ("g8_heatmap_bins", "g10_error_rate_by_bin"):
+        plan = _plan(Q.QUERIES[q](spark, sf_dir))
+        assert _nodes(plan, "Scan parquet") == 1, q
+        assert _nodes(plan, "Exchange") == 1, q
+        assert "partial_count" in plan or "partial_sum" in plan, q
+
+
+def test_top_tokens_is_takeordered_not_global_sort(spark, sf_dir):
+    # Global top-K over the vocabulary: the distinct-doc count two-phases
+    # over (token, doc_id), the totals aggregate by token, and the K-row
+    # result comes from TakeOrderedAndProject — the vocabulary is never
+    # range-partitioned into a global sort.
+    plan = _plan(Q.QUERIES["text_top_tokens"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    keysets = set(_hash_keys(plan))
+    assert keysets <= {("token",), ("token", "doc_id")}, keysets
+
+
+def test_tfidf_exchanges_only_token_and_doc(spark, sf_dir):
+    # tf/df build on token-keyed aggregation, the per-doc top-k ranks on a
+    # doc-keyed window; no sort-merge join (the df vocabulary frame joins
+    # broadcast) and no other shuffle key may appear.
+    plan = _plan(Q.QUERIES["text_tfidf_keywords"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    keysets = set(_hash_keys(plan))
+    assert keysets <= {("doc_id", "token"), ("token",), ("doc_id",)}, keysets
+
+
+def test_pack_sequences_single_source_exchange(spark, sf_dir):
+    # The packing report is one per-source cumulative-sum window feeding a
+    # per-source aggregate: the only hash key in the plan is `source`.
+    plan = _plan(Q.QUERIES["pipe_pack_sequences"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    keysets = set(_hash_keys(plan))
+    assert keysets == {("source",)}, keysets
+
+
+def test_rrf_fusion_runs_on_ranker_output_cardinality(spark, sf_dir):
+    # The fusion join may sort-merge — BOTH its inputs are depth-row rank
+    # lists by construction (full_outer prevents broadcast-hash), so the
+    # plan property that matters is the absence of any corpus-wide global
+    # sort and a TakeOrderedAndProject final top-k.
+    plan = _plan(Q.QUERIES["text_rrf_hybrid_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
