@@ -465,8 +465,11 @@ def test_sequential_fold_analytics_cost_one_key_exchange(spark, sf_dir):
     # EWMA and LTTB are per-key sequential folds: their whole plan must be
     # scan -> ONE hash exchange on the series key -> fold/explode. A second
     # exchange (or a sort-merge join / presentation sort) would mean the
-    # recursion leaked out of the single per-key aggregation.
-    for q in ("analytics_ewma", "analytics_lttb_downsample"):
+    # recursion leaked out of the single per-key aggregation. Holt/CUSUM
+    # share the fold shape, and the OHLC stat tile is the same
+    # one-exchange-per-key claim without the fold.
+    for q in ("analytics_ewma", "analytics_lttb_downsample",
+              "analytics_holt", "analytics_cusum", "g9_ohlc_per_sensor"):
         plan = _plan(Q.QUERIES[q](spark, sf_dir))
         assert "SortMergeJoin" not in plan, q
         assert "rangepartitioning" not in plan.lower(), q
