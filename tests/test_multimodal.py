@@ -148,9 +148,11 @@ def test_jpeg_marker_walk_skips_segments():
     assert jpeg_dims(b"\xff\xd8\xff\xd9") == (0, 0)  # no frame header
 
 
-def test_resize_real_codec_requires_transcoder(spark):
+def test_resize_entropy_coded_codec_requires_transcoder(spark):
+    # jpeg/gif still need Huffman/LZW decoders; PNG no longer does (its
+    # entropy coding is stdlib zlib — see test_png_pixel_codec_* below).
     df = spark.createDataFrame(
-        [(14, "image", _real_png(100, 100), ("s3", "png"))], MEDIA_SCHEMA
+        [(14, "image", _real_jpeg(100, 100), ("s3", "jpeg"))], MEDIA_SCHEMA
     )
     from time_series_and_data_lakes_spark.operators.multimodal import resize_media
 
@@ -623,3 +625,167 @@ def test_wav_avi_roundtrip_property_sweep():
 
     wav_case()
     avi_case()
+
+
+def _png_chunk_raw(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def test_png_pixel_codec_roundtrip():
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        png_decode,
+        png_dims,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (17, 11), (64, 48)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = png_encode(arr)
+        assert png_dims(p) == (w, h)
+        assert np.array_equal(png_decode(p), arr), (h, w)
+
+
+def test_png_decode_all_five_filters_against_forward_reference():
+    # The decoder inverts filters it never emits (png_encode writes filter
+    # 0 only), so gate it against an independent FORWARD filterer: apply
+    # the spec's Sub/Up/Average/Paeth transforms (PNG spec §9), compress,
+    # and require decode to reconstruct the original exactly.
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    h, w, ch = arr.shape
+    bpp = ch
+    raw, prev = b"", np.zeros(w * ch, np.int32)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int32)
+        f = (0, 1, 2, 3, 4)[y % 5]
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = (row - left) % 256
+        elif f == 2:
+            filt = (row - prev) % 256
+        elif f == 3:
+            filt = (row - ((left + prev) >> 1)) % 256
+        else:
+            filt = np.empty(w * ch, np.int32)
+            for x in range(w * ch):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (row[x] - pred) % 256
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = row
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk_raw(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk_raw(b"IDAT", zlib.compress(raw))
+        + _png_chunk_raw(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(payload), arr)
+
+
+def test_png_decode_color_types_and_honest_raises():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import png_decode
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    rng = np.random.default_rng(13)
+
+    def build(ctype, body_rows, extra=b""):
+        raw = b"".join(b"\x00" + r for r in body_rows)
+        return (
+            sig
+            + _png_chunk_raw(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, ctype, 0, 0, 0))
+            + extra
+            + _png_chunk_raw(b"IDAT", zlib.compress(raw))
+            + _png_chunk_raw(b"IEND", b"")
+        )
+
+    g = rng.integers(0, 256, (5, 4, 1), dtype=np.uint8)
+    assert np.array_equal(
+        png_decode(build(0, [g[y].tobytes() for y in range(5)])),
+        np.repeat(g, 3, axis=2),
+    )
+    rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    assert np.array_equal(
+        png_decode(build(6, [rgba[y].tobytes() for y in range(5)])), rgba[:, :, :3]
+    )
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (5, 4, 1), dtype=np.uint8)
+    assert np.array_equal(
+        png_decode(
+            build(
+                3,
+                [idx[y].tobytes() for y in range(5)],
+                extra=_png_chunk_raw(b"PLTE", pal.tobytes()),
+            )
+        ),
+        pal[idx[:, :, 0]],
+    )
+    # 16-bit depth and Adam7 interlace raise honestly
+    for hdr in (
+        struct.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 1),
+    ):
+        bad = (
+            sig
+            + _png_chunk_raw(b"IHDR", hdr)
+            + _png_chunk_raw(b"IDAT", zlib.compress(b""))
+            + _png_chunk_raw(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            png_decode(bad)
+
+
+def test_png_resize_pipeline_end_to_end(spark):
+    # PNG rides the same decode -> nn_resize -> re-encode path as BMP/PPM:
+    # resized pixels must equal nn_resize of the original array, and
+    # pixel_stats must accept the png codec.
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        nn_resize,
+        pixel_stats,
+        png_decode,
+        png_encode,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(21, "image", png_encode(arr), ("s3", "png"))], MEDIA_SCHEMA
+    )
+    (row,) = resize_media(df, max_width=64, max_height=64).collect()
+    got = png_decode(bytes(row["payload"]))
+    assert np.array_equal(got, nn_resize(arr, 64, 48))
+    (st,) = pixel_stats(resize_media(df, max_width=64, max_height=64)).collect()
+    assert (st["width"], st["height"]) == (64, 48)
+    assert st["pixel_sum"] == int(nn_resize(arr, 64, 48).sum(dtype=np.int64))

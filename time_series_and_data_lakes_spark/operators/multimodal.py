@@ -5,19 +5,20 @@ The Spark-side architecture is real and tested — schema contract, typed
 metadata struct, partition-preserving batch iteration, bounded batch sizes.
 The codec layer has three real tiers and one stub:
 
-- ``bmp`` / ``ppm``: REAL PIXEL codecs (:func:`bmp_decode` /
+- ``bmp`` / ``ppm`` / ``png``: REAL PIXEL codecs (:func:`bmp_decode` /
   :func:`bmp_encode` / :func:`ppm_decode` / :func:`ppm_encode` — 24-bpp
-  BI_RGB Windows BMP and binary P6 PPM, pure numpy/struct). These are the
-  two raster containers fully implementable without PIL, so
-  :func:`resize_media` performs an actual pixel transcode
-  (:func:`nn_resize`, integer nearest-neighbor) for them.
-- ``png`` / ``jpeg`` / ``gif``: REAL stdlib-only container parsing
-  (:func:`png_dims` / :func:`jpeg_dims` / :func:`gif_dims` /
-  :func:`gif_frames` — PNG IHDR, JPEG SOF marker scan, GIF logical-screen
-  descriptor + per-frame image-descriptor walk). Dimension and frame-count
-  metadata is genuine; PIXEL decode of these entropy-coded formats needs
-  PIL/zlib-inflate+defilter/ffmpeg and raises ``NotImplementedError``
-  where pixels would be touched.
+  BI_RGB Windows BMP and binary P6 PPM, pure numpy/struct — and
+  :func:`png_decode` / :func:`png_encode`, a full 8-bit PNG codec: PNG's
+  entropy coding is zlib, which IS stdlib, so chunk walk + inflate + all
+  five defilters need no external library). :func:`resize_media` performs
+  an actual pixel transcode (:func:`nn_resize`, integer nearest-neighbor)
+  for all three. PNG 16-bit depth and Adam7 interlace raise.
+- ``jpeg`` / ``gif``: REAL stdlib-only container parsing
+  (:func:`jpeg_dims` / :func:`gif_dims` / :func:`gif_frames` — JPEG SOF
+  marker scan, GIF logical-screen descriptor + per-frame image-descriptor
+  walk). Dimension and frame-count metadata is genuine; PIXEL decode of
+  these formats needs Huffman/LZW entropy decoders (PIL/ffmpeg) and
+  raises ``NotImplementedError`` where pixels would be touched.
 - ``wav``: REAL AUDIO codec (:func:`wav_encode` / :func:`wav_decode` —
   RIFF chunk-walking parser, 16-bit PCM, pure stdlib/numpy), with real
   DSP ops: :func:`audio_stats` (peak/RMS) and :func:`resample_audio`
@@ -309,9 +310,137 @@ def nn_resize(arr: "np.ndarray", new_w: int, new_h: int) -> "np.ndarray":
     return np.ascontiguousarray(arr[ys][:, xs])
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → REAL PNG bytes: 8-bit truecolor (color type
+    2), filter 0 rows, one zlib-compressed IDAT, CRC-correct chunks (PNG
+    spec §5, §11). zlib is stdlib, so unlike JPEG/GIF no external codec is
+    needed — PNG's entropy coding IS zlib."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> "np.ndarray":
+    """REAL PNG pixel decode → (h, w, 3) uint8 RGB, pure stdlib+numpy:
+    chunk walk, concatenated-IDAT zlib inflate, and full defiltering (all
+    five PNG filters — None/Sub/Up/Average/Paeth, spec §9). Supports every
+    8-bit color type: truecolor (2), truecolor+alpha (6, alpha dropped),
+    grayscale (0) and grayscale+alpha (4, replicated to RGB), and palette
+    (3, PLTE lookup). 16-bit depth and Adam7 interlace raise honestly.
+    Sub/Up defilter vectorized (per-channel cumsum / row add mod 256);
+    Average/Paeth are sequentially data-dependent and run as per-byte
+    loops — rare in practice and bounded by row length."""
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr, plte, idat = None, None, []
+    i = 8
+    while i + 8 <= len(b):
+        (ln,), ctype = struct.unpack(">I", b[i : i + 4]), b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + ln]
+        i += 12 + ln  # len + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG implemented (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, offset=y * (1 + stride) + 1
+        ).astype(np.int32)
+        if f == 0:  # None
+            recon = line
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] — per-channel
+            # chains are independent, so a cumsum over the pixel axis mod
+            # 256 reconstructs the whole row vectorized
+            recon = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            recon = (line + prev) % 256
+        elif f == 3:  # Average — sequential recurrence along x
+            recon = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (line[x] + ((a + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth — sequential recurrence along x
+            recon = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        prev = recon
+        out[y] = recon.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if color_type == 2:
+        return np.ascontiguousarray(px)
+    if color_type == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if color_type == 0:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if color_type == 4:
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    # palette
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    return np.ascontiguousarray(pal[px[:, :, 0]])
+
+
 _PIXEL_CODECS = {
     "bmp": (bmp_decode, bmp_encode),
     "ppm": (ppm_decode, ppm_encode),
+    # PNG is a REAL pixel codec here: its entropy coding is zlib (stdlib).
+    # Decode accepts any 8-bit color type; re-encode always emits truecolor
+    # filter-0 (resize output is RGB anyway).
+    "png": (png_decode, png_encode),
 }
 
 
@@ -411,10 +540,10 @@ def _resize_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
 
 
 def _transcode_resize(payload: bytes, codec: str, max_width: int, max_height: int) -> bytes:
-    """One payload through the aspect-fit resize. ``bmp``/``ppm`` get a REAL
-    pixel transcode (decode -> :func:`nn_resize` -> re-encode, same codec);
-    ``tsdl-fake`` gets the header rewrite; entropy-coded formats
-    (png/jpeg/gif) and AV codecs need PIL/ffmpeg and raise."""
+    """One payload through the aspect-fit resize. ``bmp``/``ppm``/``png``
+    get a REAL pixel transcode (decode -> :func:`nn_resize` -> re-encode,
+    same codec); ``tsdl-fake`` gets the header rewrite; jpeg/gif and AV
+    codecs need Huffman/LZW decoders (PIL/ffmpeg) and raise."""
     if codec in _PIXEL_CODECS:
         decode, encode = _PIXEL_CODECS[codec]
         arr = decode(bytes(payload))
@@ -476,7 +605,7 @@ def pixel_stats(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
             for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
                 if c not in _PIXEL_CODECS:
                     raise NotImplementedError(
-                        f"pixel_stats needs a pixel codec (bmp/ppm), got {c!r}"
+                        f"pixel_stats needs a pixel codec (bmp/ppm/png), got {c!r}"
                     )
                 arr = _PIXEL_CODECS[c][0](bytes(p))
                 widths.append(arr.shape[1])
