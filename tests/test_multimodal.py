@@ -789,3 +789,166 @@ def test_png_resize_pipeline_end_to_end(spark):
     (st,) = pixel_stats(resize_media(df, max_width=64, max_height=64)).collect()
     assert (st["width"], st["height"]) == (64, 48)
     assert st["pixel_sum"] == int(nn_resize(arr, 64, 48).sum(dtype=np.int64))
+
+
+def test_gif_lzw_decode_published_reference_stream():
+    # Independent-encoder gate: the 10x10 worked example from the widely
+    # cited GIF89a LZW walkthrough ("What's In A GIF", Flickinger) — a
+    # stream produced by a FOREIGN encoder with known expected indices.
+    # Exercises width bumps mid-stream, so the off-by-one pairing between
+    # encoder adds and decoder appends is pinned against the spec, not
+    # against our own encoder.
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    data = bytes([
+        0x8C, 0x2D, 0x99, 0x87, 0x2A, 0x1C, 0xDC, 0x33, 0xA0, 0x02, 0x75,
+        0xEC, 0x95, 0xFA, 0xA8, 0xDE, 0x60, 0x8C, 0x04, 0x91, 0x4C, 0x01,
+    ])
+    expect = bytes(
+        [1] * 5 + [2] * 5
+        + [1] * 5 + [2] * 5
+        + [1] * 5 + [2] * 5
+        + [1] * 3 + [0] * 4 + [2] * 3
+        + [1] * 3 + [0] * 4 + [2] * 3
+        + [2] * 3 + [0] * 4 + [1] * 3
+        + [2] * 3 + [0] * 4 + [1] * 3
+        + [2] * 5 + [1] * 5
+        + [2] * 5 + [1] * 5
+        + [2] * 5 + [1] * 5
+    )
+    assert _gif_lzw_decode(data, 2, 100) == expect
+
+
+def test_gif_pixel_codec_roundtrip_and_lzw_stress():
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        gif_decode,
+        gif_dims,
+        gif_encode,
+        gif_frames,
+    )
+
+    rng = np.random.default_rng(23)
+    # palette sizes crossing every LZW width boundary; the 200/256-color
+    # cases exceed 4096 dictionary entries and exercise the clear-reset
+    for h, w, ncol in [(1, 1, 1), (5, 7, 2), (13, 11, 5), (40, 50, 17),
+                       (100, 120, 200), (64, 64, 256)]:
+        pal = np.unique(rng.integers(0, 256, (ncol, 3), dtype=np.uint8), axis=0)
+        arr = pal[rng.integers(0, len(pal), (h, w))]
+        p = gif_encode(arr)
+        assert gif_dims(p) == (w, h) and gif_frames(p) == 1
+        assert np.array_equal(gif_decode(p), arr), (h, w, ncol)
+    # raw-stream round-trips: multi-reset and the KwKwK (code==len(table))
+    # pattern that repetitive data maximizes
+    data = bytes(rng.integers(0, 4, 50000))
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data)) == data
+    data = b"\x00\x00\x01\x01" * 5000
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data)) == data
+
+
+def test_gif_decode_interlace_and_uncompressed_style_stream():
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        gif_decode,
+    )
+
+    # deflate-style stream that clears before every literal — legal LZW a
+    # decoder must accept even though our encoder never emits it
+    def pack_lsb(codes, width):
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    pix = [0, 1, 2, 3, 0, 2]
+    codes = []
+    for p in pix:
+        codes += [4, p]  # clear, literal
+    codes.append(5)  # end
+    assert _gif_lzw_decode(pack_lsb(codes, 3), 2, len(pix)) == bytes(pix)
+
+    # interlaced frame: rows transmitted in the 8/8/4/2 pass order must be
+    # reassembled into display order
+    rng = np.random.default_rng(29)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = rng.integers(0, 4, (10, 6))
+    order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(start, 10, step)]
+    lzw = _gif_lzw_encode(bytes(idx[order].reshape(-1).astype(np.uint8)), 2)
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 6, 10) + bytes([0x81, 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 6, 10) + bytes([0x40, 2])
+    for j in range(0, len(lzw), 255):
+        c = lzw[j : j + 255]
+        out += bytes([len(c)]) + c
+    out += b"\x00\x3b"
+    assert np.array_equal(gif_decode(bytes(out)), pal[idx])
+
+
+def test_gif_codec_honest_boundaries(spark):
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        gif_decode,
+        gif_encode,
+    )
+
+    # >256 distinct colors: raise, never silently quantize
+    rich = np.array(
+        [(i % 256, (i * 37 // 256) % 256, i * 11 % 256) for i in range(300)],
+        dtype=np.uint8,
+    ).reshape(1, 300, 3)
+    with pytest.raises(NotImplementedError, match="256"):
+        gif_encode(rich)
+    # animated GIFs raise (compositing needs disposal methods)
+    with pytest.raises(NotImplementedError, match="frame"):
+        gif_decode(_real_gif(8, 8, frames=2))
+    # the structurally-complete dims fixture carries no color table and a
+    # truncated pixel stream — decode reports the problem rather than
+    # returning garbage
+    with pytest.raises(ValueError, match="color table|truncated"):
+        gif_decode(_real_gif(64, 33))
+
+
+def test_gif_resize_pipeline_end_to_end(spark):
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        gif_decode,
+        gif_encode,
+        nn_resize,
+        pixel_stats,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(37)
+    pal = np.unique(rng.integers(0, 256, (50, 3), dtype=np.uint8), axis=0)
+    arr = pal[rng.integers(0, len(pal), (96, 128))]
+    df = spark.createDataFrame(
+        [(22, "image", gif_encode(arr), ("s3", "gif"))], MEDIA_SCHEMA
+    )
+    (row,) = resize_media(df, max_width=64, max_height=64).collect()
+    want = nn_resize(arr, 64, 48)
+    assert np.array_equal(gif_decode(bytes(row["payload"])), want)
+    (st,) = pixel_stats(resize_media(df, max_width=64, max_height=64)).collect()
+    assert (st["width"], st["height"]) == (64, 48)
+    assert st["pixel_sum"] == int(want.sum(dtype=np.int64))

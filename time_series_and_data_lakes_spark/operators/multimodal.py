@@ -3,7 +3,7 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is real and tested — schema contract, typed
 metadata struct, partition-preserving batch iteration, bounded batch sizes.
-The codec layer has three real tiers and one stub:
+The codec layer:
 
 - ``bmp`` / ``ppm`` / ``png``: REAL PIXEL codecs (:func:`bmp_decode` /
   :func:`bmp_encode` / :func:`ppm_decode` / :func:`ppm_encode` — 24-bpp
@@ -12,13 +12,19 @@ The codec layer has three real tiers and one stub:
   entropy coding is zlib, which IS stdlib, so chunk walk + inflate + all
   five defilters need no external library). :func:`resize_media` performs
   an actual pixel transcode (:func:`nn_resize`, integer nearest-neighbor)
-  for all three. PNG 16-bit depth and Adam7 interlace raise.
-- ``jpeg`` / ``gif``: REAL stdlib-only container parsing
-  (:func:`jpeg_dims` / :func:`gif_dims` / :func:`gif_frames` — JPEG SOF
-  marker scan, GIF logical-screen descriptor + per-frame image-descriptor
-  walk). Dimension and frame-count metadata is genuine; PIXEL decode of
-  these formats needs Huffman/LZW entropy decoders (PIL/ffmpeg) and
-  raises ``NotImplementedError`` where pixels would be touched.
+  for every registered pixel codec. PNG 16-bit depth and Adam7 interlace
+  raise.
+- ``gif``: REAL PIXEL codec too (:func:`gif_decode` / :func:`gif_encode`
+  — GIF's entropy coding is 12-bit variable-width LZW, implemented here
+  both ways and validated against a published foreign-encoder stream).
+  Single-frame only (animation compositing needs disposal-method
+  semantics and raises; :func:`gif_frames` still counts frames), encode
+  lossless for ≤256-color images (always true of decode→resize output),
+  richer images raise rather than silently quantize.
+- ``jpeg``: REAL stdlib-only container parsing (:func:`jpeg_dims` — SOF
+  marker scan). Dimension metadata is genuine; pixel decode needs a
+  Huffman+DCT entropy decoder (PIL) and raises ``NotImplementedError``
+  where pixels would be touched.
 - ``wav``: REAL AUDIO codec (:func:`wav_encode` / :func:`wav_decode` —
   RIFF chunk-walking parser, 16-bit PCM, pure stdlib/numpy), with real
   DSP ops: :func:`audio_stats` (peak/RMS) and :func:`resample_audio`
@@ -185,6 +191,238 @@ def gif_frames(payload: bytes) -> int:
         else:  # unknown block type: structure lost
             break
     return frames
+
+
+# --------------------------------------------------------------------------
+# Real GIF pixel codec: variable-width LSB-first LZW (GIF89a spec appendix
+# F) in pure Python. GIF's entropy coding is LZW with a 12-bit-capped
+# dictionary — small enough to implement faithfully without PIL. The
+# encoder emits a real compressed stream (dictionary-building, width
+# bumps, clear-code reset on a full table); the decoder mirrors it and
+# additionally accepts deflate-style "uncompressed" streams that clear
+# before every literal.
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """Concatenated image sub-block bytes → palette indices (spec app. F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = []
+    width = 0
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    reset()
+    out: list[bytes] = []
+    got = 0
+    acc = 0  # LSB-first bit accumulator
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while got < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code != end:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.append(entry)
+        got += len(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return b"".join(out)[:n_pixels]
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Palette indices → a real LZW stream the decoder above (and any GIF
+    reader) accepts: dictionary growth mirrors the decoder's table size
+    exactly, so width bumps land on the same stream positions."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    dic: dict[bytes, int] = {}
+    size = 0
+    width = 0
+
+    def reset() -> None:
+        nonlocal dic, size, width
+        dic = {bytes([i]): i for i in range(clear)}
+        size = clear + 2  # mirrors decoder's len(table)
+        width = min_code_size + 1
+
+    reset()
+    emit(clear, width)
+    w = b""
+    for byte in indices:
+        wk = w + bytes([byte])
+        if wk in dic:
+            w = wk
+            continue
+        emit(dic[w], width)
+        if size < 4096:
+            dic[wk] = size
+            size += 1
+            # The decoder's table lags the encoder's by exactly one entry
+            # (it learns entry n only while processing code n+1), so the
+            # encoder bumps its width ONE ENTRY LATER than the decoder's
+            # len(table)==2^width rule — the classic LZW off-by-one.
+            if size == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            reset()
+        w = bytes([byte])
+    if w:
+        emit(dic[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(payload: bytes) -> "np.ndarray":
+    """REAL single-frame GIF pixel decode → (h, w, 3) uint8 RGB: LZW
+    inflate (:func:`_gif_lzw_decode`), global/local color table lookup,
+    Adam-style interlace reorder, and placement of a smaller frame onto a
+    background-color logical screen. Animated GIFs raise honestly — frame
+    COMPOSITING needs disposal-method semantics this codec does not
+    implement (use :func:`gif_frames` / :func:`frame_sample` for their
+    metadata); transparency indices render as their palette color."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise ValueError("not a GIF payload")
+    if gif_frames(b) != 1:
+        raise NotImplementedError(
+            f"GIF pixel decode implemented for single-frame GIFs "
+            f"(got {gif_frames(b)} frames; compositing needs disposal methods)"
+        )
+    w, h = struct.unpack("<HH", b[6:10])
+    packed, bg_index = b[10], b[11]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (2 ** ((packed & 0x07) + 1))
+        gct = np.frombuffer(b, np.uint8, size, offset=i).reshape(-1, 3)
+        i += size
+    n = len(b)
+    while i < n:
+        block = b[i]
+        i += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            i += 1
+            while i < n and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block {block:#x}")
+        fx, fy, fw, fh = struct.unpack("<HHHH", b[i : i + 8])
+        local_flags = b[i + 8]
+        i += 9
+        pal = gct
+        if local_flags & 0x80:
+            size = 3 * (2 ** ((local_flags & 0x07) + 1))
+            pal = np.frombuffer(b, np.uint8, size, offset=i).reshape(-1, 3)
+            i += size
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        mcs = b[i]
+        i += 1
+        chunks = []
+        while i < n and b[i] != 0:
+            chunks.append(b[i + 1 : i + 1 + b[i]])
+            i += 1 + b[i]
+        i += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(b"".join(chunks), mcs, fw * fh), np.uint8
+        ).reshape(fh, fw)
+        if local_flags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [
+                y for start, step in _GIF_INTERLACE_PASSES for y in range(start, fh, step)
+            ]
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        frame = pal[np.minimum(idx, len(pal) - 1)]
+        if (fx, fy, fw, fh) == (0, 0, w, h):
+            return np.ascontiguousarray(frame)
+        canvas = np.tile(
+            pal[min(bg_index, len(pal) - 1)], (h, w, 1)
+        ).astype(np.uint8)
+        canvas[fy : fy + fh, fx : fx + fw] = frame
+        return canvas
+    raise ValueError("GIF without image data")
+
+
+def gif_encode(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → REAL single-frame GIF89a with a genuine LZW
+    stream. GIF is palette-indexed, so encode is LOSSLESS exactly when the
+    image has ≤256 distinct colors (always true for anything that came out
+    of :func:`gif_decode` or :func:`nn_resize` of it — nearest-neighbor
+    creates no new colors); richer images raise rather than silently
+    quantize."""
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise NotImplementedError(
+            f"GIF encode needs <=256 distinct colors (got {len(colors)}); "
+            "palette quantization is not implemented"
+        )
+    depth = max(1, int(len(colors) - 1).bit_length())  # 2^depth palette slots
+    pal = np.zeros((2**depth, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    mcs = max(2, depth)
+    lzw = _gif_lzw_encode(bytes(inverse.astype(np.uint8)), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((depth - 1) & 0x07), 0, 0])  # GCT flag+size, bg, ratio
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([mcs])
+    for j in range(0, len(lzw), 255):
+        chunk = lzw[j : j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
@@ -441,6 +679,11 @@ _PIXEL_CODECS = {
     # Decode accepts any 8-bit color type; re-encode always emits truecolor
     # filter-0 (resize output is RGB anyway).
     "png": (png_decode, png_encode),
+    # GIF too: its entropy coding is 12-bit LZW, implemented above. Decode
+    # is single-frame (animations raise — compositing needs disposal
+    # semantics); encode is lossless for <=256-color images, which every
+    # decode→nn_resize output is.
+    "gif": (gif_decode, gif_encode),
 }
 
 
