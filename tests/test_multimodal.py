@@ -149,8 +149,8 @@ def test_jpeg_marker_walk_skips_segments():
 
 
 def test_resize_entropy_coded_codec_requires_transcoder(spark):
-    # jpeg/gif still need Huffman/LZW decoders; PNG no longer does (its
-    # entropy coding is stdlib zlib — see test_png_pixel_codec_* below).
+    # jpeg still needs a Huffman+DCT decoder; PNG (zlib) and GIF (LZW)
+    # are real pixel codecs now — see test_png_*/test_gif_* below.
     df = spark.createDataFrame(
         [(14, "image", _real_jpeg(100, 100), ("s3", "jpeg"))], MEDIA_SCHEMA
     )
@@ -952,3 +952,60 @@ def test_gif_resize_pipeline_end_to_end(spark):
     (st,) = pixel_stats(resize_media(df, max_width=64, max_height=64)).collect()
     assert (st["width"], st["height"]) == (64, 48)
     assert st["pixel_sum"] == int(want.sum(dtype=np.int64))
+
+
+def test_gif_lzw_end_code_width_sync():
+    # Review finding (round 5): if the decoder's implied append from the
+    # FINAL data code lands its table exactly on 2^width, it bumps before
+    # reading END — the encoder must emit END at the bumped width or a
+    # strict reader hits end-of-stream mid-code. Reproduced payload plus a
+    # deterministic fuzz slice; n_pixels+1 forces reading through END.
+    import random
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    data = bytes.fromhex("0302030302000200030201010002")
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data) + 1) == data
+    rng = random.Random(99)
+    for _ in range(2000):
+        n = rng.randrange(1, 40)
+        d = bytes(rng.randrange(4) for _ in range(n))
+        assert _gif_lzw_decode(_gif_lzw_encode(d, 2), 2, n + 1) == d, d.hex()
+
+
+def test_gif_decode_rejects_out_of_range_palette_index():
+    # a 2-slot color table with an LZW stream yielding index 3 must raise,
+    # not clamp to a plausible-but-wrong color
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        gif_decode,
+    )
+
+    pal = np.array([[10, 10, 10], [20, 20, 20]], np.uint8)
+    lzw = _gif_lzw_encode(bytes([0, 3, 1, 3]), 2)
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0x00, 2])
+    out += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    with pytest.raises(ValueError, match="palette index"):
+        gif_decode(bytes(out))
+
+
+def test_gif_zero_frames_is_corrupt_data_not_unimplemented():
+    # 0 image descriptors is corrupt DATA (ValueError), not an
+    # unimplemented feature (NotImplementedError is reserved for real
+    # animations) — callers route NotImplementedError as "codec stub".
+    import struct
+
+    from time_series_and_data_lakes_spark.operators.multimodal import gif_decode
+
+    empty = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00\x00\x00" + b"\x3b"
+    with pytest.raises(ValueError, match="without image data"):
+        gif_decode(empty)

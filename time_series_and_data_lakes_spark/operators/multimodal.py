@@ -239,7 +239,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
             continue
         if code == end:
             break
-        if code < len(table) and code != end:
+        if code < len(table):
             entry = table[code]
         elif code == len(table) and prev is not None:
             entry = prev + prev[:1]
@@ -308,6 +308,13 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([byte])
     if w:
         emit(dic[w], width)
+        # The decoder appends one more entry while processing this final
+        # data code; if that append lands its table exactly on 2^width it
+        # bumps BEFORE reading END — emit END at the same width or a
+        # strict reader hits end-of-stream mid-code (found by fuzzing:
+        # ~1/5000 payloads).
+        if size == (1 << width) and width < 12:
+            width += 1
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -328,7 +335,10 @@ def gif_decode(payload: bytes) -> "np.ndarray":
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
         raise ValueError("not a GIF payload")
-    if gif_frames(b) != 1:
+    # >1 frame is an unimplemented FEATURE; 0 frames is corrupt DATA and
+    # falls through to the ValueError paths below — callers routing
+    # NotImplementedError as "codec stub" must not receive it for garbage.
+    if gif_frames(b) > 1:
         raise NotImplementedError(
             f"GIF pixel decode implemented for single-frame GIFs "
             f"(got {gif_frames(b)} frames; compositing needs disposal methods)"
@@ -382,12 +392,18 @@ def gif_decode(payload: bytes) -> "np.ndarray":
             deinterlaced = np.empty_like(idx)
             deinterlaced[order] = idx
             idx = deinterlaced
-        frame = pal[np.minimum(idx, len(pal) - 1)]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError(
+                f"GIF palette index {int(idx.max())} out of range "
+                f"(color table has {len(pal)} entries)"
+            )
+        frame = pal[idx]
         if (fx, fy, fw, fh) == (0, 0, w, h):
             return np.ascontiguousarray(frame)
-        canvas = np.tile(
-            pal[min(bg_index, len(pal) - 1)], (h, w, 1)
-        ).astype(np.uint8)
+        # bg_index beyond the table is common in the wild (background
+        # unused); render it black rather than failing the whole frame
+        bg = pal[bg_index] if bg_index < len(pal) else np.zeros(3, np.uint8)
+        canvas = np.tile(bg, (h, w, 1)).astype(np.uint8)
         canvas[fy : fy + fh, fx : fx + fw] = frame
         return canvas
     raise ValueError("GIF without image data")
@@ -585,8 +601,10 @@ def png_decode(payload: bytes) -> "np.ndarray":
     grayscale (0) and grayscale+alpha (4, replicated to RGB), and palette
     (3, PLTE lookup). 16-bit depth and Adam7 interlace raise honestly.
     Sub/Up defilter vectorized (per-channel cumsum / row add mod 256);
-    Average/Paeth are sequentially data-dependent and run as per-byte
-    loops — rare in practice and bounded by row length."""
+    Average/Paeth are sequentially data-dependent and run as plain-int
+    row loops — libpng's adaptive filtering picks them on most rows of
+    real-world PNGs, so they are the decode hot path and use list/int
+    arithmetic rather than per-element numpy indexing."""
     import zlib
 
     b = bytes(payload)
@@ -637,21 +655,33 @@ def png_decode(payload: bytes) -> "np.ndarray":
             recon = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
         elif f == 2:  # Up
             recon = (line + prev) % 256
-        elif f == 3:  # Average — sequential recurrence along x
-            recon = np.empty(stride, np.int32)
+        elif f == 3:  # Average — sequential recurrence along x. Plain-int
+            # list arithmetic: per-element numpy indexing in a Python loop
+            # costs ~20x more than int ops, and libpng's adaptive filtering
+            # uses Average/Paeth on MOST rows of real-world PNGs, so this
+            # is the decode hot path, not a rarity.
+            ll = line.tolist()
+            pp = prev.tolist() if hasattr(prev, "tolist") else list(prev)
+            rr = [0] * stride
             for x in range(stride):
-                a = recon[x - bpp] if x >= bpp else 0
-                recon[x] = (line[x] + ((a + prev[x]) >> 1)) % 256
-        elif f == 4:  # Paeth — sequential recurrence along x
-            recon = np.empty(stride, np.int32)
+                a = rr[x - bpp] if x >= bpp else 0
+                rr[x] = (ll[x] + ((a + pp[x]) >> 1)) & 0xFF
+            recon = np.asarray(rr, np.int32)
+        elif f == 4:  # Paeth — sequential recurrence along x (same note)
+            ll = line.tolist()
+            pp = prev.tolist() if hasattr(prev, "tolist") else list(prev)
+            rr = [0] * stride
             for x in range(stride):
-                a = int(recon[x - bpp]) if x >= bpp else 0
-                up = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                a = rr[x - bpp] if x >= bpp else 0
+                up = pp[x]
+                c = pp[x - bpp] if x >= bpp else 0
                 p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - up if p >= up else up - p
+                pc = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                recon[x] = (line[x] + pred) % 256
+                rr[x] = (ll[x] + pred) & 0xFF
+            recon = np.asarray(rr, np.int32)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         prev = recon
@@ -785,8 +815,9 @@ def _resize_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
 def _transcode_resize(payload: bytes, codec: str, max_width: int, max_height: int) -> bytes:
     """One payload through the aspect-fit resize. ``bmp``/``ppm``/``png``
     get a REAL pixel transcode (decode -> :func:`nn_resize` -> re-encode,
-    same codec); ``tsdl-fake`` gets the header rewrite; jpeg/gif and AV
-    codecs need Huffman/LZW decoders (PIL/ffmpeg) and raise."""
+    same codec — every codec registered in ``_PIXEL_CODECS``);
+    ``tsdl-fake`` gets the header rewrite; jpeg and AV codecs need
+    Huffman/DCT decoders (PIL/ffmpeg) and raise."""
     if codec in _PIXEL_CODECS:
         decode, encode = _PIXEL_CODECS[codec]
         arr = decode(bytes(payload))
@@ -805,11 +836,12 @@ def _transcode_resize(payload: bytes, codec: str, max_width: int, max_height: in
 
 
 def resize_media(df: DataFrame, max_width: int = 640, max_height: int = 480) -> DataFrame:
-    """Aspect-fit resize over the media schema. For the ``bmp``/``ppm``
-    pixel codecs this is a real transcode — pixels are decoded, resampled
-    with integer nearest-neighbor, and re-encoded; for ``tsdl-fake`` only
-    the header is rewritten (body bytes pass through). Output is the same
-    media schema, so resizes chain with decode/feature/frame ops."""
+    """Aspect-fit resize over the media schema. For every registered
+    pixel codec (``_PIXEL_CODECS``: bmp/ppm/png/gif) this is a real
+    transcode — pixels are decoded, resampled with integer
+    nearest-neighbor, and re-encoded; for ``tsdl-fake`` only the header
+    is rewritten (body bytes pass through). Output is the same media
+    schema, so resizes chain with decode/feature/frame ops."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -835,7 +867,7 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def pixel_stats(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Decode ``bmp``/``ppm`` payloads to pixels and emit per-media readouts
+    """Decode pixel-codec payloads to pixels and emit per-media readouts
     (dimensions, uint8 pixel sum, encoded byte length). The pixel sum is a
     full-content check: any wrong byte anywhere in decode/resize/encode
     shifts it, and it is reproducible in a SQL oracle when the pixels are a
@@ -848,7 +880,8 @@ def pixel_stats(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
             for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
                 if c not in _PIXEL_CODECS:
                     raise NotImplementedError(
-                        f"pixel_stats needs a pixel codec (bmp/ppm/png), got {c!r}"
+                        f"pixel_stats needs a pixel codec "
+                        f"({'/'.join(sorted(_PIXEL_CODECS))}), got {c!r}"
                     )
                 arr = _PIXEL_CODECS[c][0](bytes(p))
                 widths.append(arr.shape[1])
