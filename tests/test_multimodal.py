@@ -527,8 +527,14 @@ def test_audio_stats_multichannel_interleaved_contract(spark):
     (row,) = audio_stats(df).collect()
     assert (row["n_channels"], row["n_samples"], row["peak"]) == (2, 4, 300)
     assert row["rms"] == math.sqrt((100**2 + 200**2 + 300**2 + 50**2) / 4)
-    with pytest.raises(Exception, match="mono"):
-        resample_audio(df, factor=2).collect()
+    # stereo decimation keeps whole frames: factor 2 over 2 frames keeps
+    # frame 0 — both its channels, at rate // 2
+    from time_series_and_data_lakes_spark.operators.multimodal import wav_decode
+
+    (res,) = resample_audio(df, factor=2).collect()
+    rate2, ch2, kept = wav_decode(bytes(res["payload"]))
+    assert (rate2, ch2) == (4000, 2)
+    assert kept.tolist() == [100, 200]
 
 
 def test_avi_roundtrip_extract_and_compressed_raises(spark):

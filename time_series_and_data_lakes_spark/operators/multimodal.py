@@ -952,11 +952,19 @@ AUDIO_STATS_SCHEMA = T.StructType(
 )
 
 
-def wav_encode(samples: "np.ndarray", sample_rate: int) -> bytes:
-    """Mono 16-bit PCM → RIFF/WAVE bytes (canonical 44-byte header)."""
+def wav_encode(samples: "np.ndarray", sample_rate: int, channels: int = 1) -> bytes:
+    """16-bit PCM → RIFF/WAVE bytes (canonical 44-byte header). ``samples``
+    is the INTERLEAVED stream for ``channels`` > 1 (frame-major, the WAV
+    data layout); its length must be a whole number of frames."""
     import numpy as np
 
-    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    arr = np.asarray(samples, dtype="<i2")
+    if channels > 1 and len(arr) % channels:
+        raise ValueError(
+            f"interleaved length {len(arr)} is not a multiple of {channels} channels"
+        )
+    pcm = arr.tobytes()
+    block_align = 2 * channels
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF",
@@ -965,10 +973,10 @@ def wav_encode(samples: "np.ndarray", sample_rate: int) -> bytes:
         b"fmt ",
         16,
         1,  # PCM
-        1,  # mono
+        channels,
         sample_rate,
-        sample_rate * 2,
-        2,
+        sample_rate * block_align,
+        block_align,
         16,
         b"data",
         len(pcm),
@@ -1018,10 +1026,9 @@ def audio_stats(df: DataFrame) -> DataFrame:
     Multi-channel contract (ADVICE_r4): stats are computed over the
     INTERLEAVED sample stream — ``n_samples`` counts channel-samples
     (frames x channels), and peak/RMS pool all channels (a frame whose
-    left channel clips reports the clip regardless of the right). This is
-    deliberate and differs from :func:`resample_audio`, which raises for
-    multi-channel input because decimating an interleaved stream would
-    corrupt it; computing order-insensitive stats over it cannot."""
+    left channel clips reports the clip regardless of the right).
+    :func:`resample_audio` handles multi-channel by frame-wise
+    decimation, so the two compose for any channel count."""
     import math
 
     import numpy as np
@@ -1056,24 +1063,25 @@ def audio_stats(df: DataFrame) -> DataFrame:
 
 def resample_audio(df: DataFrame, factor: int) -> DataFrame:
     """REAL audio downsampling by integer decimation: keep every
-    ``factor``-th sample (the audio analogue of :func:`nn_resize`'s
+    ``factor``-th FRAME (the audio analogue of :func:`nn_resize`'s
     nearest-neighbor resampling — index arithmetic, fully reproducible in
-    a SQL oracle), re-encode as WAV at ``rate // factor``. Output keeps
-    the media schema, so it chains with :func:`audio_stats`."""
+    a SQL oracle), re-encode as WAV at ``rate // factor``. Multi-channel
+    streams de-interleave, decimate per channel, and re-interleave, so
+    every channel keeps the same frame instants (decimating the raw
+    interleaved stream would mix channels). Output keeps the media
+    schema, so it chains with :func:`audio_stats`."""
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
                 rate, ch, samples = wav_decode(p)
-                if ch != 1:
-                    # decimating the interleaved stream would mix channels
-                    # into corrupted mono — raise, honestly, like the
-                    # other codec boundaries
-                    raise NotImplementedError(
-                        f"decimation implemented for mono PCM only (got {ch} channels)"
-                    )
-                out.append(wav_encode(samples[::factor], rate // factor))
+                if ch == 1:
+                    kept = samples[::factor]
+                else:
+                    frames = samples.reshape(-1, ch)
+                    kept = frames[::factor].reshape(-1)
+                out.append(wav_encode(kept, rate // factor, channels=ch))
             res = pdf.copy()
             res["payload"] = out
             yield res
