@@ -148,11 +148,11 @@ def test_jpeg_marker_walk_skips_segments():
     assert jpeg_dims(b"\xff\xd8\xff\xd9") == (0, 0)  # no frame header
 
 
-def test_resize_entropy_coded_codec_requires_transcoder(spark):
-    # jpeg still needs a Huffman+DCT decoder; PNG (zlib) and GIF (LZW)
-    # are real pixel codecs now — see test_png_*/test_gif_* below.
+def test_resize_non_pixel_codec_requires_transcoder(spark):
+    # every image format is a real pixel codec now (bmp/ppm/png/gif/jpeg);
+    # compressed AV codecs still require a transcoder and raise
     df = spark.createDataFrame(
-        [(14, "image", _real_jpeg(100, 100), ("s3", "jpeg"))], MEDIA_SCHEMA
+        [(14, "audio", b"ID3\x04\x00mp3body", ("s3", "mp3"))], MEDIA_SCHEMA
     )
     from time_series_and_data_lakes_spark.operators.multimodal import resize_media
 

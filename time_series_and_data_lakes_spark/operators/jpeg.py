@@ -1,0 +1,494 @@
+"""Baseline JPEG codec (ITU T.81, sequential DCT) in pure numpy/stdlib.
+
+JPEG's entropy coding is canonical Huffman over run-length-coded,
+zigzag-ordered, quantized 8x8 DCT blocks — all pure arithmetic, so like
+the PNG (zlib) and GIF (LZW) codecs no external library is required;
+what PIL would provide is speed, not capability. This module implements:
+
+- ``jpeg_decode``: baseline sequential decode — DQT (8/16-bit), DHT
+  (canonical table build), SOF0, DRI + restart markers, interleaved-MCU
+  scan with arbitrary sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0),
+  byte-destuffing bit reader, dequant → IDCT → level shift, nearest
+  chroma upsample, JFIF YCbCr→RGB. Progressive (SOF2) and arithmetic
+  coding raise ``NotImplementedError`` honestly.
+- ``jpeg_encode``: baseline sequential encode (4:4:4 or 4:2:0) with
+  caller-suppliable quantization tables. The Huffman tables are a valid
+  fixed-length canonical set (12 DC symbols at 4 bits, 162 AC symbols at
+  8 bits — Kraft-feasible with the all-ones code unused, as §C.2
+  requires) rather than the Annex K defaults: any conforming decoder
+  reads the tables from the DHT segments, so compression is traded for
+  a table set that is trivially auditable.
+
+Determinism: both directions use the same float64 DCT basis and
+half-up integer rounding, so decode(encode(x, quant=ones)) differs from
+x only by the DCT round-trip's rounding — bounded by a few counts per
+sample (asserted in tests); flat blocks reconstruct exactly.
+
+JPEG is inherently lossy at useful table settings: re-encoding a
+resized image produces approximate pixels by design. The per-symbol
+Huffman loops run interpreted; like the PNG defilter path this is the
+honest cost of stdlib-only decode (~1-2 s for a 720p image), bounded
+per Arrow batch row.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# k-th zigzag coefficient -> raster index in the 8x8 block (T.81 fig. 5)
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_C = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+_DCT_A = np.array([
+    [_C[u] / 2 * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+# ITU T.81 Annex K.1 example quantization tables (the de-facto defaults)
+STD_LUMA_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+STD_CHROMA_QT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+# Fixed-length canonical Huffman sets for the encoder: DC symbols 0..11
+# at 4 bits each; AC symbols (EOB, ZRL, and (run,size) run 0-15 size
+# 1-10) at 8 bits each. 12/16 and 162/256 satisfy Kraft with the
+# all-ones code unused.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 §C.2 canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-by-bit decoder walk."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, symbols).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (§B.1.1.5)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s (§F.1.2.3)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first entropy-coded-segment reader with 0xFF00 destuffing;
+    stops at any non-stuffing marker (caller inspects ``marker``)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG entropy data ended at marker")
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt if nxt is not None else 0xD9
+                self.pos += 1
+                raise ValueError("JPEG entropy data ended at marker")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_past_restart(self) -> None:
+        """Consume a RSTn marker at an MCU boundary and realign."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        # skip fill bytes then the marker itself
+        while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            m = self.data[self.pos + 1]
+            if 0xD0 <= m <= 0xD7:
+                self.pos += 2
+                return
+            if m == 0xFF:
+                self.pos += 1
+                continue
+            break
+        raise ValueError("expected JPEG restart marker")
+
+
+def _read_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def jpeg_decode(payload: bytes) -> "np.ndarray":
+    """Baseline sequential JPEG → (h, w, 3) uint8 RGB (grayscale
+    replicated). See module docstring for supported surface."""
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG (SOF2+) not implemented")
+        if marker in (0xC9, 0xCB, 0xCD):
+            raise NotImplementedError("arithmetic-coded JPEG not implemented")
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        body = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                precision, tid = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if precision:
+                    vals = np.frombuffer(body, ">u2", 64, offset=j)
+                    j += 128
+                else:
+                    vals = np.frombuffer(body, np.uint8, 64, offset=j)
+                    j += 64
+                table = np.zeros(64, np.int32)
+                table[ZIGZAG] = vals
+                qts[tid] = table.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tclass, tid = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                count = sum(bits)
+                symbols = list(body[j + 17 : j + 17 + count])
+                huff[(tclass, tid)] = _decode_table(bits, symbols)
+                j += 17 + count
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            h, w = struct.unpack(">HH", body[1:5])
+            comps = []
+            for k in range(body[5]):
+                cid, samp, qid = body[6 + 3 * k : 9 + 3 * k]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "qt": qid}
+                )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            for k in range(body[0]):
+                cid, tids = body[1 + 2 * k], body[2 + 2 * k]
+                for c in comps:
+                    if c["id"] == cid:
+                        c["dc"], c["ac"] = tids >> 4, tids & 0x0F
+            i = i + 2 + seg_len
+            return _decode_scan(b, i, w, h, comps, qts, huff, restart_interval)
+        i += 2 + seg_len
+    raise ValueError("JPEG without SOS scan")
+
+
+def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64)
+        for c in comps
+    ]
+    reader = _BitReader(b, pos)
+    preds = [0] * len(comps)
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.align_past_restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = huff[(0, c["dc"])]
+                ac_tab = huff[(1, c["ac"])]
+                qt = qts[c["qt"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, np.int32)
+                        size = _read_huffman(reader, dc_tab)
+                        diff = _extend(reader.read_bits(size), size)
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huffman(reader, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            size = sym & 0x0F
+                            coeffs[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[ZIGZAG] = coeffs
+                        block = block.reshape(8, 8) * qt
+                        px = _DCT_A.T @ block @ _DCT_A + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_index += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci][: -(-h * c["v"] // vmax) or None, : -(-w * c["h"] // hmax) or None]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _encode_blocks(plane: "np.ndarray", qt: "np.ndarray") -> "np.ndarray":
+    """(H, W) float plane (level-shifted) → (n_blocks_y, n_blocks_x, 64)
+    quantized zigzag coefficients, vectorized DCT over all blocks."""
+    H, W = plane.shape
+    blocks = plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ux,abxy,vy->abuv", _DCT_A, blocks, _DCT_A)
+    # half-away-from-zero rounding, symmetric for both signs
+    q = np.where(
+        f >= 0, np.floor(f / qt + 0.5), -np.floor(-f / qt + 0.5)
+    ).astype(np.int32)
+    return q.reshape(H // 8, W // 8, 64)
+
+
+def _zigzag_block(q64: "np.ndarray") -> "np.ndarray":
+    out = np.empty(64, np.int32)
+    out[:] = q64[ZIGZAG]
+    return out
+
+
+def _bit_size(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def jpeg_encode(
+    arr: "np.ndarray",
+    luma_qt: "np.ndarray" = STD_LUMA_QT,
+    chroma_qt: "np.ndarray" = STD_CHROMA_QT,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline sequential JFIF bytes. 4:4:4 by
+    default; ``subsample=True`` emits 4:2:0 (2x2 mean chroma).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. Pass all-ones tables for a near-lossless round-trip."""
+    h, w = arr.shape[:2]
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+
+    def pad(p, mult):
+        ph = -(-p.shape[0] // mult) * mult
+        pw = -(-p.shape[1] // mult) * mult
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+
+    if subsample:
+        y_p = pad(y, 16)
+        cbp = pad(cb, 16)
+        crp = pad(cr, 16)
+        cb_s = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr_s = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+        plane_specs = [(y_p, 2, 2, 0), (cb_s, 1, 1, 1), (cr_s, 1, 1, 1)]
+    else:
+        plane_specs = [(pad(y, 8), 1, 1, 0), (pad(cb, 8), 1, 1, 1), (pad(cr, 8), 1, 1, 1)]
+
+    qts = [luma_qt, chroma_qt]
+    coeffs = [
+        _encode_blocks(p - 128.0, qts[qid]) for p, _hs, _vs, qid in plane_specs
+    ]
+
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _AC_SYMBOLS)
+    writer = _BitWriter()
+    hmax = max(hs for _p, hs, _vs, _q in plane_specs)
+    vmax = max(vs for _p, _hs, vs, _q in plane_specs)
+    mcus_x = plane_specs[0][0].shape[1] // (8 * hmax)
+    mcus_y = plane_specs[0][0].shape[0] // (8 * vmax)
+    preds = [0, 0, 0]
+    entropy_segments: list[bytes] = []
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                entropy_segments.append(writer.flush())
+                writer = _BitWriter()
+                preds = [0, 0, 0]
+            for ci, (_p, hs, vs, _q) in enumerate(plane_specs):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = _zigzag_block(coeffs[ci][my * vs + by, mx * hs + bx])
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        size = _bit_size(diff)
+                        code, length = dc_codes[size]
+                        writer.write(code, length)
+                        if size:
+                            writer.write(
+                                diff if diff > 0 else diff + (1 << size) - 1, size
+                            )
+                        run = 0
+                        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                if k > last_nz:
+                                    code, length = ac_codes[0x00]  # EOB
+                                    writer.write(code, length)
+                                    break
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = ac_codes[0xF0]  # ZRL
+                                writer.write(code, length)
+                                run -= 16
+                            size = _bit_size(v)
+                            code, length = ac_codes[(run << 4) | size]
+                            writer.write(code, length)
+                            writer.write(v if v > 0 else v + (1 << size) - 1, size)
+                            run = 0
+            mcu_index += 1
+    entropy_segments.append(writer.flush())
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    for tid, qt in enumerate(qts):
+        zz = np.asarray(qt).reshape(64)[ZIGZAG]
+        seg(0xDB, bytes([tid]) + bytes(int(v) for v in zz))
+    samp = (0x22, 0x11, 0x11) if subsample else (0x11, 0x11, 0x11)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid in range(3):
+        sof += bytes([cid + 1, samp[cid], 0 if cid == 0 else 1])
+    seg(0xC0, sof)
+    for tclass, tid, bits, symbols in (
+        (0, 0, _ENC_DC_BITS, _DC_SYMBOLS),
+        (1, 0, _ENC_AC_BITS, _AC_SYMBOLS),
+        (0, 1, _ENC_DC_BITS, _DC_SYMBOLS),
+        (1, 1, _ENC_AC_BITS, _AC_SYMBOLS),
+    ):
+        seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(symbols))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3])
+    for cid in range(3):
+        sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    for si, segment in enumerate(entropy_segments):
+        out.extend(segment)
+        if si < len(entropy_segments) - 1:
+            out.extend(bytes([0xFF, 0xD0 + (si % 8)]))
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -21,10 +21,13 @@ The codec layer:
   semantics and raises; :func:`gif_frames` still counts frames), encode
   lossless for ≤256-color images (always true of decode→resize output),
   richer images raise rather than silently quantize.
-- ``jpeg``: REAL stdlib-only container parsing (:func:`jpeg_dims` — SOF
-  marker scan). Dimension metadata is genuine; pixel decode needs a
-  Huffman+DCT entropy decoder (PIL) and raises ``NotImplementedError``
-  where pixels would be touched.
+- ``jpeg``: REAL PIXEL codec as well (:mod:`.jpeg` — baseline sequential
+  Huffman+DCT in pure numpy: canonical DHT build, byte-destuffed bit
+  reader, restart markers, 4:4:4/4:2:2/4:2:0 sampling, JFIF color
+  transform; the decoder is validated against a hand-derived stream
+  using the standard's own Annex K tables). Decode is exact for the
+  payload; re-encode is lossy by format design. Progressive (SOF2) and
+  arithmetic coding raise.
 - ``wav``: REAL AUDIO codec (:func:`wav_encode` / :func:`wav_decode` —
   RIFF chunk-walking parser, 16-bit PCM, pure stdlib/numpy), with real
   DSP ops: :func:`audio_stats` (peak/RMS) and :func:`resample_audio`
@@ -702,6 +705,18 @@ def png_decode(payload: bytes) -> "np.ndarray":
     return np.ascontiguousarray(pal[px[:, :, 0]])
 
 
+def _jpeg_decode(payload: bytes) -> "np.ndarray":
+    from time_series_and_data_lakes_spark.operators.jpeg import jpeg_decode
+
+    return jpeg_decode(payload)
+
+
+def _jpeg_encode(arr: "np.ndarray") -> bytes:
+    from time_series_and_data_lakes_spark.operators.jpeg import jpeg_encode
+
+    return jpeg_encode(arr)
+
+
 _PIXEL_CODECS = {
     "bmp": (bmp_decode, bmp_encode),
     "ppm": (ppm_decode, ppm_encode),
@@ -714,6 +729,13 @@ _PIXEL_CODECS = {
     # semantics); encode is lossless for <=256-color images, which every
     # decode→nn_resize output is.
     "gif": (gif_decode, gif_encode),
+    # JPEG as well (operators/jpeg.py): baseline sequential Huffman+DCT,
+    # pure numpy. Decode is exact for the payload's pixels; RE-encode is
+    # lossy BY FORMAT DESIGN (standard quantization tables), so a JPEG
+    # resize produces approximate pixels — as every real pipeline's does.
+    # Progressive/arithmetic-coded streams raise.
+    "jpeg": (_jpeg_decode, _jpeg_encode),
+    "jpg": (_jpeg_decode, _jpeg_encode),
 }
 
 
