@@ -173,3 +173,60 @@ def test_jpeg_resize_pipeline_end_to_end(spark):
     (st,) = pixel_stats(df).collect()
     assert (st["width"], st["height"]) == (128, 96)
     assert st["pixel_sum"] == int(jpeg_decode(payload).sum(dtype=np.int64))
+
+
+def test_unsupported_layouts_raise_honestly():
+    # Review findings (round 5): misclassification and silent-garbage
+    # paths for legal-but-unimplemented JPEG layouts.
+    def sof(nf, comps):
+        body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([nf])
+        for cid, samp, qid in comps:
+            body += bytes([cid, samp, qid])
+        return body
+
+    # 4-component (Adobe CMYK): would decode as garbage through the
+    # YCbCr transform — must raise, not return wrong pixels
+    cmyk = b"\xff\xd8" + _seg(
+        0xC0, sof(4, [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0), (4, 0x11, 0)])
+    ) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="component"):
+        jpeg_decode(cmyk)
+
+    # lossless JPEG (SOF3): unimplemented coding process, not corrupt data
+    sof3 = b"\xff\xd8" + _seg(0xC3, sof(1, [(1, 0x11, 0)])) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="lossless"):
+        jpeg_decode(sof3)
+
+    # multi-scan baseline (SOS lists fewer components than SOF)
+    multi = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0]) + bytes([16] * 64))
+        + _seg(0xC0, sof(3, [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0)]))
+        + _seg(0xC4, bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0xE9, 0x2B])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        jpeg_decode(multi)
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    # T.81 §A.2.2: a non-interleaved (single-component) scan's data units
+    # are plain 8x8 blocks regardless of declared sampling factors — a
+    # grayscale JPEG declaring samp 0x22 must decode, not desync.
+    qt = bytes([0]) + bytes([16] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x22, 0])
+    jpg = (
+        b"\xff\xd8"
+        + _seg(0xDB, qt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0xE9, 0x2B])
+        + b"\xff\xd9"
+    )
+    out = jpeg_decode(jpg)
+    assert out.shape == (8, 8, 3) and (out == 200).all()

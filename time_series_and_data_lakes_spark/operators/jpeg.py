@@ -19,10 +19,12 @@ what PIL would provide is speed, not capability. This module implements:
   reads the tables from the DHT segments, so compression is traded for
   a table set that is trivially auditable.
 
-Determinism: both directions use the same float64 DCT basis and
-half-up integer rounding, so decode(encode(x, quant=ones)) differs from
-x only by the DCT round-trip's rounding — bounded by a few counts per
-sample (asserted in tests); flat blocks reconstruct exactly.
+Determinism: both directions use the same float64 DCT basis; encoder
+quantization rounds half AWAY FROM ZERO (symmetric for both signs) and
+decoder sample rounding is half-up (``floor(x + 0.5)`` — never numpy's
+half-to-even), so decode(encode(x, quant=ones)) differs from x only by
+the DCT round-trip's rounding — bounded by a few counts per sample
+(asserted in tests); flat blocks reconstruct exactly.
 
 JPEG is inherently lossy at useful table settings: re-encoding a
 resized image produces approximate pixels by design. The per-symbol
@@ -234,6 +236,10 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
             raise NotImplementedError("progressive JPEG (SOF2+) not implemented")
         if marker in (0xC9, 0xCB, 0xCD):
             raise NotImplementedError("arithmetic-coded JPEG not implemented")
+        if marker in (0xC3, 0xC5, 0xC7, 0xCF):
+            raise NotImplementedError(
+                "lossless/differential JPEG (SOF3/5/7/15) not implemented"
+            )
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         body = b[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -267,14 +273,33 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "qt": qid}
                 )
+            if len(comps) not in (1, 3):
+                # 4-comp Adobe CMYK/YCCK would silently decode as garbage
+                # through the YCbCr transform; 2-comp is exotic-but-legal.
+                raise NotImplementedError(
+                    f"only 1- or 3-component (grayscale/YCbCr) JPEG "
+                    f"implemented (got {len(comps)} components)"
+                )
+            if len(comps) == 1:
+                # a single-component scan is non-interleaved: its data
+                # units are plain ceil(w/8) x ceil(h/8) blocks and the
+                # declared sampling factors do NOT shape the MCU
+                # (T.81 §A.2.2)
+                comps[0]["h"] = comps[0]["v"] = 1
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if body[0] != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG not implemented"
+                )
             for k in range(body[0]):
                 cid, tids = body[1 + 2 * k], body[2 + 2 * k]
                 for c in comps:
                     if c["id"] == cid:
                         c["dc"], c["ac"] = tids >> 4, tids & 0x0F
+            if any("dc" not in c for c in comps):
+                raise ValueError("JPEG SOS references unknown component ids")
             i = i + 2 + seg_len
             return _decode_scan(b, i, w, h, comps, qts, huff, restart_interval)
         i += 2 + seg_len
@@ -337,14 +362,14 @@ def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        y = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     rgb = np.stack([r, g, bl], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
 def _encode_blocks(plane: "np.ndarray", qt: "np.ndarray") -> "np.ndarray":
@@ -472,18 +497,18 @@ def jpeg_encode(
     for cid in range(3):
         sof += bytes([cid + 1, samp[cid], 0 if cid == 0 else 1])
     seg(0xC0, sof)
-    for tclass, tid, bits, symbols in (
-        (0, 0, _ENC_DC_BITS, _DC_SYMBOLS),
-        (1, 0, _ENC_AC_BITS, _AC_SYMBOLS),
-        (0, 1, _ENC_DC_BITS, _DC_SYMBOLS),
-        (1, 1, _ENC_AC_BITS, _AC_SYMBOLS),
+    # one DC + one AC table, referenced by every component — the fixed
+    # set covers all symbols, so per-channel copies would be redundant
+    for tclass, bits, symbols in (
+        (0, _ENC_DC_BITS, _DC_SYMBOLS),
+        (1, _ENC_AC_BITS, _AC_SYMBOLS),
     ):
-        seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(symbols))
+        seg(0xC4, bytes([tclass << 4]) + bytes(bits) + bytes(symbols))
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3])
     for cid in range(3):
-        sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+        sos += bytes([cid + 1, 0x00])
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
     for si, segment in enumerate(entropy_segments):

@@ -837,9 +837,9 @@ def _resize_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
 def _transcode_resize(payload: bytes, codec: str, max_width: int, max_height: int) -> bytes:
     """One payload through the aspect-fit resize. ``bmp``/``ppm``/``png``
     get a REAL pixel transcode (decode -> :func:`nn_resize` -> re-encode,
-    same codec — every codec registered in ``_PIXEL_CODECS``);
-    ``tsdl-fake`` gets the header rewrite; jpeg and AV codecs need
-    Huffman/DCT decoders (PIL/ffmpeg) and raise."""
+    same codec — every codec registered in ``_PIXEL_CODECS``, which is
+    now every image format: bmp/ppm/png/gif/jpeg); ``tsdl-fake`` gets
+    the header rewrite; compressed AV codecs need ffmpeg and raise."""
     if codec in _PIXEL_CODECS:
         decode, encode = _PIXEL_CODECS[codec]
         arr = decode(bytes(payload))
@@ -859,11 +859,12 @@ def _transcode_resize(payload: bytes, codec: str, max_width: int, max_height: in
 
 def resize_media(df: DataFrame, max_width: int = 640, max_height: int = 480) -> DataFrame:
     """Aspect-fit resize over the media schema. For every registered
-    pixel codec (``_PIXEL_CODECS``: bmp/ppm/png/gif) this is a real
+    pixel codec (``_PIXEL_CODECS``: bmp/ppm/png/gif/jpeg) this is a real
     transcode — pixels are decoded, resampled with integer
-    nearest-neighbor, and re-encoded; for ``tsdl-fake`` only the header
-    is rewritten (body bytes pass through). Output is the same media
-    schema, so resizes chain with decode/feature/frame ops."""
+    nearest-neighbor, and re-encoded (losslessly except for JPEG, whose
+    re-encode is lossy by format design); for ``tsdl-fake`` only the
+    header is rewritten (body bytes pass through). Output is the same
+    media schema, so resizes chain with decode/feature/frame ops."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
