@@ -1015,3 +1015,143 @@ def test_gif_zero_frames_is_corrupt_data_not_unimplemented():
     empty = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00\x00\x00" + b"\x3b"
     with pytest.raises(ValueError, match="without image data"):
         gif_decode(empty)
+
+
+def _build_gif_animation(w, h, pal, frames_spec, bg_index=0):
+    """Hand-assemble a multi-frame GIF89a. frames_spec: list of
+    (fx, fy, idx_2d, disposal, transparent_index_or_None)."""
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _gif_lzw_encode,
+    )
+
+    depth = max(1, (len(pal) - 1).bit_length())
+    padded = np.zeros((2**depth, 3), np.uint8)
+    padded[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), bg_index, 0])
+    out += padded.tobytes()
+    mcs = max(2, depth)
+    for fx, fy, idx, disposal, transparent in frames_spec:
+        gce_packed = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_packed, 0, 0, transparent or 0, 0])
+        fh, fw = idx.shape
+        out += b"\x2c" + struct.pack("<HHHH", fx, fy, fw, fh) + bytes([0, mcs])
+        lzw = _gif_lzw_encode(bytes(idx.reshape(-1).astype(np.uint8)), mcs)
+        for j in range(0, len(lzw), 255):
+            c = lzw[j : j + 255]
+            out += bytes([len(c)]) + c
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing_disposal_and_transparency():
+    """Full animation semantics against hand-computed composites: frame 2
+    overlays a transparent-masked patch (disposal 1 — stays for frame 3),
+    frame 3's patch uses disposal 2 (region restored to background before
+    frame 4), frame 4 checks the restore happened."""
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        gif_decode_frames,
+    )
+
+    pal = np.array(
+        [[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )  # 0=bg dark, 1=R, 2=G, 3=B
+    base = np.ones((4, 6), np.uint8)  # full-canvas red
+    # frame 2: 2x2 green patch at (1,1) with one transparent pixel (idx 0)
+    patch2 = np.array([[2, 0], [2, 2]], np.uint8)
+    # frame 3: 2x2 blue patch at (2,3), disposal 2 (restore to bg)
+    patch3 = np.full((2, 2), 3, np.uint8)
+    # frame 4: single pixel green at (0,0), to observe frame 3's disposal
+    patch4 = np.array([[2]], np.uint8)
+    gif = _build_gif_animation(
+        6, 4, pal,
+        [
+            (0, 0, base, 1, None),
+            (1, 1, patch2, 1, 0),   # transparent index 0
+            (3, 2, patch3, 2, None),  # at (fx=3, fy=2)
+            (0, 0, patch4, 0, None),
+        ],
+    )
+    frames = gif_decode_frames(gif)
+    assert frames.shape == (4, 4, 6, 3)
+
+    red = pal[1]
+    f1 = np.tile(red, (4, 6, 1))
+    assert np.array_equal(frames[0], f1)
+
+    f2 = f1.copy()
+    f2[1, 1] = pal[2]          # opaque green
+    #          f2[1, 2] transparent -> stays red
+    f2[2, 1] = pal[2]
+    f2[2, 2] = pal[2]
+    assert np.array_equal(frames[1], f2)
+
+    f3 = f2.copy()
+    f3[2:4, 3:5] = pal[3]      # blue patch shown in frame 3
+    assert np.array_equal(frames[2], f3)
+
+    f4 = f2.copy()             # blue patch disposed to BACKGROUND color
+    f4[2:4, 3:5] = pal[0]
+    f4[0, 0] = pal[2]
+    assert np.array_equal(frames[3], f4)
+
+
+def test_gif_animation_disposal_restore_previous():
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        gif_decode_frames,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [200, 10, 10]], np.uint8)
+    base = np.ones((3, 3), np.uint8)  # all white
+    patch = np.full((2, 2), 2, np.uint8)  # red patch, disposal 3
+    tail = np.array([[0]], np.uint8)
+    gif = _build_gif_animation(
+        3, 3, pal,
+        [(0, 0, base, 1, None), (1, 1, patch, 3, None), (2, 2, tail, 0, None)],
+    )
+    frames = gif_decode_frames(gif)
+    white = pal[1]
+    f2 = np.tile(white, (3, 3, 1))
+    f2[1:3, 1:3] = pal[2]
+    assert np.array_equal(frames[1], f2)
+    # restore-previous: the red patch is gone in frame 3, only the tail pixel
+    f3 = np.tile(white, (3, 3, 1))
+    f3[2, 2] = pal[0]
+    assert np.array_equal(frames[2], f3)
+
+
+def test_extract_frames_from_animated_gif(spark):
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        bmp_decode,
+        extract_frames,
+        gif_decode_frames,
+    )
+
+    pal = np.array([[1, 2, 3], [200, 100, 50], [5, 250, 90]], np.uint8)
+    rng = np.random.default_rng(41)
+    spec = [
+        (0, 0, rng.integers(0, 3, (5, 7)).astype(np.uint8), 1, None),
+        (2, 1, rng.integers(0, 3, (3, 4)).astype(np.uint8), 2, 0),
+        (0, 0, rng.integers(0, 3, (5, 7)).astype(np.uint8), 0, None),
+    ]
+    gif = _build_gif_animation(7, 5, pal, spec)
+    df = spark.createDataFrame([(31, "video", gif, ("s3", "gif"))], MEDIA_SCHEMA)
+    rows = sorted(extract_frames(df).collect(), key=lambda r: r["frame_index"])
+    want = gif_decode_frames(gif)
+    assert [r["frame_index"] for r in rows] == [0, 1, 2]
+    for r, expected in zip(rows, want):
+        assert r["meta"]["codec"] == "bmp"
+        assert np.array_equal(bmp_decode(bytes(r["payload"])), expected)

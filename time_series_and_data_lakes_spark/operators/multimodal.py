@@ -17,10 +17,13 @@ The codec layer:
 - ``gif``: REAL PIXEL codec too (:func:`gif_decode` / :func:`gif_encode`
   — GIF's entropy coding is 12-bit variable-width LZW, implemented here
   both ways and validated against a published foreign-encoder stream).
-  Single-frame only (animation compositing needs disposal-method
-  semantics and raises; :func:`gif_frames` still counts frames), encode
-  lossless for ≤256-color images (always true of decode→resize output),
-  richer images raise rather than silently quantize.
+  ANIMATIONS fully decode with disposal-method compositing + transparency
+  masking (:func:`gif_decode_frames`; :func:`extract_frames` expands them
+  row-per-frame into the pixel pipeline); the registry's single-image
+  :func:`gif_decode` raises for animations because a registry resize
+  would silently drop frames. Encode is single-frame, lossless for
+  ≤256-color images (always true of decode→resize output); richer
+  images raise rather than silently quantize.
 - ``jpeg``: REAL PIXEL codec as well (:mod:`.jpeg` — baseline sequential
   Huffman+DCT in pure numpy: canonical DHT build, byte-destuffed bit
   reader, restart markers, 4:4:4/4:2:2/4:2:0 sampling, JFIF color
@@ -327,25 +330,22 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_decode(payload: bytes) -> "np.ndarray":
-    """REAL single-frame GIF pixel decode → (h, w, 3) uint8 RGB: LZW
-    inflate (:func:`_gif_lzw_decode`), global/local color table lookup,
-    Adam-style interlace reorder, and placement of a smaller frame onto a
-    background-color logical screen. Animated GIFs raise honestly — frame
-    COMPOSITING needs disposal-method semantics this codec does not
-    implement (use :func:`gif_frames` / :func:`frame_sample` for their
-    metadata); transparency indices render as their palette color."""
+def gif_decode_frames(payload: bytes) -> "np.ndarray":
+    """REAL animated-GIF pixel decode → (n_frames, h, w, 3) uint8 RGB
+    with full compositing semantics (GIF89a spec §23 + graphic-control
+    extension): per-frame LZW inflate, global/local color tables,
+    interlace reorder, transparency-index masking against the running
+    canvas, and the three disposal methods — 0/1 leave the frame in
+    place, 2 restores the frame's region to the background color, 3
+    restores the region to its pre-frame pixels. Each returned frame is
+    the fully composited logical screen at that point of the animation
+    (what a viewer shows), so frames drop straight into the RGB pixel
+    pipeline. The initial canvas renders as the background color
+    (transparent-canvas GIFs have no RGB representation; documented
+    choice, black when bg_index is out of table range)."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
         raise ValueError("not a GIF payload")
-    # >1 frame is an unimplemented FEATURE; 0 frames is corrupt DATA and
-    # falls through to the ValueError paths below — callers routing
-    # NotImplementedError as "codec stub" must not receive it for garbage.
-    if gif_frames(b) > 1:
-        raise NotImplementedError(
-            f"GIF pixel decode implemented for single-frame GIFs "
-            f"(got {gif_frames(b)} frames; compositing needs disposal methods)"
-        )
     w, h = struct.unpack("<HH", b[6:10])
     packed, bg_index = b[10], b[11]
     i = 13
@@ -354,6 +354,14 @@ def gif_decode(payload: bytes) -> "np.ndarray":
         size = 3 * (2 ** ((packed & 0x07) + 1))
         gct = np.frombuffer(b, np.uint8, size, offset=i).reshape(-1, 3)
         i += size
+    if gct is not None and bg_index < len(gct):
+        bg = gct[bg_index]
+    else:
+        bg = np.zeros(3, np.uint8)
+    canvas = np.tile(bg, (h, w, 1)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    disposal = 0
+    transparent: int | None = None
     n = len(b)
     while i < n:
         block = b[i]
@@ -361,7 +369,12 @@ def gif_decode(payload: bytes) -> "np.ndarray":
         if block == 0x3B:
             break
         if block == 0x21:  # extension
+            label = b[i]
             i += 1
+            if label == 0xF9 and i < n and b[i] >= 4:  # graphic control
+                gce_packed = b[i + 1]
+                disposal = (gce_packed >> 2) & 0x07
+                transparent = b[i + 4] if gce_packed & 0x01 else None
             while i < n and b[i] != 0:
                 i += 1 + b[i]
             i += 1
@@ -395,21 +408,49 @@ def gif_decode(payload: bytes) -> "np.ndarray":
             deinterlaced = np.empty_like(idx)
             deinterlaced[order] = idx
             idx = deinterlaced
-        if int(idx.max(initial=0)) >= len(pal):
+        opaque = idx != transparent if transparent is not None else None
+        check = idx if opaque is None else idx[opaque]
+        if check.size and int(check.max()) >= len(pal):
             raise ValueError(
-                f"GIF palette index {int(idx.max())} out of range "
+                f"GIF palette index {int(check.max())} out of range "
                 f"(color table has {len(pal)} entries)"
             )
-        frame = pal[idx]
-        if (fx, fy, fw, fh) == (0, 0, w, h):
-            return np.ascontiguousarray(frame)
-        # bg_index beyond the table is common in the wild (background
-        # unused); render it black rather than failing the whole frame
-        bg = pal[bg_index] if bg_index < len(pal) else np.zeros(3, np.uint8)
-        canvas = np.tile(bg, (h, w, 1)).astype(np.uint8)
-        canvas[fy : fy + fh, fx : fx + fw] = frame
-        return canvas
-    raise ValueError("GIF without image data")
+        saved = canvas[fy : fy + fh, fx : fx + fw].copy() if disposal == 3 else None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if opaque is None:
+            region[:] = pal[idx]
+        else:
+            region[opaque] = pal[idx[opaque]]
+        frames.append(canvas.copy())
+        # dispose AFTER the frame is shown, preparing the next one's canvas
+        if disposal == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif disposal == 3:
+            canvas[fy : fy + fh, fx : fx + fw] = saved
+        disposal, transparent = 0, None
+    if not frames:
+        raise ValueError("GIF without image data")
+    return np.stack(frames)
+
+
+def gif_decode(payload: bytes) -> "np.ndarray":
+    """Single-frame GIF pixel decode → (h, w, 3) uint8 RGB — the
+    pixel-codec registry contract (one payload, one image). Animated GIFs
+    raise here because a resize through the registry would silently drop
+    frames; decode animations with :func:`gif_decode_frames` (full
+    disposal-method compositing) or expand them row-per-frame with
+    :func:`extract_frames`."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise ValueError("not a GIF payload")
+    # >1 frame is a different API, not a stub; 0 frames is corrupt DATA
+    # (ValueError from gif_decode_frames' empty check).
+    if gif_frames(b) > 1:
+        raise NotImplementedError(
+            f"single-image decode of an animated GIF (got {gif_frames(b)} "
+            f"frames) would drop frames — use gif_decode_frames/extract_frames"
+        )
+    return gif_decode_frames(b)[0]
 
 
 def gif_encode(arr: "np.ndarray") -> bytes:
@@ -1212,18 +1253,23 @@ def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
 
 
 def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL video frame extraction: decode ``avi`` payloads, keep every
-    ``every_n``-th frame, and emit each as a standalone 24-bpp BMP payload
-    (codec 'bmp' in the metadata) — one output row per kept frame, so the
-    result drops straight into the pixel pipeline (decode_media /
-    resize_media / pixel_stats). The row-expanding mapInPandas shape of
-    frame_sample, with actual pixels."""
+    """REAL frame extraction: decode ``avi`` payloads (uncompressed DIB
+    video) or ``gif`` payloads (animated, full disposal-method
+    compositing via :func:`gif_decode_frames`), keep every ``every_n``-th
+    frame, and emit each as a standalone 24-bpp BMP payload (codec 'bmp'
+    in the metadata) — one output row per kept frame, so the result drops
+    straight into the pixel pipeline (decode_media / resize_media /
+    pixel_stats). The row-expanding mapInPandas shape of frame_sample,
+    with actual pixels."""
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, types, payloads, metas, idxs = [], [], [], [], []
             for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                _fps, frames = avi_decode(p)
+                if m["codec"] == "gif":
+                    frames = gif_decode_frames(p)
+                else:
+                    _fps, frames = avi_decode(p)
                 for k in range(0, len(frames), every_n):
                     ids.append(mid)
                     types.append("image")
