@@ -1155,3 +1155,37 @@ def test_extract_frames_from_animated_gif(spark):
     for r, expected in zip(rows, want):
         assert r["meta"]["codec"] == "bmp"
         assert np.array_equal(bmp_decode(bytes(r["payload"])), expected)
+
+
+def test_gif_truncation_and_oversized_frame_are_valueerrors():
+    # Review findings (round 5): corrupt structures must raise the
+    # codec's ValueError contract, never raw IndexError/numpy broadcasts.
+    import struct
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        gif_decode_frames,
+    )
+
+    header = b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) \
+        + np.zeros((2, 3), np.uint8).tobytes()
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decode_frames(header + b"\x21")  # ends inside an extension
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decode_frames(header + b"\x21\xf9\x04")  # ends inside the GCE
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decode_frames(header + b"\x2c" + b"\x00\x00")  # short descriptor
+    # frame descriptor exceeding the logical screen
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    bad = _build_gif_animation(
+        2, 2, pal, [(1, 1, np.zeros((2, 2), np.uint8), 0, None)]
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        gif_decode_frames(bad)
+    # same, through the transparency-masked path
+    bad_t = _build_gif_animation(
+        2, 2, pal, [(1, 1, np.zeros((2, 2), np.uint8), 0, 1)]
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        gif_decode_frames(bad_t)

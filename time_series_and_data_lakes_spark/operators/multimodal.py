@@ -369,9 +369,13 @@ def gif_decode_frames(payload: bytes) -> "np.ndarray":
         if block == 0x3B:
             break
         if block == 0x21:  # extension
+            if i >= n:
+                raise ValueError("GIF truncated inside an extension block")
             label = b[i]
             i += 1
-            if label == 0xF9 and i < n and b[i] >= 4:  # graphic control
+            if label == 0xF9:  # graphic control
+                if i + 4 >= n or b[i] < 4:
+                    raise ValueError("GIF truncated graphic control extension")
                 gce_packed = b[i + 1]
                 disposal = (gce_packed >> 2) & 0x07
                 transparent = b[i + 4] if gce_packed & 0x01 else None
@@ -381,9 +385,16 @@ def gif_decode_frames(payload: bytes) -> "np.ndarray":
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block {block:#x}")
+        if i + 9 > n:
+            raise ValueError("GIF truncated image descriptor")
         fx, fy, fw, fh = struct.unpack("<HHHH", b[i : i + 8])
         local_flags = b[i + 8]
         i += 9
+        if fx + fw > w or fy + fh > h:
+            raise ValueError(
+                f"GIF frame {fw}x{fh} at ({fx},{fy}) exceeds the "
+                f"{w}x{h} logical screen"
+            )
         pal = gct
         if local_flags & 0x80:
             size = 3 * (2 ** ((local_flags & 0x07) + 1))
@@ -441,10 +452,8 @@ def gif_decode(payload: bytes) -> "np.ndarray":
     disposal-method compositing) or expand them row-per-frame with
     :func:`extract_frames`."""
     b = bytes(payload)
-    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
-        raise ValueError("not a GIF payload")
-    # >1 frame is a different API, not a stub; 0 frames is corrupt DATA
-    # (ValueError from gif_decode_frames' empty check).
+    # >1 frame is a different API, not a stub; 0 frames and non-GIF bytes
+    # are corrupt DATA (gif_decode_frames validates and raises ValueError).
     if gif_frames(b) > 1:
         raise NotImplementedError(
             f"single-image decode of an animated GIF (got {gif_frames(b)} "
