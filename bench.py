@@ -18,6 +18,7 @@ import time
 
 from time_series_and_data_lakes_spark import get_spark
 from time_series_and_data_lakes_spark import queries as Q
+from time_series_and_data_lakes_spark.plans import plan_fingerprint
 
 HEADLINE = [
     "q1_flagship_interpolate",
@@ -81,8 +82,10 @@ HEADLINE = [
 # r4 1.259) and g2 at 0.269 s (r3 0.262 / r4 0.384). Verdict: host-VM
 # scheduler noise (perf-traps item 3), not a plan change.
 NOISE_NOTE = (
-    "f2/g2 r3->r4 deltas audited: plans identical to r3 commit 61d7129; "
-    "standalone re-measure f2=1.045s g2=0.269s; verdict=VM noise"
+    "adjudication rule: timing moved but plan_hash unchanged vs prior round "
+    "=> shared-host noise (re-measure standalone); plan_hash changed => real "
+    "plan change, audit it. Precedents: f2/g2 r3->r4 and q17/q21 r4->r5 both "
+    "adjudicated noise (plans bit-identical, standalone re-measures in line)"
 )
 
 # Per-query timing aggregation: this VM shares a host and random multi-second
@@ -118,8 +121,15 @@ def main() -> None:
     ) != os.path.realpath(sf_dir)
 
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
+        # Physical-plan fingerprint recorded NEXT TO the timing (round-5
+        # verdict item 2): timing moved but hash unchanged => shared-host
+        # noise (the recurring phantom-regression mode); hash changed =>
+        # a real plan change to audit. Fingerprinted once, before the
+        # measured runs, on the same (spark, sf_dir) the runs use.
+        plans[name] = plan_fingerprint(fn(spark, sf_dir))
         if do_warm:
             # Warm THIS query's shapes immediately before measuring it:
             # whole-stage codegen compilation + JIT happen once per
@@ -154,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "agg": AGG,
                 "queries": timings,
+                "plan_hashes": plans,
                 "sf": sf,
                 "notes": NOISE_NOTE,
             }

@@ -230,3 +230,67 @@ def test_single_component_scan_ignores_sampling_factors():
     )
     out = jpeg_decode(jpg)
     assert out.shape == (8, 8, 3) and (out == 200).all()
+
+
+def test_12bit_precision_raises_honestly():
+    # Round-6 advice: SOF1 legally carries 12-bit samples; decoding them
+    # through the 8-bit level-shift/clip path would return garbage.
+    sof12 = bytes([12]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    jpg = b"\xff\xd8" + _seg(0xC1, sof12) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg_decode(jpg)
+
+
+def test_undeclared_tables_and_truncated_segments_are_value_errors():
+    # Corrupt-data-is-ValueError contract: streams referencing tables
+    # they never declared, or carrying truncated segment bodies, must
+    # never surface as KeyError / struct.error from the decode internals.
+    qt = bytes([0]) + bytes([16] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    def jpg(*segs):
+        return b"\xff\xd8" + b"".join(segs) + bytes([0xE9, 0x2B]) + b"\xff\xd9"
+
+    # SOS references DC table 0 but no DHT was declared at all
+    with pytest.raises(ValueError, match="undeclared DC Huffman"):
+        jpeg_decode(jpg(_seg(0xDB, qt), _seg(0xC0, sof), _seg(0xDA, sos)))
+    # AC table missing (only DC declared)
+    with pytest.raises(ValueError, match="undeclared AC Huffman"):
+        jpeg_decode(
+            jpg(_seg(0xDB, qt), _seg(0xC0, sof), _seg(0xC4, dht_dc), _seg(0xDA, sos))
+        )
+    # SOF references quantization table 1; only table 0 declared
+    sof_qt1 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 1])
+    with pytest.raises(ValueError, match="undeclared quantization"):
+        jpeg_decode(
+            jpg(
+                _seg(0xDB, qt),
+                _seg(0xC0, sof_qt1),
+                _seg(0xC4, dht_dc),
+                _seg(0xC4, dht_ac),
+                _seg(0xDA, sos),
+            )
+        )
+    # truncated DQT body (table cut mid-way)
+    with pytest.raises(ValueError, match="truncated JPEG DQT"):
+        jpeg_decode(jpg(_seg(0xDB, qt[:40]), _seg(0xC0, sof), _seg(0xDA, sos)))
+    # truncated DHT body (symbol list cut)
+    with pytest.raises(ValueError, match="truncated JPEG DHT"):
+        jpeg_decode(
+            jpg(_seg(0xDB, qt), _seg(0xC0, sof), _seg(0xC4, dht_dc[:20]), _seg(0xDA, sos))
+        )
+    # truncated SOF body (declares 3 components, carries 1)
+    sof_short = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3, 1, 0x11, 0])
+    with pytest.raises(ValueError, match="truncated JPEG SOF"):
+        jpeg_decode(jpg(_seg(0xDB, qt), _seg(0xC0, sof_short), _seg(0xDA, sos)))
+    # truncated DRI body
+    with pytest.raises(ValueError, match="truncated JPEG DRI"):
+        jpeg_decode(
+            jpg(_seg(0xDB, qt), _seg(0xC0, sof), _seg(0xDD, b"\x01"), _seg(0xDA, sos))
+        )
+    # truncated SOS body (declares 1 component, carries none)
+    with pytest.raises(ValueError, match="truncated JPEG SOS"):
+        jpeg_decode(jpg(_seg(0xDB, qt), _seg(0xC0, sof), _seg(0xDA, bytes([1]))))

@@ -1189,3 +1189,43 @@ def test_gif_truncation_and_oversized_frame_are_valueerrors():
     )
     with pytest.raises(ValueError, match="exceeds"):
         gif_decode_frames(bad_t)
+
+
+def test_png_palette_index_out_of_range_is_value_error():
+    # Round-6 advice: a palette PNG whose PLTE has fewer entries than the
+    # highest index used must raise the same descriptive ValueError the
+    # GIF path raises for the identical corruption — never a raw numpy
+    # IndexError from the lookup.
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import png_decode
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def build(plte_bytes, rows):
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            sig
+            + _png_chunk_raw(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+            + _png_chunk_raw(b"PLTE", plte_bytes)
+            + _png_chunk_raw(b"IDAT", zlib.compress(raw))
+            + _png_chunk_raw(b"IEND", b"")
+        )
+
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)  # 4-entry palette
+    rows_bad = [bytes([0, 1, 2, 3]), bytes([0, 0, 7, 0])]  # index 7 > 3
+    with pytest.raises(ValueError, match="palette index 7 out of range"):
+        png_decode(build(pal.tobytes(), rows_bad))
+
+    # malformed PLTE length (not a multiple of 3) is also descriptive
+    with pytest.raises(ValueError, match="PLTE length"):
+        png_decode(build(pal.tobytes()[:-1], rows_bad))
+
+    # in-range indices on the same small palette still decode
+    rows_ok = [bytes([0, 1, 2, 3]), bytes([3, 2, 1, 0])]
+    out = png_decode(build(pal.tobytes(), rows_ok))
+    assert np.array_equal(out[0], pal[[0, 1, 2, 3]])
+    assert np.array_equal(out[1], pal[[3, 2, 1, 0]])

@@ -247,6 +247,12 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
             while j < len(body):
                 precision, tid = body[j] >> 4, body[j] & 0x0F
                 j += 1
+                need = 128 if precision else 64
+                if j + need > len(body):
+                    raise ValueError(
+                        f"truncated JPEG DQT segment: table {tid} needs "
+                        f"{need} bytes, {len(body) - j} remain"
+                    )
                 if precision:
                     vals = np.frombuffer(body, ">u2", 64, offset=j)
                     j += 128
@@ -260,13 +266,37 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
             j = 0
             while j < len(body):
                 tclass, tid = body[j] >> 4, body[j] & 0x0F
+                if j + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment: bits list cut")
                 bits = list(body[j + 1 : j + 17])
                 count = sum(bits)
+                if j + 17 + count > len(body):
+                    raise ValueError(
+                        f"truncated JPEG DHT segment: table ({tclass},{tid}) "
+                        f"declares {count} symbols, "
+                        f"{len(body) - j - 17} remain"
+                    )
                 symbols = list(body[j + 17 : j + 17 + count])
                 huff[(tclass, tid)] = _decode_table(bits, symbols)
                 j += 17 + count
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF segment header")
+            if body[0] != 8:
+                # SOF1 legally carries 12-bit samples; decoding them
+                # through the 8-bit level-shift/clip path would return
+                # garbage pixels — raise honestly like the other
+                # unsupported-layout guards.
+                raise NotImplementedError(
+                    f"only 8-bit sample precision implemented "
+                    f"(SOF declares {body[0]}-bit)"
+                )
             h, w = struct.unpack(">HH", body[1:5])
+            if len(body) < 6 + 3 * body[5]:
+                raise ValueError(
+                    f"truncated JPEG SOF segment: {body[5]} components "
+                    f"declared, body holds {len(body)} bytes"
+                )
             comps = []
             for k in range(body[5]):
                 cid, samp, qid = body[6 + 3 * k : 9 + 3 * k]
@@ -287,8 +317,12 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
                 # (T.81 §A.2.2)
                 comps[0]["h"] = comps[0]["v"] = 1
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS segment")
             if body[0] != len(comps):
                 raise NotImplementedError(
                     "multi-scan (non-interleaved) baseline JPEG not implemented"
@@ -300,6 +334,25 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
                         c["dc"], c["ac"] = tids >> 4, tids & 0x0F
             if any("dc" not in c for c in comps):
                 raise ValueError("JPEG SOS references unknown component ids")
+            # corrupt-data-is-ValueError contract: a stream referencing
+            # tables it never declared must not surface as KeyError in
+            # the scan loop.
+            for c in comps:
+                if (0, c["dc"]) not in huff:
+                    raise ValueError(
+                        f"JPEG SOS references undeclared DC Huffman "
+                        f"table {c['dc']}"
+                    )
+                if (1, c["ac"]) not in huff:
+                    raise ValueError(
+                        f"JPEG SOS references undeclared AC Huffman "
+                        f"table {c['ac']}"
+                    )
+                if c["qt"] not in qts:
+                    raise ValueError(
+                        f"JPEG SOF references undeclared quantization "
+                        f"table {c['qt']}"
+                    )
             i = i + 2 + seg_len
             return _decode_scan(b, i, w, h, comps, qts, huff, restart_interval)
         i += 2 + seg_len

@@ -652,7 +652,10 @@ def png_decode(payload: bytes) -> "np.ndarray":
     five PNG filters — None/Sub/Up/Average/Paeth, spec §9). Supports every
     8-bit color type: truecolor (2), truecolor+alpha (6, alpha dropped),
     grayscale (0) and grayscale+alpha (4, replicated to RGB), and palette
-    (3, PLTE lookup). 16-bit depth and Adam7 interlace raise honestly.
+    (3, PLTE lookup — indices are validated against the table size; a
+    tRNS palette-transparency chunk is IGNORED, consistent with alpha
+    being dropped for color types 4/6). 16-bit depth and Adam7 interlace
+    raise honestly.
     Sub/Up defilter vectorized (per-channel cumsum / row add mod 256);
     Average/Paeth are sequentially data-dependent and run as plain-int
     row loops — libpng's adaptive filtering picks them on most rows of
@@ -751,8 +754,20 @@ def png_decode(payload: bytes) -> "np.ndarray":
     # palette
     if plte is None:
         raise ValueError("palette PNG without PLTE")
+    if len(plte) % 3:
+        raise ValueError(f"PNG PLTE length {len(plte)} not a multiple of 3")
     pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-    return np.ascontiguousarray(pal[px[:, :, 0]])
+    idx = px[:, :, 0]
+    top = int(idx.max()) if idx.size else -1
+    if top >= len(pal):
+        # same corrupt-data contract as gif_decode_frames: an index past
+        # the palette is a descriptive ValueError, never a numpy
+        # IndexError surfacing from the lookup below
+        raise ValueError(
+            f"PNG palette index {top} out of range for "
+            f"{len(pal)}-entry PLTE"
+        )
+    return np.ascontiguousarray(pal[idx])
 
 
 def _jpeg_decode(payload: bytes) -> "np.ndarray":

@@ -39,6 +39,42 @@ def pushed_filters(plan: str | DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
+def plan_fingerprint(plan: str | DataFrame) -> str:
+    """Stable 12-hex-char fingerprint of a physical plan's SHAPE.
+
+    Canonicalizes the ``explain("formatted")`` text by stripping every
+    run-varying token — expression ids (``col#123``), node/plan ids,
+    codegen stage ids, cached-relation object addresses — so the same
+    logical query compiled in two different sessions (or rounds) hashes
+    identically, while any real plan change (an extra exchange, a join
+    strategy flip, a lost pushed filter) changes the hash.
+
+    Purpose (round-5 verdict item 2): ``bench.py`` records this next to
+    each query's timing, making the noise-vs-regression adjudication
+    mechanical — three straight rounds produced phantom slowdowns from
+    shared-host scheduler stalls (q17/q21 in r5, f2/g2 in r4) that each
+    cost a manual plan-diff audit. Rule: timing moved but ``plan_hash``
+    unchanged ⇒ host noise; ``plan_hash`` changed ⇒ a real plan change
+    to audit.
+    """
+    import hashlib
+
+    if isinstance(plan, DataFrame):
+        plan = formatted_plan(plan)
+    canon = plan
+    canon = re.sub(r"#\d+", "#", canon)              # expression ids
+    canon = re.sub(r"^\(\d+\)", "()", canon, flags=re.M)  # node numbers
+    canon = re.sub(r"\[plan_id=\d+\]", "", canon)    # exchange/subquery ids
+    canon = re.sub(r"\[id=#?\d*\]", "", canon)
+    canon = re.sub(r"subquery\d+", "subquery", canon)
+    canon = re.sub(r"cte\d+", "cte", canon)
+    canon = re.sub(r"codegen id : \d+", "codegen", canon)
+    canon = re.sub(r"0x[0-9a-f]+", "0x", canon)      # object addresses
+    # InMemoryFileIndex elides long path lists nondeterministically
+    canon = re.sub(r"\[[^\]]*\.\.\. \d+ entries\]", "[paths]", canon)
+    return hashlib.md5(canon.encode()).hexdigest()[:12]
+
+
 def hash_exchange_keys(plan: str | DataFrame) -> list[tuple[str, ...]]:
     """The FULL key tuple of every ``hashpartitioning`` exchange in the
     plan, in order of appearance. A single-group regex like
