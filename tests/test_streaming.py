@@ -8,6 +8,8 @@ from __future__ import annotations
 import datetime as dt
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.fixtures import sensor_readings
@@ -978,3 +980,284 @@ def test_kafka_broker_smoke(spark, tmp_path):
     got = {r["sensor_id"]: r for r in spark.read.parquet(out).collect()}
     assert len(got) == len({r["sensor_id"] for r in rows})
     assert sum(1 for _ in spark.read.parquet(out).collect()) == len(rows)
+
+
+def _state_rows(q):
+    p = q.lastProgress
+    if not p or not p.get("stateOperators"):
+        return None
+    return p["stateOperators"][0]["numRowsTotal"]
+
+
+def _await_state_rows(q, want, timeout=60):
+    import time as _time
+
+    deadline = _time.time() + timeout
+    seen = None
+    while _time.time() < deadline:
+        seen = _state_rows(q)
+        if seen == want:
+            return seen
+        _time.sleep(0.5)
+    return seen
+
+
+def test_cep_state_ttl_evicts_silent_keys_without_changing_matches(
+    spark, tmp_path
+):
+    """Round-5 verdict item 3: with NoTimeout a churning key space grows
+    CEP state without bound. state_ttl evicts silent keys' state; in
+    processing-time mode that is semantics-free (after ttl >= within of
+    silence, any future arrival-ordered row is past the WITHIN bound, so
+    the candidate could never complete) — so matches must be identical to
+    the no-TTL run while the state row count SHRINKS."""
+    import time as _time
+
+    base = 1_700_000_000_000  # ms
+    # s2: one complete ERROR-OK-ERROR match, then a trailing re-anchored
+    # candidate that can never complete once the key goes silent
+    s2 = [
+        {"sensor_id": "s2", "event_time": base, "status": "ERROR", "temperature": 1.0},
+        {"sensor_id": "s2", "event_time": base + 100, "status": "OK", "temperature": 2.0},
+        {"sensor_id": "s2", "event_time": base + 200, "status": "ERROR", "temperature": 3.0},
+        {"sensor_id": "s2", "event_time": base + 300, "status": "ERROR", "temperature": 4.0},
+    ]
+    s1a = [
+        {"sensor_id": "s1", "event_time": base, "status": "ERROR", "temperature": 5.0},
+        {"sensor_id": "s1", "event_time": base + 100, "status": "OK", "temperature": 6.0},
+    ]
+    # phase-2 rows for s1 only (s2 stays silent past the TTL). Event times
+    # are arrival-consistent (~3 s later), as processing-time semantics
+    # guarantee — so s1's phase-1 candidate is past WITHIN by the data
+    # clock too, and eviction is observably a no-op; the fresh full match
+    # proves the re-armed key still works.
+    s1b = [
+        {"sensor_id": "s1", "event_time": base + 3000, "status": "ERROR", "temperature": 7.0},
+        {"sensor_id": "s1", "event_time": base + 3100, "status": "OK", "temperature": 8.0},
+        {"sensor_id": "s1", "event_time": base + 3200, "status": "ERROR", "temperature": 9.0},
+    ]
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("b0.json", s2 + s1a)
+    typed = read_json_stream(spark, str(src), max_files_per_trigger=1).select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+    matches = match_error_pattern_stream(
+        typed,
+        within="INTERVAL 1 SECOND",
+        state_ttl="INTERVAL 2 SECONDS",
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_ttl")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        assert _await_state_rows(q, 2) == 2  # both keys hold state
+        # let the TTL lapse while both keys are silent: no-data batches
+        # fire the processing-time timeouts and evict BOTH state rows
+        assert _await_state_rows(q, 0) == 0
+        write_batch("b1.json", s1b)  # s1 resumes; s2 stays silent
+        assert _await_state_rows(q, 1) == 1  # s1 re-armed
+        # wait for s1's fresh match to land before stopping
+        deadline = _time.time() + 60
+        while (
+            spark.table("cep_ttl").filter(F.col("sensor_id") == "s1").count() == 0
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = sorted(tuple(r) for r in spark.table("cep_ttl").collect())
+    # the no-TTL semantics over the same rows: batch operator on the union
+    batch_df = spark.createDataFrame(
+        [
+            (
+                r["sensor_id"],
+                dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0),
+                r["status"],
+                r["temperature"],
+            )
+            for r in s2 + s1a + s1b
+        ],
+        "sensor_id string, time timestamp, status string, temperature double",
+    )
+    want = sorted(
+        tuple(r)
+        for r in match_error_pattern(batch_df, within="INTERVAL 1 SECOND").collect()
+    )
+    assert got == want and len(got) >= 2  # s2's match AND s1's match
+
+
+def test_cep_state_ttl_shorter_than_within_rejected(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text("")
+    typed = read_json_stream(spark, str(src)).select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+    with pytest.raises(ValueError, match="state_ttl"):
+        match_error_pattern_stream(
+            typed, within="INTERVAL 1 MINUTE", state_ttl="INTERVAL 30 SECONDS"
+        )
+
+
+def test_cep_event_time_ttl_flushes_stranded_reorder_buffer(spark, tmp_path):
+    """Event-time mode strands a silent key's reorder buffer: the frontier
+    never advances past its own rows, so a complete match sits unemitted
+    forever. TTL eviction must FLUSH the buffer through the NFA (emit the
+    stranded match), then drop the state."""
+    import time as _time
+
+    base = 1_700_000_000_000
+    s2 = [
+        {"sensor_id": "s2", "event_time": base, "status": "ERROR", "temperature": 1.0},
+        {"sensor_id": "s2", "event_time": base + 100, "status": "OK", "temperature": 2.0},
+        {"sensor_id": "s2", "event_time": base + 200, "status": "ERROR", "temperature": 3.0},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in s2:
+            f.write(json.dumps(r) + "\n")
+
+    typed = read_json_stream(spark, str(src), max_files_per_trigger=1).select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+    matches = match_error_pattern_stream(
+        typed,
+        within="INTERVAL 1 SECOND",
+        allowed_lateness="INTERVAL 1 SECOND",
+        state_ttl="INTERVAL 3 SECONDS",
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_ttl_et")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        assert _await_state_rows(q, 1) == 1  # buffer held, match stranded
+        assert spark.table("cep_ttl_et").count() == 0
+        _time.sleep(3.5)
+        assert _await_state_rows(q, 0) == 0  # evicted after the TTL
+        rows = spark.table("cep_ttl_et").collect()
+        assert len(rows) == 1 and rows[0]["sensor_id"] == "s2"
+        assert rows[0]["history"] == "OK"  # the flushed stranded match
+    finally:
+        q.stop()
+
+
+def test_smoother_state_ttl_evicts_silent_keys_outputs_unchanged(
+    spark, tmp_path
+):
+    """EWMA/Holt silent-key eviction: state row count shrinks, but every
+    emitted row is identical to the no-TTL run for keys that never resume
+    (each emission already carries the full accumulator, so the last row
+    is the evicted key's durable checkpoint)."""
+    import time as _time
+
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        ewma_stream,
+        holt_stream,
+    )
+
+    base = 1_700_000_000_000
+    phase1 = [
+        {"sensor_id": k, "event_time": base + i * 100, "temperature": float(v)}
+        for k, vals in {"a": [1, 2, 3], "b": [10, 20]}.items()
+        for i, v in enumerate(vals)
+    ]
+    phase2 = [
+        {"sensor_id": "a", "event_time": base + 1000, "temperature": 4.0},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in phase1:
+            f.write(json.dumps(r) + "\n")
+
+    out = ewma_stream(
+        read_json_stream(spark, str(src), max_files_per_trigger=1).select(
+            "sensor_id", "event_time", "temperature"
+        ),
+        alpha=0.2,
+        time_col="event_time",
+        state_ttl="INTERVAL 2 SECONDS",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_ttl")
+        .outputMode("update")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        assert _await_state_rows(q, 2) == 2
+        # TTL lapses for both silent keys -> both accumulators evicted
+        assert _await_state_rows(q, 0) == 0
+        with open(src / "b1.json", "w") as f:
+            for r in phase2:
+                f.write(json.dumps(r) + "\n")
+        assert _await_state_rows(q, 1) == 1  # a re-armed post-eviction
+        deadline = _time.time() + 60
+        while (
+            spark.table("ewma_ttl").filter(F.col("n_obs") == 1).count() == 0
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows_by_key = {}
+    for r in spark.table("ewma_ttl").collect():
+        rows_by_key.setdefault(r["sensor_id"], set()).add((r["n_obs"], r["ewma"]))
+    # b (never resumed): emissions identical to the no-TTL fold over its
+    # rows — the last one is its durable checkpoint
+    assert rows_by_key["b"] == {(2, 0.2 * 20.0 + 0.8 * 10.0)}
+    # a: phase-1 fold of [1,2,3], then the documented stale-smoother
+    # reset — the evicted key restarts its fold at phase-2's first value
+    assert (3, 0.2 * 3.0 + 0.8 * (0.2 * 2.0 + 0.8 * 1.0)) in rows_by_key["a"]
+    assert (1, 4.0) in rows_by_key["a"]
+
+    # Holt twin: same eviction contract, smoke the wiring only
+    out_h = holt_stream(
+        read_json_stream(spark, str(src), max_files_per_trigger=1).select(
+            "sensor_id", "event_time", "temperature"
+        ),
+        time_col="event_time",
+        state_ttl="INTERVAL 2 SECONDS",
+    )
+    qh = (
+        out_h.writeStream.format("memory")
+        .queryName("holt_ttl")
+        .outputMode("update")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        # both keys fold b0+b1 in-place, then go silent -> full eviction
+        assert _await_state_rows(qh, 0, timeout=90) == 0
+    finally:
+        qh.stop()
+    assert spark.table("holt_ttl").count() > 0

@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _ttl_millis(state_ttl: str | None) -> int | None:
+    if state_ttl is None:
+        return None
+    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+
+    return _interval_micros(state_ttl) // 1000
+
+
+def _timeout_conf(ttl_ms: int | None) -> str:
+    return (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+
 EWMA_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("sensor_id", T.StringType()),
@@ -50,15 +66,31 @@ def ewma_stream(
     key: str = "sensor_id",
     time_col: str = "time",
     value_col: str = "temperature",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Continuously maintained per-key EWMA; emits the running
     ``(key, n_obs, ewma)`` once per key per micro-batch that carried rows
-    for it."""
+    for it.
+
+    ``state_ttl`` (an interval string) evicts the accumulator of keys
+    silent for that long, bounding total state under key churn. Every
+    emitted row carries the FULL accumulator ``(n_obs, ewma)``, so the
+    last output row for an evicted key is its durable checkpoint; if the
+    key later resumes, the fold restarts from its first new observation
+    (the standard stale-smoother reset — after a silence that long the
+    old level is stale by construction). Keys that never resume produce
+    identical output with or without a TTL.
+    """
+
+    ttl_ms = _ttl_millis(state_ttl)
 
     def process(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (key_value,) = key_tuple
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         n, acc = state.get if state.exists else (0, None)
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col, kind="mergesort")
@@ -68,6 +100,8 @@ def ewma_stream(
                 n += 1
         if n:
             state.update((n, acc))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame(
                 {"sensor_id": [key_value], "n_obs": [n], "ewma": [acc]}
             )
@@ -77,7 +111,7 @@ def ewma_stream(
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(ttl_ms),
     )
 
 
@@ -106,16 +140,24 @@ def holt_stream(
     key: str = "sensor_id",
     time_col: str = "time",
     value_col: str = "temperature",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Continuously maintained Holt level+trend per key (the streaming twin
     of ``queries.analytics_holt``) — state is one (count, level, trend)
     triple, same ordered-replay bit-exactness contract as
-    :func:`ewma_stream`."""
+    :func:`ewma_stream`, and the same ``state_ttl`` silent-key eviction
+    (emitted rows carry the full accumulator; an evicted key restarts its
+    fold on resume)."""
+
+    ttl_ms = _ttl_millis(state_ttl)
 
     def process(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (key_value,) = key_tuple
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         n, l, b = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col, kind="mergesort")
@@ -130,6 +172,8 @@ def holt_stream(
                 n += 1
         if n:
             state.update((n, l, b))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame(
                 {
                     "sensor_id": [key_value],
@@ -144,5 +188,5 @@ def holt_stream(
         outputStructType=HOLT_OUTPUT_SCHEMA,
         stateStructType=HOLT_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(ttl_ms),
     )

@@ -121,6 +121,7 @@ def _advance_key(
     within_us: int,
     round_avg: int,
     lateness_us: int | None,
+    flush: bool = False,
 ) -> tuple[tuple, list[dict]]:
     """Feed one micro-batch's rows for one key through the NFA.
 
@@ -129,6 +130,11 @@ def _advance_key(
     from ``state_tuple``, applies the ordering policy (arrival-order sort vs
     event-time frontier release), steps the NFA, and returns the new state
     tuple plus emitted matches.
+
+    ``flush=True`` (state-TTL eviction of a silent key) advances the
+    event-time frontier to infinity: every buffered row feeds the NFA in
+    event-time order so matches stranded in the reorder buffer are emitted
+    rather than discarded with the state.
     """
     if state_tuple is not None:
         st = state_tuple
@@ -147,7 +153,10 @@ def _advance_key(
             for t, s, v in zip(times_us, pdf[status_col], pdf[value_col], strict=True)
         ]
 
-    if lateness_us is None:
+    if flush:
+        ready = sorted(pending + rows)
+        pending = []
+    elif lateness_us is None:
         ready = sorted(rows)
     else:
         pending.extend(rows)
@@ -211,6 +220,7 @@ def match_error_pattern_stream(
     within: str = "INTERVAL 1 MINUTE",
     round_avg: int = 2,
     allowed_lateness: str | None = None,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Continuous ``(A B{min_b,max_b} C) WITHIN within`` over a keyed stream
     (T2-T5), emitting the CEP record shape in append mode (T6).
@@ -225,16 +235,62 @@ def match_error_pattern_stream(
     Rows later than the bound are processed best-effort on arrival (the
     open-retention-window behavior, T11). Buffer size is bounded by the
     lateness window, not stream length.
+
+    ``state_ttl`` (an interval string, must be >= ``within`` +
+    ``allowed_lateness``) evicts the state of keys that go SILENT for that
+    long — without it, a churning key space (sensors coming and going)
+    grows total state without bound, the one unbounded resource in this
+    operator. Eviction is semantics-free for the candidate: after
+    ``state_ttl`` of wall-clock silence any future arrival-ordered row is
+    past the WITHIN bound, so the candidate could never complete anyway.
+    In event-time mode the reorder buffer is FLUSHED through the NFA on
+    eviction (frontier advances to infinity), so matches a silent key had
+    stranded are emitted, not lost; if the key later resumes it restarts
+    with a fresh frontier (resumed rows older than the flushed buffer
+    would have been late/best-effort regardless).
     """
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
     within_us = _interval_micros(within)
     lateness_us = _interval_micros(allowed_lateness) if allowed_lateness else None
+    ttl_ms: int | None = None
+    if state_ttl is not None:
+        ttl_us = _interval_micros(state_ttl)
+        if ttl_us < within_us + (lateness_us or 0):
+            raise ValueError(
+                f"state_ttl {state_ttl!r} is shorter than within"
+                f"{' + allowed_lateness' if lateness_us else ''} — eviction "
+                f"would drop candidates that could still complete"
+            )
+        ttl_ms = ttl_us // 1000
 
     def process(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (key_value,) = key_tuple
+        if ttl_ms is not None and state.hasTimedOut:
+            # silent-key eviction: flush the reorder buffer (event-time
+            # mode) so stranded matches emit, then drop the state row
+            st = state.get if state.exists else None
+            if st is not None and lateness_us is not None and st[4]:
+                _, out = _advance_key(
+                    st,
+                    iter(()),
+                    time_col,
+                    status_col,
+                    value_col,
+                    error_value,
+                    min_b,
+                    max_b,
+                    within_us,
+                    round_avg,
+                    lateness_us,
+                    flush=True,
+                )
+                if out:
+                    yield _matches_frame(out, key, key_value)
+            state.remove()
+            return
         new_state, out = _advance_key(
             state.get if state.exists else None,
             pdfs,
@@ -249,6 +305,8 @@ def match_error_pattern_stream(
             lateness_us,
         )
         state.update(new_state)
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out:
             yield _matches_frame(out, key, key_value)
 
@@ -257,7 +315,11 @@ def match_error_pattern_stream(
         outputStructType=CEP_OUTPUT_SCHEMA,
         stateStructType=CEP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
