@@ -171,3 +171,60 @@ def test_streaming_rollup_maintenance_equals_batch(spark, raw, tmp_path):
     got = {tuple(r) for r in serve_stats(maintained, ["sensor_id"]).collect()}
     want = {tuple(r) for r in serve_stats(full, ["sensor_id"]).collect()}
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "fail_point", ["after_stage", "mid_install", "after_install"]
+)
+def test_sink_crash_replay_never_double_counts(spark, raw, tmp_path, fail_point):
+    """Round-5 verdict item 4: the old sink wrote its batch marker AFTER
+    the partition overwrite, so a crash between the two double-counted the
+    batch on replay. The staged-commit protocol must replay every crash
+    point into the exact full-materialization state."""
+    from time_series_and_data_lakes_spark.operators import rollup as R
+
+    src = str(tmp_path / "raw_stream")
+    for part in raw.randomSplit([1.0, 1.0], seed=7):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    path = str(tmp_path / "hourly_stream")
+    ckpt = str(tmp_path / "rckpt")
+    args = (path, ["sensor_id"], "time", "1 hour", "temperature", ckpt)
+
+    # run 1: crash injected at the chosen protocol transition
+    R._FAIL_POINT = fail_point
+    try:
+        q = R.start_rollup_refresh_sink(stream(), *args)
+        with pytest.raises(Exception, match="injected rollup-sink crash"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    except Exception as e:  # streaming wraps the foreachBatch error
+        assert "injected rollup-sink crash" in str(e)
+    finally:
+        R._FAIL_POINT = None
+        for active in spark.streams.active:
+            active.stop()
+
+    # run 2: replay from the checkpoint with no fault — the crashed batch
+    # re-runs (same batch id) and must install, not re-fold
+    q2 = R.start_rollup_refresh_sink(stream(), *args)
+    q2.awaitTermination(180)
+
+    maintained = read_rollup(spark, path)
+    full = rollup_partials(raw, ["sensor_id"], "time", "1 hour", "temperature")
+    got = {tuple(r) for r in serve_stats(maintained, ["sensor_id"]).collect()}
+    want = {tuple(r) for r in serve_stats(full, ["sensor_id"]).collect()}
+    assert got == want
+    # protocol leftovers are cleaned: no staging dirs, no staged markers
+    import os
+
+    assert not [d for d in os.listdir(path) if d.startswith(".staging")]
+    staged_dir = os.path.join(ckpt, "staged_batches")
+    assert not os.path.isdir(staged_dir) or not os.listdir(staged_dir)
