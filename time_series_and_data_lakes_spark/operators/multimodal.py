@@ -53,6 +53,7 @@ unchanged.
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -803,6 +804,79 @@ _PIXEL_CODECS = {
     "jpg": (_jpeg_decode, _jpeg_encode),
 }
 
+# Optional accelerated backend (round-5 verdict item 5): the pure
+# numpy/stdlib codecs above are the REFERENCE implementation — complete,
+# deterministic, and what every oracle-gated query pins. Their honest cost
+# is throughput (~1-2 s/720p JPEG interpreted); at 100 TB a native decoder
+# is the difference between feasible and not. When PIL is installed, the
+# same (decode, encode) API can be served by it:
+#
+#   TSDL_CODEC_BACKEND=pure    (default) pure codecs only — bit-determinism
+#   TSDL_CODEC_BACKEND=auto    native where available, pure otherwise
+#   TSDL_CODEC_BACKEND=native  native required; raises if PIL is absent
+#
+# The env var is read per-process, so it propagates to executor Python
+# workers in local mode and via spark.executorEnv on a cluster. The
+# cross-validation contract (tests/test_multimodal.py, skipped unless PIL
+# is installed): identical dimensions everywhere; bit-identical pixels for
+# the lossless codecs (bmp/ppm/png/gif frames); bounded per-sample deltas
+# for JPEG, whose spec fixes the bitstream, not the IDCT rounding.
+
+
+def _native_codecs() -> dict:
+    """PIL-backed (decode, encode) pairs per codec; {} when PIL is absent.
+    Decodes convert to RGB uint8 (alpha dropped / palette resolved /
+    grayscale replicated) — the same output contract as the pure codecs."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return {}
+    import io
+
+    save_fmt = {
+        "bmp": "BMP",
+        "ppm": "PPM",
+        "png": "PNG",
+        "gif": "GIF",
+        "jpeg": "JPEG",
+        "jpg": "JPEG",
+    }
+
+    def make(fmt: str):
+        def dec(payload: bytes) -> "np.ndarray":
+            im = Image.open(io.BytesIO(bytes(payload)))
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+        def enc(arr: "np.ndarray") -> bytes:
+            buf = io.BytesIO()
+            Image.fromarray(np.ascontiguousarray(arr), "RGB").save(
+                buf, format=save_fmt[fmt]
+            )
+            return buf.getvalue()
+
+        return dec, enc
+
+    return {fmt: make(fmt) for fmt in save_fmt}
+
+
+def active_pixel_codecs() -> dict:
+    """The (decode, encode) registry the pixel operators dispatch on,
+    honoring ``TSDL_CODEC_BACKEND`` (see the backend note above)."""
+    backend = os.environ.get("TSDL_CODEC_BACKEND", "pure")
+    if backend == "pure":
+        return _PIXEL_CODECS
+    native = _native_codecs()
+    if backend == "native" and not native:
+        raise RuntimeError(
+            "TSDL_CODEC_BACKEND=native but PIL is not installed; "
+            "use 'auto' to fall back to the pure codecs"
+        )
+    if backend not in ("auto", "native"):
+        raise ValueError(
+            f"TSDL_CODEC_BACKEND must be pure/auto/native, got {backend!r}"
+        )
+    return {**_PIXEL_CODECS, **native}
+
 
 def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
     """Container-header decode. PNG/JPEG/GIF dimension parsing is REAL
@@ -904,9 +978,11 @@ def _transcode_resize(payload: bytes, codec: str, max_width: int, max_height: in
     get a REAL pixel transcode (decode -> :func:`nn_resize` -> re-encode,
     same codec — every codec registered in ``_PIXEL_CODECS``, which is
     now every image format: bmp/ppm/png/gif/jpeg); ``tsdl-fake`` gets
-    the header rewrite; compressed AV codecs need ffmpeg and raise."""
-    if codec in _PIXEL_CODECS:
-        decode, encode = _PIXEL_CODECS[codec]
+    the header rewrite; compressed AV codecs need ffmpeg and raise.
+    Dispatch honors ``TSDL_CODEC_BACKEND`` (:func:`active_pixel_codecs`)."""
+    codecs = active_pixel_codecs()
+    if codec in codecs:
+        decode, encode = codecs[codec]
         arr = decode(bytes(payload))
         h, w = arr.shape[:2]
         nw, nh = _resize_dims(w, h, max_width, max_height)
@@ -965,13 +1041,14 @@ def pixel_stats(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             widths, heights, sums, sizes = [], [], [], []
+            codecs = active_pixel_codecs()
             for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
-                if c not in _PIXEL_CODECS:
+                if c not in codecs:
                     raise NotImplementedError(
                         f"pixel_stats needs a pixel codec "
-                        f"({'/'.join(sorted(_PIXEL_CODECS))}), got {c!r}"
+                        f"({'/'.join(sorted(codecs))}), got {c!r}"
                     )
-                arr = _PIXEL_CODECS[c][0](bytes(p))
+                arr = codecs[c][0](bytes(p))
                 widths.append(arr.shape[1])
                 heights.append(arr.shape[0])
                 sums.append(int(arr.sum(dtype=np.int64)))
