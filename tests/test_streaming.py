@@ -1261,3 +1261,67 @@ def test_smoother_state_ttl_evicts_silent_keys_outputs_unchanged(
     finally:
         qh.stop()
     assert spark.table("holt_ttl").count() > 0
+
+
+def test_tws_state_ttl_validation_and_native_ttl_run(spark, tmp_path):
+    """TWS binding's state_ttl: maps to the store's NATIVE ValueState TTL
+    (no eviction callback), so (a) combining it with allowed_lateness is
+    rejected (a stranded reorder buffer could not be flushed), (b) a TTL
+    shorter than WITHIN is rejected, and (c) with a valid TTL the operator
+    still produces exactly the batch matches on a prompt replay."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires protobuf")
+    from time_series_and_data_lakes_spark.streaming import match_error_pattern_tws
+
+    rows = sensor_readings(seed=2, sensors=4, span_seconds=90)
+    src = _write_json_batches(tmp_path, rows, n_batches=3)
+    typed = read_json_stream(spark, src, max_files_per_trigger=1).select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+
+    with pytest.raises(ValueError, match="allowed_lateness"):
+        match_error_pattern_tws(
+            typed,
+            within="INTERVAL 1 MINUTE",
+            allowed_lateness="INTERVAL 10 SECONDS",
+            state_ttl="INTERVAL 5 MINUTES",
+        )
+    with pytest.raises(ValueError, match="shorter than within"):
+        match_error_pattern_tws(
+            typed, within="INTERVAL 1 MINUTE", state_ttl="INTERVAL 10 SECONDS"
+        )
+
+    matches = match_error_pattern_tws(
+        typed, within="INTERVAL 1 MINUTE", state_ttl="INTERVAL 10 MINUTES"
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_tws_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table("cep_tws_ttl").collect())
+    batch_df = spark.createDataFrame(
+        [
+            (
+                r["sensor_id"],
+                dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0),
+                r["status"],
+                r["temperature"],
+            )
+            for r in rows
+        ],
+        "sensor_id string, time timestamp, status string, temperature double",
+    )
+    want = sorted(
+        tuple(r)
+        for r in match_error_pattern(batch_df, within="INTERVAL 1 MINUTE").collect()
+    )
+    assert got == want and len(got) > 0

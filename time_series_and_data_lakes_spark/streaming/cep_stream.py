@@ -343,6 +343,7 @@ class _ErrorPatternProcessor(StatefulProcessor):
         within_us: int,
         round_avg: int,
         lateness_us: int | None,
+        ttl_ms: int | None = None,
     ) -> None:
         self._args = (
             time_col,
@@ -356,9 +357,14 @@ class _ErrorPatternProcessor(StatefulProcessor):
             lateness_us,
         )
         self._key = key
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._state = handle.getValueState("cep_candidate", CEP_STATE_SCHEMA)
+        # ttlDurationMs engages the store's native state TTL (requires
+        # timeMode ProcessingTime); None keeps the data-clock-only mode
+        self._state = handle.getValueState(
+            "cep_candidate", CEP_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
 
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
@@ -385,11 +391,22 @@ def match_error_pattern_tws(
     within: str = "INTERVAL 1 MINUTE",
     round_avg: int = 2,
     allowed_lateness: str | None = None,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """:func:`match_error_pattern_stream` on the ``transformWithStateInPandas``
     API — identical semantics and output schema, state in the typed
     ValueState store (RocksDB-backed on a cluster, so per-key state scales
     past executor memory).
+
+    ``state_ttl`` maps to the API's NATIVE ValueState TTL (and flips
+    ``timeMode`` to ProcessingTime, which the TTL machinery requires) —
+    silent keys' candidates are evicted by the store itself. Native TTL
+    has no eviction callback, so it cannot flush a stranded reorder
+    buffer; combining it with ``allowed_lateness`` is therefore rejected
+    — event-time streams that need bounded state should use
+    :func:`match_error_pattern_stream`, whose timeout handler flushes.
+    Like there, ``state_ttl`` must be >= ``within`` so eviction only
+    drops candidates that could never complete.
 
     Requires ``protobuf`` at runtime (the API's state-server protocol);
     environments without it should use :func:`match_error_pattern_stream`,
@@ -408,6 +425,22 @@ def match_error_pattern_tws(
     provider must not be restarted in the same session afterwards (Spark
     forbids changing the provider across restarts)."""
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+
+    ttl_ms: int | None = None
+    if state_ttl is not None:
+        if allowed_lateness is not None:
+            raise ValueError(
+                "state_ttl with allowed_lateness is not supported on the "
+                "transformWithState binding (native TTL cannot flush the "
+                "reorder buffer on eviction) — use match_error_pattern_stream"
+            )
+        ttl_us = _interval_micros(state_ttl)
+        if ttl_us < _interval_micros(within):
+            raise ValueError(
+                f"state_ttl {state_ttl!r} is shorter than within — eviction "
+                f"would drop candidates that could still complete"
+            )
+        ttl_ms = ttl_us // 1000
 
     _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
     _HDFS_DEFAULT = (
@@ -440,10 +473,13 @@ def match_error_pattern_tws(
         _interval_micros(within),
         round_avg,
         _interval_micros(allowed_lateness) if allowed_lateness else None,
+        ttl_ms,
     )
     return stream.groupBy(key).transformWithStateInPandas(
         statefulProcessor=processor,
         outputStructType=CEP_OUTPUT_SCHEMA,
         outputMode="append",
-        timeMode="None",
+        # the WITHIN bound expires candidates from the data clock (replay-
+        # deterministic); ProcessingTime is engaged only for native TTL
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
