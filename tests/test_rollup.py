@@ -174,7 +174,8 @@ def test_streaming_rollup_maintenance_equals_batch(spark, raw, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "fail_point", ["after_stage", "mid_install", "after_install"]
+    "fail_point",
+    ["mid_stage", "after_stage", "mid_install", "after_install", "before_cleanup"],
 )
 def test_sink_crash_replay_never_double_counts(spark, raw, tmp_path, fail_point):
     """Round-5 verdict item 4: the old sink wrote its batch marker AFTER

@@ -225,9 +225,9 @@ def refresh_rollup(
 
 
 # Fault-injection hook for the staged-commit protocol below. Tests set it
-# to one of "after_stage" / "mid_install" / "after_install" to simulate a
-# crash at that point; foreachBatch runs on the driver, so a monkeypatched
-# value is visible to the sink.
+# to one of "mid_stage" / "after_stage" / "mid_install" / "after_install"
+# / "before_cleanup" to simulate a crash at that transition; foreachBatch
+# runs on the driver, so a monkeypatched value is visible to the sink.
 _FAIL_POINT: str | None = None
 
 
@@ -290,6 +290,16 @@ def _apply_batch(
         # partial staging output from a crash mid-stage
         if fs.exists(staging):
             fs.delete(staging, True)
+        # a bootstrap batch that crashed mid-stage leaves `path` holding
+        # ONLY hidden debris (the staging dir / _SUCCESS) — no committed
+        # data. Remove the husk so the existing-level read sees the
+        # not-yet-created store, not an uninferrable empty directory.
+        ppath = hpath(path)
+        if fs.exists(ppath) and not any(
+            not s.getPath().getName().startswith((".", "_"))
+            for s in fs.listStatus(ppath)
+        ):
+            fs.delete(ppath, True)
         merged = _merged_level(
             spark, batch_df, path, keys, time_col, step, value_col
         )
@@ -297,6 +307,7 @@ def _apply_batch(
             fs.create(applied, True).close()
             return
         merged.write.mode("overwrite").partitionBy("date").parquet(str(staging))
+        _maybe_fail("mid_stage")  # staging written, marker not yet
         fs.create(staged, True).close()
     _maybe_fail("after_stage")
 
@@ -314,6 +325,7 @@ def _apply_batch(
     _maybe_fail("after_install")
 
     fs.create(applied, True).close()
+    _maybe_fail("before_cleanup")  # applied recorded, leftovers remain
     fs.delete(staging, True)
     fs.delete(staged, False)
 
