@@ -989,17 +989,29 @@ def _state_rows(q):
     return p["stateOperators"][0]["numRowsTotal"]
 
 
-def _await_state_rows(q, want, timeout=60):
+def _await_state_rows(q, want, timeout=60, after_batch=-1):
+    """Wait until some micro-batch with batchId > ``after_batch`` reports
+    ``want`` state rows; returns that batchId (None on timeout). Scans the
+    full recentProgress history, not just lastProgress: a multi-second
+    host stall (the VM's documented noise mode) can let a later batch
+    overwrite the observation window between polls, which must not read
+    as a miss of a value the query really passed through. Chaining via
+    ``after_batch`` keeps the observations ordered, so awaiting a
+    DECREASE cannot false-positive on an early empty batch."""
     import time as _time
 
     deadline = _time.time() + timeout
-    seen = None
     while _time.time() < deadline:
-        seen = _state_rows(q)
-        if seen == want:
-            return seen
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if (
+                p.get("batchId", -1) > after_batch
+                and ops
+                and ops[0]["numRowsTotal"] == want
+            ):
+                return p["batchId"]
         _time.sleep(0.5)
-    return seen
+    return None
 
 
 def test_cep_state_ttl_evicts_silent_keys_without_changing_matches(
@@ -1065,12 +1077,14 @@ def test_cep_state_ttl_evicts_silent_keys_without_changing_matches(
         .start()
     )
     try:
-        assert _await_state_rows(q, 2) == 2  # both keys hold state
+        b_held = _await_state_rows(q, 2)  # both keys hold state
+        assert b_held is not None
         # let the TTL lapse while both keys are silent: no-data batches
         # fire the processing-time timeouts and evict BOTH state rows
-        assert _await_state_rows(q, 0) == 0
+        b_evicted = _await_state_rows(q, 0, after_batch=b_held)
+        assert b_evicted is not None
         write_batch("b1.json", s1b)  # s1 resumes; s2 stays silent
-        assert _await_state_rows(q, 1) == 1  # s1 re-armed
+        assert _await_state_rows(q, 1, after_batch=b_evicted) is not None  # s1 re-armed
         # wait for s1's fresh match to land before stopping
         deadline = _time.time() + 60
         while (
@@ -1157,10 +1171,10 @@ def test_cep_event_time_ttl_flushes_stranded_reorder_buffer(spark, tmp_path):
         .start()
     )
     try:
-        assert _await_state_rows(q, 1) == 1  # buffer held, match stranded
+        b_held = _await_state_rows(q, 1)  # buffer held, match stranded
+        assert b_held is not None
         assert spark.table("cep_ttl_et").count() == 0
-        _time.sleep(3.5)
-        assert _await_state_rows(q, 0) == 0  # evicted after the TTL
+        assert _await_state_rows(q, 0, after_batch=b_held) is not None  # evicted
         rows = spark.table("cep_ttl_et").collect()
         assert len(rows) == 1 and rows[0]["sensor_id"] == "s2"
         assert rows[0]["history"] == "OK"  # the flushed stranded match
@@ -1213,13 +1227,17 @@ def test_smoother_state_ttl_evicts_silent_keys_outputs_unchanged(
         .start()
     )
     try:
-        assert _await_state_rows(q, 2) == 2
+        b_held = _await_state_rows(q, 2)
+        assert b_held is not None
         # TTL lapses for both silent keys -> both accumulators evicted
-        assert _await_state_rows(q, 0) == 0
+        b_evicted = _await_state_rows(q, 0, after_batch=b_held)
+        assert b_evicted is not None
         with open(src / "b1.json", "w") as f:
             for r in phase2:
                 f.write(json.dumps(r) + "\n")
-        assert _await_state_rows(q, 1) == 1  # a re-armed post-eviction
+        assert (  # a re-armed post-eviction
+            _await_state_rows(q, 1, after_batch=b_evicted) is not None
+        )
         deadline = _time.time() + 60
         while (
             spark.table("ewma_ttl").filter(F.col("n_obs") == 1).count() == 0
@@ -1257,7 +1275,9 @@ def test_smoother_state_ttl_evicts_silent_keys_outputs_unchanged(
     )
     try:
         # both keys fold b0+b1 in-place, then go silent -> full eviction
-        assert _await_state_rows(qh, 0, timeout=90) == 0
+        bh = _await_state_rows(qh, 2, timeout=90)
+        assert bh is not None
+        assert _await_state_rows(qh, 0, timeout=90, after_batch=bh) is not None
     finally:
         qh.stop()
     assert spark.table("holt_ttl").count() > 0

@@ -862,18 +862,19 @@ def _native_codecs() -> dict:
 def active_pixel_codecs() -> dict:
     """The (decode, encode) registry the pixel operators dispatch on,
     honoring ``TSDL_CODEC_BACKEND`` (see the backend note above)."""
-    backend = os.environ.get("TSDL_CODEC_BACKEND", "pure")
+    # empty string (a shell's `export TSDL_CODEC_BACKEND=`) means unset
+    backend = os.environ.get("TSDL_CODEC_BACKEND") or "pure"
     if backend == "pure":
         return _PIXEL_CODECS
+    if backend not in ("auto", "native"):
+        raise ValueError(
+            f"TSDL_CODEC_BACKEND must be pure/auto/native, got {backend!r}"
+        )
     native = _native_codecs()
     if backend == "native" and not native:
         raise RuntimeError(
             "TSDL_CODEC_BACKEND=native but PIL is not installed; "
             "use 'auto' to fall back to the pure codecs"
-        )
-    if backend not in ("auto", "native"):
-        raise ValueError(
-            f"TSDL_CODEC_BACKEND must be pure/auto/native, got {backend!r}"
         )
     return {**_PIXEL_CODECS, **native}
 
@@ -973,14 +974,22 @@ def _resize_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
     return max_w, (h * max_w) // w
 
 
-def _transcode_resize(payload: bytes, codec: str, max_width: int, max_height: int) -> bytes:
+def _transcode_resize(
+    payload: bytes,
+    codec: str,
+    max_width: int,
+    max_height: int,
+    codecs: dict | None = None,
+) -> bytes:
     """One payload through the aspect-fit resize. ``bmp``/``ppm``/``png``
     get a REAL pixel transcode (decode -> :func:`nn_resize` -> re-encode,
     same codec — every codec registered in ``_PIXEL_CODECS``, which is
     now every image format: bmp/ppm/png/gif/jpeg); ``tsdl-fake`` gets
     the header rewrite; compressed AV codecs need ffmpeg and raise.
-    Dispatch honors ``TSDL_CODEC_BACKEND`` (:func:`active_pixel_codecs`)."""
-    codecs = active_pixel_codecs()
+    Dispatch honors ``TSDL_CODEC_BACKEND`` (:func:`active_pixel_codecs`);
+    per-row callers pass the registry in to avoid rebuilding it."""
+    if codecs is None:
+        codecs = active_pixel_codecs()
     if codec in codecs:
         decode, encode = codecs[codec]
         arr = decode(bytes(payload))
@@ -1008,10 +1017,11 @@ def resize_media(df: DataFrame, max_width: int = 640, max_height: int = 480) -> 
     media schema, so resizes chain with decode/feature/frame ops."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs = active_pixel_codecs()  # loop-invariant: once per task
         for pdf in batches:
             out = pdf.copy()
             out["payload"] = [
-                _transcode_resize(p, c, max_width, max_height)
+                _transcode_resize(p, c, max_width, max_height, codecs)
                 for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
             ]
             yield out
@@ -1039,9 +1049,9 @@ def pixel_stats(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     (e.g. ``frame_index`` from :func:`extract_frames`)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs = active_pixel_codecs()  # loop-invariant: once per task
         for pdf in batches:
             widths, heights, sums, sizes = [], [], [], []
-            codecs = active_pixel_codecs()
             for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
                 if c not in codecs:
                     raise NotImplementedError(

@@ -320,7 +320,16 @@ def _apply_batch(
         dest = hpath(f"{path}/{name}")
         if fs.exists(dest):
             fs.delete(dest, True)
-        fs.rename(status.getPath(), dest)
+        # Hadoop FileSystem.rename reports most failures by RETURNING
+        # false, not raising — unchecked, a failed install would fall
+        # through to the applied marker and the staging cleanup would
+        # delete the only remaining copy of this partition's data.
+        if not fs.rename(status.getPath(), dest):
+            raise IOError(
+                f"rollup install rename failed: "
+                f"{status.getPath()} -> {dest}; staged snapshot retained, "
+                f"replay will re-install"
+            )
         _maybe_fail("mid_install")
     _maybe_fail("after_install")
 
@@ -350,9 +359,13 @@ def start_rollup_refresh_sink(
     records a ``staged`` marker, installs by atomic per-partition rename,
     then records ``applied`` — each crash point replays into the same
     final state (fault-injection-tested at every transition). The ledger
-    and markers use the Hadoop FileSystem API, so they follow the
-    checkpoint onto HDFS/S3; the staging dir lives under ``path`` (same
-    filesystem) so installs are renames, never copies."""
+    and markers use the Hadoop FileSystem API; the staging dir lives
+    under ``path`` (same filesystem) so installs are renames, never
+    copies. The protocol's soundness requires ATOMIC directory rename —
+    true on HDFS, local filesystems, and ABFS, but NOT on S3A, where
+    rename is copy-then-delete and a crash mid-rename can leave a
+    partial staged dir that replay would install over complete data. On
+    S3, put the level on a transactional table format instead."""
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         _apply_batch(

@@ -29,11 +29,22 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def _ttl_millis(state_ttl: str | None) -> int | None:
+    """Parse a state-TTL interval to positive milliseconds (shared by the
+    CEP bindings in cep_stream). Zero/negative/sub-millisecond intervals
+    are rejected HERE, at construct time — unvalidated they reach
+    ``setTimeoutDuration`` and fail the query mid-batch with an obscure
+    executor error."""
     if state_ttl is None:
         return None
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
-    return _interval_micros(state_ttl) // 1000
+    ttl_ms = _interval_micros(state_ttl) // 1000
+    if ttl_ms <= 0:
+        raise ValueError(
+            f"state_ttl {state_ttl!r} must be a positive interval of at "
+            f"least one millisecond"
+        )
+    return ttl_ms
 
 
 def _timeout_conf(ttl_ms: int | None) -> str:

@@ -240,9 +240,15 @@ def match_error_pattern_stream(
     ``allowed_lateness``) evicts the state of keys that go SILENT for that
     long — without it, a churning key space (sensors coming and going)
     grows total state without bound, the one unbounded resource in this
-    operator. Eviction is semantics-free for the candidate: after
-    ``state_ttl`` of wall-clock silence any future arrival-ordered row is
-    past the WITHIN bound, so the candidate could never complete anyway.
+    operator. Eviction is semantics-free for the candidate WHEN
+    ``time_col`` is engine-assigned processing time (the reference's
+    PROCTIME semantics): after ``state_ttl`` of wall-clock silence any
+    future arrival-ordered row is past the WITHIN bound, so the candidate
+    could never complete anyway. If rows carry timestamps stamped
+    UPSTREAM of a backlog (consumer lag, outage recovery, backfill), a
+    delayed completing row can still be inside WITHIN by its own clock —
+    size ``state_ttl`` well above the worst expected lag, or use
+    event-time mode, for those streams.
     In event-time mode the reorder buffer is FLUSHED through the NFA on
     eviction (frontier advances to infinity), so matches a silent key had
     stranded are emitted, not lost; if the key later resumes it restarts
@@ -251,18 +257,20 @@ def match_error_pattern_stream(
     """
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        _timeout_conf,
+        _ttl_millis,
+    )
+
     within_us = _interval_micros(within)
     lateness_us = _interval_micros(allowed_lateness) if allowed_lateness else None
-    ttl_ms: int | None = None
-    if state_ttl is not None:
-        ttl_us = _interval_micros(state_ttl)
-        if ttl_us < within_us + (lateness_us or 0):
-            raise ValueError(
-                f"state_ttl {state_ttl!r} is shorter than within"
-                f"{' + allowed_lateness' if lateness_us else ''} — eviction "
-                f"would drop candidates that could still complete"
-            )
-        ttl_ms = ttl_us // 1000
+    ttl_ms = _ttl_millis(state_ttl)
+    if ttl_ms is not None and ttl_ms * 1000 < within_us + (lateness_us or 0):
+        raise ValueError(
+            f"state_ttl {state_ttl!r} is shorter than within"
+            f"{' + allowed_lateness' if lateness_us else ''} — eviction "
+            f"would drop candidates that could still complete"
+        )
 
     def process(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -315,11 +323,7 @@ def match_error_pattern_stream(
         outputStructType=CEP_OUTPUT_SCHEMA,
         stateStructType=CEP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(ttl_ms),
     )
 
 
@@ -426,21 +430,22 @@ def match_error_pattern_tws(
     forbids changing the provider across restarts)."""
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
-    ttl_ms: int | None = None
-    if state_ttl is not None:
-        if allowed_lateness is not None:
-            raise ValueError(
-                "state_ttl with allowed_lateness is not supported on the "
-                "transformWithState binding (native TTL cannot flush the "
-                "reorder buffer on eviction) — use match_error_pattern_stream"
-            )
-        ttl_us = _interval_micros(state_ttl)
-        if ttl_us < _interval_micros(within):
-            raise ValueError(
-                f"state_ttl {state_ttl!r} is shorter than within — eviction "
-                f"would drop candidates that could still complete"
-            )
-        ttl_ms = ttl_us // 1000
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        _ttl_millis,
+    )
+
+    if state_ttl is not None and allowed_lateness is not None:
+        raise ValueError(
+            "state_ttl with allowed_lateness is not supported on the "
+            "transformWithState binding (native TTL cannot flush the "
+            "reorder buffer on eviction) — use match_error_pattern_stream"
+        )
+    ttl_ms = _ttl_millis(state_ttl)
+    if ttl_ms is not None and ttl_ms * 1000 < _interval_micros(within):
+        raise ValueError(
+            f"state_ttl {state_ttl!r} is shorter than within — eviction "
+            f"would drop candidates that could still complete"
+        )
 
     _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
     _HDFS_DEFAULT = (
