@@ -294,3 +294,8 @@ def test_undeclared_tables_and_truncated_segments_are_value_errors():
     # truncated SOS body (declares 1 component, carries none)
     with pytest.raises(ValueError, match="truncated JPEG SOS"):
         jpeg_decode(jpg(_seg(0xDB, qt), _seg(0xC0, sof), _seg(0xDA, bytes([1]))))
+    # SOS with no preceding SOF is corrupt STRUCTURE (ValueError), not
+    # the multi-scan NotImplementedError the component-count mismatch
+    # branch would otherwise misreport it as
+    with pytest.raises(ValueError, match="SOS appears before any SOF"):
+        jpeg_decode(jpg(_seg(0xDB, qt), _seg(0xDA, sos)))

@@ -229,3 +229,80 @@ def test_sink_crash_replay_never_double_counts(spark, raw, tmp_path, fail_point)
     assert not [d for d in os.listdir(path) if d.startswith(".staging")]
     staged_dir = os.path.join(ckpt, "staged_batches")
     assert not os.path.isdir(staged_dir) or not os.listdir(staged_dir)
+
+
+def test_sink_ledger_prunes_and_respects_foreign_entries(spark, raw, tmp_path):
+    """Hardening review items: (a) the applied-batches marker ledger must
+    not grow one file per micro-batch forever — markers for batches the
+    engine can no longer replay are pruned; (b) bootstrap husk removal
+    deletes ONLY the sink's own debris — a directory holding any foreign
+    entry (a user's nested checkpoint, a _delta_log) is not ours to
+    delete; (c) nesting the checkpoint under the level path is rejected
+    at construction, before it can corrupt either."""
+    import os
+
+    from time_series_and_data_lakes_spark.operators import rollup as R
+
+    # (c) nested checkpoint is a construction-time error
+    os.makedirs(str(tmp_path / "empty_src"))
+    stream0 = (
+        spark.readStream.schema(raw.schema).parquet(str(tmp_path / "empty_src"))
+    )
+    with pytest.raises(ValueError, match="nested under the rollup path"):
+        R.start_rollup_refresh_sink(
+            stream0,
+            str(tmp_path / "lvl"),
+            ["sensor_id"],
+            "time",
+            "1 hour",
+            "temperature",
+            str(tmp_path / "lvl" / "_ckpt"),
+        )
+
+    # (b) foreign entries survive; sink debris is swept
+    path = str(tmp_path / "hourly")
+    ckpt = str(tmp_path / "rckpt")
+    os.makedirs(os.path.join(path, "_foreign"))
+    with open(os.path.join(path, "_foreign", "keep.txt"), "w") as f:
+        f.write("not yours")
+    os.makedirs(os.path.join(path, ".staging-batch-99", "date=2024-01-01"))
+    with pytest.raises(Exception):
+        # with the foreign dir preserved, the level dir holds no readable
+        # data, so the bootstrap existing-level read fails LOUDLY — the
+        # old behavior silently deleted the foreign entry instead
+        R._apply_batch(
+            spark, raw, 0, path, ["sensor_id"], "time", "1 hour",
+            "temperature", ckpt,
+        )
+    assert os.path.exists(os.path.join(path, "_foreign", "keep.txt"))
+    assert not [d for d in os.listdir(path) if d.startswith(".staging")]
+
+    # (a) after a multi-batch streaming run, the ledger holds markers for
+    # at most the final batch (earlier ones pruned as each batch starts)
+    import shutil
+
+    shutil.rmtree(path)
+    src = str(tmp_path / "raw_stream")
+    for part in raw.randomSplit([1.0, 1.0, 1.0], seed=11):
+        part.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = R.start_rollup_refresh_sink(
+        stream, path, ["sensor_id"], "time", "1 hour", "temperature", ckpt
+    )
+    q.awaitTermination(120)
+    markers = [
+        m
+        for m in os.listdir(os.path.join(ckpt, "applied_batches"))
+        if not m.startswith(".")  # local-FS checksum sidecars
+    ]
+    assert len(markers) == 1, markers  # 3+ micro-batches ran, 1 marker kept
+    # and the maintained level still serves the exact batch answer
+    maintained = read_rollup(spark, path)
+    full = rollup_partials(raw, ["sensor_id"], "time", "1 hour", "temperature")
+    got = {tuple(r) for r in serve_stats(maintained, ["sensor_id"]).collect()}
+    want = {tuple(r) for r in serve_stats(full, ["sensor_id"]).collect()}
+    assert got == want

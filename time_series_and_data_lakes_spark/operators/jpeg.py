@@ -323,6 +323,10 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
         elif marker == 0xDA:  # SOS
             if not body or len(body) < 1 + 2 * body[0]:
                 raise ValueError("truncated JPEG SOS segment")
+            if not comps:
+                # corrupt structure, not an unsupported layout: a legal
+                # stream always declares SOF before its first SOS
+                raise ValueError("JPEG SOS appears before any SOF segment")
             if body[0] != len(comps):
                 raise NotImplementedError(
                     "multi-scan (non-interleaved) baseline JPEG not implemented"

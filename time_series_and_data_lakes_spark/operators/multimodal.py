@@ -826,7 +826,18 @@ _PIXEL_CODECS = {
 def _native_codecs() -> dict:
     """PIL-backed (decode, encode) pairs per codec; {} when PIL is absent.
     Decodes convert to RGB uint8 (alpha dropped / palette resolved /
-    grayscale replicated) — the same output contract as the pure codecs."""
+    grayscale replicated) and keep the repo's error taxonomy: PIL's own
+    failures (UnidentifiedImageError/OSError/...) re-raise as ValueError
+    = corrupt stream. The native DECODE surface is a superset of the pure
+    codecs' (e.g. 16-bit or interlaced PNG decodes here, downscaled to
+    8-bit by PIL, instead of raising NotImplementedError); the
+    cross-validation test pins bit-agreement on the common surface. GIF
+    keeps the pure contract exactly: decode guards animations behind the
+    same NotImplementedError :func:`gif_decode` raises (PIL would
+    silently return frame 0 and drop the rest), and encode delegates to
+    the lossless-or-raise pure :func:`gif_encode` (PIL's GIF save
+    median-cut-quantizes, which is neither lossless nor deterministic
+    across PIL versions)."""
     try:
         from PIL import Image
     except ImportError:
@@ -844,8 +855,21 @@ def _native_codecs() -> dict:
 
     def make(fmt: str):
         def dec(payload: bytes) -> "np.ndarray":
-            im = Image.open(io.BytesIO(bytes(payload)))
-            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+            try:
+                im = Image.open(io.BytesIO(bytes(payload)))
+                if fmt == "gif" and getattr(im, "n_frames", 1) > 1:
+                    raise NotImplementedError(
+                        f"single-image decode of an animated GIF (got "
+                        f"{im.n_frames} frames) would drop frames — use "
+                        f"gif_decode_frames/extract_frames"
+                    )
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+            except (NotImplementedError, ValueError):
+                raise
+            except Exception as e:
+                raise ValueError(
+                    f"corrupt {fmt} stream (native decode: {e})"
+                ) from e
 
         def enc(arr: "np.ndarray") -> bytes:
             buf = io.BytesIO()
@@ -854,7 +878,7 @@ def _native_codecs() -> dict:
             )
             return buf.getvalue()
 
-        return dec, enc
+        return (dec, gif_encode) if fmt == "gif" else (dec, enc)
 
     return {fmt: make(fmt) for fmt in save_fmt}
 

@@ -278,6 +278,22 @@ def _apply_batch(
     staging = hpath(f"{path}/.staging-batch-{batch_id}")
     fs = applied.getFileSystem(spark._jsc.hadoopConfiguration())
 
+    # Prune the marker ledger: once batch N starts, Structured Streaming
+    # can only ever replay N itself (every earlier batch is committed in
+    # its write-ahead log), so markers for batches < N are dead — and
+    # without pruning a long-running sink accretes one small file per
+    # micro-batch forever (object-store listing pressure, exists() cost).
+    for ledger in (
+        f"{checkpoint_location}/applied_batches",
+        f"{checkpoint_location}/staged_batches",
+    ):
+        lpath = hpath(ledger)
+        if fs.exists(lpath):
+            for s in fs.listStatus(lpath):
+                name = s.getPath().getName()
+                if name.isdigit() and int(name) < batch_id:
+                    fs.delete(s.getPath(), False)
+
     if fs.exists(applied):  # replay of a fully-committed batch
         if fs.exists(staging):  # crashed between applied and cleanup
             fs.delete(staging, True)
@@ -286,20 +302,31 @@ def _apply_batch(
         return
 
     if not fs.exists(staged):
-        # stage from committed (never-modified) state; discard any
-        # partial staging output from a crash mid-stage
-        if fs.exists(staging):
-            fs.delete(staging, True)
-        # a bootstrap batch that crashed mid-stage leaves `path` holding
-        # ONLY hidden debris (the staging dir / _SUCCESS) — no committed
-        # data. Remove the husk so the existing-level read sees the
-        # not-yet-created store, not an uninferrable empty directory.
+        # stage from committed (never-modified) state; discard staging
+        # debris first: this batch's partial output from a crash
+        # mid-stage, and EARLIER batches' dirs stranded by a crash after
+        # their `applied` marker landed (their replay will never run
+        # again) or left behind by an abandoned checkpoint.
         ppath = hpath(path)
-        if fs.exists(ppath) and not any(
-            not s.getPath().getName().startswith((".", "_"))
-            for s in fs.listStatus(ppath)
-        ):
-            fs.delete(ppath, True)
+        if fs.exists(ppath):
+            entries = list(fs.listStatus(ppath))
+            for s in entries:
+                if s.getPath().getName().startswith(".staging-batch-"):
+                    fs.delete(s.getPath(), True)
+            # a bootstrap batch that crashed mid-stage leaves `path`
+            # holding ONLY this sink's debris (staging dirs / _SUCCESS)
+            # — no committed data. Remove the husk so the existing-level
+            # read sees the not-yet-created store, not an uninferrable
+            # empty directory. Only the sink's OWN debris names qualify:
+            # any other entry, hidden or not (a checkpoint or _delta_log
+            # nested under `path` by the user), means the directory is
+            # not ours to delete.
+            if all(
+                s.getPath().getName().startswith(".staging-batch-")
+                or s.getPath().getName() == "_SUCCESS"
+                for s in entries
+            ):
+                fs.delete(ppath, True)
         merged = _merged_level(
             spark, batch_df, path, keys, time_col, step, value_col
         )
@@ -365,7 +392,20 @@ def start_rollup_refresh_sink(
     true on HDFS, local filesystems, and ABFS, but NOT on S3A, where
     rename is copy-then-delete and a crash mid-rename can leave a
     partial staged dir that replay would install over complete data. On
-    S3, put the level on a transactional table format instead."""
+    S3, put the level on a transactional table format instead.
+
+    ``checkpoint_location`` must not live under ``path``: the level
+    directory holds only the sink's own partitions and debris, and a
+    bootstrap batch cannot tell a foreign subdirectory from data (the
+    existing-level read would fail on it)."""
+    _p = path.rstrip("/")
+    if checkpoint_location.rstrip("/") == _p or checkpoint_location.startswith(
+        _p + "/"
+    ):
+        raise ValueError(
+            f"checkpoint_location {checkpoint_location!r} must not be "
+            f"nested under the rollup path {path!r}"
+        )
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         _apply_batch(

@@ -26,33 +26,12 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
-def _ttl_millis(state_ttl: str | None) -> int | None:
-    """Parse a state-TTL interval to positive milliseconds (shared by the
-    CEP bindings in cep_stream). Zero/negative/sub-millisecond intervals
-    are rejected HERE, at construct time — unvalidated they reach
-    ``setTimeoutDuration`` and fail the query mid-batch with an obscure
-    executor error."""
-    if state_ttl is None:
-        return None
-    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
-
-    ttl_ms = _interval_micros(state_ttl) // 1000
-    if ttl_ms <= 0:
-        raise ValueError(
-            f"state_ttl {state_ttl!r} must be a positive interval of at "
-            f"least one millisecond"
-        )
-    return ttl_ms
-
-
-def _timeout_conf(ttl_ms: int | None) -> str:
-    return (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+from time_series_and_data_lakes_spark.streaming.state_ttl import (
+    timeout_conf as _timeout_conf,
+    ttl_millis as _ttl_millis,
+)
 
 
 EWMA_OUTPUT_SCHEMA = T.StructType(

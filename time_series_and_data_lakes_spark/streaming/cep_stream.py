@@ -257,9 +257,9 @@ def match_error_pattern_stream(
     """
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
-    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
-        _timeout_conf,
-        _ttl_millis,
+    from time_series_and_data_lakes_spark.streaming.state_ttl import (
+        timeout_conf as _timeout_conf,
+        ttl_millis as _ttl_millis,
     )
 
     within_us = _interval_micros(within)
@@ -430,8 +430,8 @@ def match_error_pattern_tws(
     forbids changing the provider across restarts)."""
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
-    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
-        _ttl_millis,
+    from time_series_and_data_lakes_spark.streaming.state_ttl import (
+        ttl_millis as _ttl_millis,
     )
 
     if state_ttl is not None and allowed_lateness is not None:
