@@ -543,7 +543,7 @@ def test_rrf_fusion_runs_on_ranker_output_cardinality(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
 
 
-def test_plan_fingerprint_stable_and_shape_sensitive(spark, sf_dir):
+def test_plan_fingerprint_stable_and_shape_sensitive(spark, sf_dir, tmp_path):
     # Round-6: bench.py records a plan_hash per query so the recurring
     # phantom-regression adjudication (timing moved, plan didn't) is a
     # field compare. Two properties make it fit for purpose:
@@ -561,3 +561,13 @@ def test_plan_fingerprint_stable_and_shape_sensitive(spark, sf_dir):
     df = Q.a1_enrichment_join(spark, sf_dir)
     assert plan_fingerprint(df.filter(F.col(df.columns[0]).isNotNull())) != a
     assert plan_fingerprint(Q.g2_measure_series(spark, sf_dir)) != a
+
+    # 3. INSENSITIVE to where the data lives: scan locations are data-
+    #    directory text, not plan shape. A relocated/symlinked sf dir must
+    #    not flag a phantom "plan change" for every query (the exact
+    #    manual-audit cost the hash exists to remove).
+    import os
+
+    alias = str(tmp_path / "sf_alias")
+    os.symlink(str(sf_dir).rstrip("/"), alias)
+    assert plan_fingerprint(Q.a1_enrichment_join(spark, alias)) == a

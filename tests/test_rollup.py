@@ -248,16 +248,22 @@ def test_sink_ledger_prunes_and_respects_foreign_entries(spark, raw, tmp_path):
     stream0 = (
         spark.readStream.schema(raw.schema).parquet(str(tmp_path / "empty_src"))
     )
-    with pytest.raises(ValueError, match="nested under the rollup path"):
-        R.start_rollup_refresh_sink(
-            stream0,
-            str(tmp_path / "lvl"),
-            ["sensor_id"],
-            "time",
-            "1 hour",
-            "temperature",
-            str(tmp_path / "lvl" / "_ckpt"),
-        )
+    for alias in (
+        str(tmp_path / "lvl" / "_ckpt"),
+        # '.'/'..' aliases of the same nesting must not slip past the guard
+        str(tmp_path) + "/./lvl/_ckpt",
+        str(tmp_path / "lvl" / ".." / "lvl" / "_ckpt"),
+    ):
+        with pytest.raises(ValueError, match="nested under the rollup path"):
+            R.start_rollup_refresh_sink(
+                stream0,
+                str(tmp_path / "lvl"),
+                ["sensor_id"],
+                "time",
+                "1 hour",
+                "temperature",
+                alias,
+            )
 
     # (b) foreign entries survive; sink debris is swept
     path = str(tmp_path / "hourly")

@@ -982,13 +982,6 @@ def test_kafka_broker_smoke(spark, tmp_path):
     assert sum(1 for _ in spark.read.parquet(out).collect()) == len(rows)
 
 
-def _state_rows(q):
-    p = q.lastProgress
-    if not p or not p.get("stateOperators"):
-        return None
-    return p["stateOperators"][0]["numRowsTotal"]
-
-
 def _await_state_rows(q, want, timeout=60, after_batch=-1):
     """Wait until some micro-batch with batchId > ``after_batch`` reports
     ``want`` state rows; returns that batchId (None on timeout). Scans the

@@ -276,7 +276,12 @@ def _apply_batch(
     applied = hpath(f"{checkpoint_location}/applied_batches/{batch_id}")
     staged = hpath(f"{checkpoint_location}/staged_batches/{batch_id}")
     staging = hpath(f"{path}/.staging-batch-{batch_id}")
+    # Two handles: markers live on the CHECKPOINT's filesystem, the level
+    # + staging on the LEVEL PATH's. Resolving both through one handle
+    # breaks split deployments (level on s3a://, checkpoint on hdfs://)
+    # with Hadoop's "Wrong FS" IllegalArgumentException on every batch.
     fs = applied.getFileSystem(spark._jsc.hadoopConfiguration())
+    pfs = staging.getFileSystem(spark._jsc.hadoopConfiguration())
 
     # Prune the marker ledger: once batch N starts, Structured Streaming
     # can only ever replay N itself (every earlier batch is committed in
@@ -295,8 +300,8 @@ def _apply_batch(
                     fs.delete(s.getPath(), False)
 
     if fs.exists(applied):  # replay of a fully-committed batch
-        if fs.exists(staging):  # crashed between applied and cleanup
-            fs.delete(staging, True)
+        if pfs.exists(staging):  # crashed between applied and cleanup
+            pfs.delete(staging, True)
         if fs.exists(staged):
             fs.delete(staged, False)
         return
@@ -308,11 +313,11 @@ def _apply_batch(
         # their `applied` marker landed (their replay will never run
         # again) or left behind by an abandoned checkpoint.
         ppath = hpath(path)
-        if fs.exists(ppath):
-            entries = list(fs.listStatus(ppath))
+        if pfs.exists(ppath):
+            entries = list(pfs.listStatus(ppath))
             for s in entries:
                 if s.getPath().getName().startswith(".staging-batch-"):
-                    fs.delete(s.getPath(), True)
+                    pfs.delete(s.getPath(), True)
             # a bootstrap batch that crashed mid-stage leaves `path`
             # holding ONLY this sink's debris (staging dirs / _SUCCESS)
             # — no committed data. Remove the husk so the existing-level
@@ -326,7 +331,7 @@ def _apply_batch(
                 or s.getPath().getName() == "_SUCCESS"
                 for s in entries
             ):
-                fs.delete(ppath, True)
+                pfs.delete(ppath, True)
         merged = _merged_level(
             spark, batch_df, path, keys, time_col, step, value_col
         )
@@ -340,18 +345,18 @@ def _apply_batch(
 
     # install every partition still staged (replay-safe: an installed
     # partition's staged dir no longer exists)
-    for status in fs.listStatus(staging):
+    for status in pfs.listStatus(staging):
         name = status.getPath().getName()
         if not name.startswith("date="):
             continue
         dest = hpath(f"{path}/{name}")
-        if fs.exists(dest):
-            fs.delete(dest, True)
+        if pfs.exists(dest):
+            pfs.delete(dest, True)
         # Hadoop FileSystem.rename reports most failures by RETURNING
         # false, not raising — unchecked, a failed install would fall
         # through to the applied marker and the staging cleanup would
         # delete the only remaining copy of this partition's data.
-        if not fs.rename(status.getPath(), dest):
+        if not pfs.rename(status.getPath(), dest):
             raise IOError(
                 f"rollup install rename failed: "
                 f"{status.getPath()} -> {dest}; staged snapshot retained, "
@@ -362,7 +367,7 @@ def _apply_batch(
 
     fs.create(applied, True).close()
     _maybe_fail("before_cleanup")  # applied recorded, leftovers remain
-    fs.delete(staging, True)
+    pfs.delete(staging, True)
     fs.delete(staged, False)
 
 
@@ -398,10 +403,22 @@ def start_rollup_refresh_sink(
     directory holds only the sink's own partitions and debris, and a
     bootstrap batch cannot tell a foreign subdirectory from data (the
     existing-level read would fail on it)."""
-    _p = path.rstrip("/")
-    if checkpoint_location.rstrip("/") == _p or checkpoint_location.startswith(
-        _p + "/"
-    ):
+    def _norm(p: str) -> str:
+        # canonicalize '.'/'..'/'//' segments so aliases like
+        # '/data/./lvl/_ckpt' can't slip past the containment check;
+        # scheme/authority (hdfs://nn) are compared verbatim (different
+        # filesystems can't nest). Symlink aliases are out of scope — the
+        # paths need not exist yet at construction time.
+        import posixpath
+        from urllib.parse import urlparse
+
+        u = urlparse(p)
+        if u.scheme and (u.netloc or u.path.startswith("/")):
+            return f"{u.scheme}://{u.netloc}{posixpath.normpath(u.path or '/')}"
+        return posixpath.normpath(p)
+
+    _p, _c = _norm(path), _norm(checkpoint_location)
+    if _c == _p or _c.startswith(_p + "/"):
         raise ValueError(
             f"checkpoint_location {checkpoint_location!r} must not be "
             f"nested under the rollup path {path!r}"

@@ -72,6 +72,19 @@ def plan_fingerprint(plan: str | DataFrame) -> str:
     canon = re.sub(r"0x[0-9a-f]+", "0x", canon)      # object addresses
     # InMemoryFileIndex elides long path lists nondeterministically
     canon = re.sub(r"\[[^\]]*\.\.\. \d+ entries\]", "[paths]", canon)
+    # Scan locations are DATA-DIRECTORY text, not plan shape: hashing the
+    # paths would flag a phantom "plan change" for every query the moment
+    # the bench data moves (a relocated/symlinked sf dir), defeating the
+    # adjudication rule. Blank the whole bracket on Location lines (short
+    # path lists print verbatim, bypassing the elision rule above), then
+    # any stray scheme-qualified URI elsewhere (streaming sources, sinks).
+    canon = re.sub(
+        r"^(Location: \w+(?:\([^)]*\))?) ?\[[^\]]*\]",
+        r"\1 [paths]",
+        canon,
+        flags=re.M,
+    )
+    canon = re.sub(r"\b(?:file|hdfs|s3a?n?|abfss?|gs|wasbs?):/[^\s,\]\)]*", "<path>", canon)
     return hashlib.md5(canon.encode()).hexdigest()[:12]
 
 
