@@ -312,3 +312,71 @@ def test_sink_ledger_prunes_and_respects_foreign_entries(spark, raw, tmp_path):
     got = {tuple(r) for r in serve_stats(maintained, ["sensor_id"]).collect()}
     want = {tuple(r) for r in serve_stats(full, ["sensor_id"]).collect()}
     assert got == want
+
+
+def test_sink_survives_randomized_multi_crash_schedule(spark, raw, tmp_path):
+    """The parametrized crash test injects ONE fault per run; real
+    failures compound — a batch that crashed mid-stage can crash again
+    after-install on its own replay, walking protocol paths no single
+    injection reaches (recompute-then-reinstall, install-of-a-stale
+    staging, cleanup-of-a-twice-replayed batch). Drive the sink through a
+    seeded random schedule of crashes across restarts and require the
+    final level to equal full materialization with no protocol debris."""
+    import os
+    import random
+
+    from time_series_and_data_lakes_spark.operators import rollup as R
+
+    src = str(tmp_path / "raw_stream")
+    for part in raw.randomSplit([1.0, 1.0, 1.0, 1.0], seed=13):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    path = str(tmp_path / "hourly_stream")
+    ckpt = str(tmp_path / "rckpt")
+    args = (path, ["sensor_id"], "time", "1 hour", "temperature", ckpt)
+    points = [
+        "mid_stage",
+        "after_stage",
+        "mid_install",
+        "after_install",
+        "before_cleanup",
+    ]
+    rng = random.Random(20260814)
+    schedule = [rng.choice(points) for _ in range(6)]
+
+    for fail_point in schedule:
+        R._FAIL_POINT = fail_point
+        try:
+            q = R.start_rollup_refresh_sink(stream(), *args)
+            # the injected point may sit on a path this replay skips
+            # (e.g. mid_stage when the batch is already staged) — then
+            # the run simply drains; both outcomes are legal protocol
+            # walks and the next restart continues the schedule.
+            try:
+                q.awaitTermination(120)
+            except Exception as e:
+                assert "injected rollup-sink crash" in str(e)
+        finally:
+            R._FAIL_POINT = None
+            for active in spark.streams.active:
+                active.stop()
+
+    # final clean run drains whatever the crash walk left behind
+    q = R.start_rollup_refresh_sink(stream(), *args)
+    q.awaitTermination(180)
+
+    maintained = read_rollup(spark, path)
+    full = rollup_partials(raw, ["sensor_id"], "time", "1 hour", "temperature")
+    got = {tuple(r) for r in serve_stats(maintained, ["sensor_id"]).collect()}
+    want = {tuple(r) for r in serve_stats(full, ["sensor_id"]).collect()}
+    assert got == want
+    assert not [d for d in os.listdir(path) if d.startswith(".staging")]
+    staged_dir = os.path.join(ckpt, "staged_batches")
+    assert not os.path.isdir(staged_dir) or not os.listdir(staged_dir)
