@@ -1,0 +1,170 @@
+"""Codec robustness contract, fuzz-pinned: every pixel decoder maps a
+corrupt or truncated stream to ValueError (corrupt data) or
+NotImplementedError (honest feature boundary) — never a raw internal
+error (zlib.error, struct.error, IndexError, OverflowError,
+ZeroDivisionError), which would crash an executor task mid-`mapInPandas`
+instead of routing through the per-row error column.
+
+The ad-hoc fuzz session that motivated these found four escapes (PNG
+zlib/struct passthrough, JPEG sampling-factor div-by-zero, JPEG DC
+category int overflow, GIF truncation at the LZW min-code-size byte);
+each is pinned specifically below, plus a deterministic seeded mutation
+sweep so the CLASS of bug stays covered.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from time_series_and_data_lakes_spark.operators.jpeg import (
+    jpeg_decode,
+    jpeg_encode,
+)
+from time_series_and_data_lakes_spark.operators.multimodal import (
+    bmp_decode,
+    bmp_encode,
+    gif_decode,
+    gif_encode,
+    png_decode,
+    png_encode,
+    ppm_decode,
+    ppm_encode,
+)
+
+CODECS = {
+    "bmp": (bmp_encode, bmp_decode),
+    "ppm": (ppm_encode, ppm_decode),
+    "png": (png_encode, png_decode),
+    "gif": (gif_encode, gif_decode),
+    "jpeg": (jpeg_encode, jpeg_decode),
+}
+
+CONTRACT = (ValueError, NotImplementedError)
+
+
+def _img(seed: int, h: int = 9, w: int = 13) -> "np.ndarray":
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("name", sorted(CODECS))
+def test_every_truncation_decodes_or_raises_contract_errors(name):
+    # exhaustive prefix sweep: each cut either still decodes (e.g. a GIF
+    # missing only its trailer) or raises the contract errors — never an
+    # internal error. Covers the fuzz-found GIF cut at the LZW
+    # min-code-size byte and every other boundary at once.
+    enc, dec = CODECS[name]
+    payload = enc(_img(3))
+    for cut in range(len(payload)):
+        try:
+            dec(payload[:cut])
+        except CONTRACT:
+            pass
+
+
+@pytest.mark.parametrize("name", sorted(CODECS))
+def test_seeded_mutation_fuzz_keeps_error_contract(name):
+    enc, dec = CODECS[name]
+    payload = bytearray(enc(_img(11)))
+    rng = random.Random(20260814)
+    for _ in range(400):
+        p = bytearray(payload)
+        op = rng.random()
+        if op < 0.5:  # single byte flip
+            p[rng.randrange(len(p))] = rng.randrange(256)
+        else:  # burst of flips
+            for _ in range(rng.randint(2, 8)):
+                p[rng.randrange(len(p))] = rng.randrange(256)
+        try:
+            dec(bytes(p))
+        except CONTRACT:
+            pass
+
+
+def test_png_corrupt_idat_and_short_ihdr_are_value_errors():
+    payload = bytearray(png_encode(_img(5)))
+    # flip a byte in the middle of the zlib stream: the inflate fails its
+    # adler/huffman checks — must surface as ValueError, not zlib.error
+    idat = bytes(payload).find(b"IDAT") + 10
+    payload[idat] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        png_decode(bytes(payload))
+    # IHDR body shorter than the fixed 13 bytes -> descriptive ValueError,
+    # not struct.error from the unpack
+    sig = b"\x89PNG\r\n\x1a\n"
+    short = struct.pack(">I", 12) + b"IHDR" + bytes(12) + bytes(4)
+    with pytest.raises(ValueError, match="IHDR must be 13 bytes"):
+        png_decode(sig + short)
+
+
+def test_jpeg_zero_sampling_factor_is_value_error():
+    # T.81 B.2.2 bounds Hi/Vi to 1..4; a zero factor otherwise divides by
+    # zero in the chroma upsample
+    qt = bytes([0]) + bytes([16] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x01, 0])
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    with pytest.raises(ValueError, match="sampling factors.*legal 1..4"):
+        jpeg_decode(b"\xff\xd8" + seg(0xDB, qt) + seg(0xC0, sof) + b"\xff\xd9")
+
+
+def test_jpeg_nondivisible_sampling_raises_honestly():
+    # legal-but-exotic 3:2 chroma layout: the integer-ratio upsample
+    # cannot represent it, so it must raise, not mis-shape
+    qt = bytes([0]) + bytes([16] * 64)
+    sof = (
+        bytes([8])
+        + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x31, 0, 2, 0x21, 0, 3, 0x11, 0])
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    with pytest.raises(NotImplementedError, match="non-integer-ratio"):
+        jpeg_decode(b"\xff\xd8" + seg(0xDB, qt) + seg(0xC0, sof) + b"\xff\xd9")
+
+
+def test_jpeg_corrupt_dc_category_is_value_error():
+    # a Huffman DC table whose single symbol is category 12 (> the legal
+    # 11 for 8-bit precision): the decoded 1<<12.. difference previously
+    # overflowed the coefficient store with OverflowError
+    qt = bytes([0]) + bytes([16] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    # one 1-bit code mapping to symbol 0x0C
+    dc_bits = [1] + [0] * 15
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes([0x0C])
+    dht_ac = bytes([0x10]) + bytes(dc_bits) + bytes([0x00])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    stream = (
+        b"\xff\xd8"
+        + seg(0xDB, qt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + bytes([0x00, 0x00])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="DC category 12 out of range"):
+        jpeg_decode(stream)
+
+
+def test_gif_truncated_before_image_data_is_value_error():
+    payload = gif_encode(_img(7))
+    # cut the stream exactly at the LZW minimum-code-size byte: header
+    # (6) + logical screen descriptor (7) + global color table + image
+    # separator/descriptor (10)
+    gct_size = 3 * (2 ** ((payload[10] & 0x07) + 1))
+    cut = 6 + 7 + gct_size + 10
+    with pytest.raises(ValueError, match="truncated before image data"):
+        gif_decode(payload[:cut])

@@ -300,9 +300,16 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
             comps = []
             for k in range(body[5]):
                 cid, samp, qid = body[6 + 3 * k : 9 + 3 * k]
-                comps.append(
-                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "qt": qid}
-                )
+                ch, cv = samp >> 4, samp & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    # T.81 B.2.2 bounds Hi/Vi to 1..4; a zero factor from
+                    # a bit flip otherwise divides by zero in the
+                    # chroma-upsample step (fuzz-found)
+                    raise ValueError(
+                        f"JPEG SOF sampling factors {ch}x{cv} out of the "
+                        f"legal 1..4 range"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "qt": qid})
             if len(comps) not in (1, 3):
                 # 4-comp Adobe CMYK/YCCK would silently decode as garbage
                 # through the YCbCr transform; 2-comp is exotic-but-legal.
@@ -316,6 +323,17 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
                 # declared sampling factors do NOT shape the MCU
                 # (T.81 §A.2.2)
                 comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                # legal but exotic: our chroma upsample replicates by the
+                # integer ratio to the max factor (covers 4:4:4/4:2:2/
+                # 4:2:0/4:1:1); a non-divisible layout (3:2) would
+                # silently mis-shape, so raise honestly
+                raise NotImplementedError(
+                    "non-integer-ratio chroma subsampling not implemented "
+                    f"(factors {[(c['h'], c['v']) for c in comps]})"
+                )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("truncated JPEG DRI segment")
@@ -386,8 +404,18 @@ def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
                 qt = qts[c["qt"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coeffs = np.zeros(64, np.int32)
+                        coeffs = np.zeros(64, np.int64)
                         size = _read_huffman(reader, dc_tab)
+                        if size > 11:
+                            # legal DC categories are 0..11 at 8-bit
+                            # precision (T.81 F.1.2.1.2); a corrupt
+                            # entropy stream can decode a symbol up to
+                            # 255, whose 1<<size difference overflows the
+                            # coefficient store (fuzz-found)
+                            raise ValueError(
+                                f"corrupt JPEG entropy stream: DC "
+                                f"category {size} out of range"
+                            )
                         diff = _extend(reader.read_bits(size), size)
                         preds[ci] += diff
                         coeffs[0] = preds[ci]

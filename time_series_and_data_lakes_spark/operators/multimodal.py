@@ -403,6 +403,10 @@ def gif_decode_frames(payload: bytes) -> "np.ndarray":
             i += size
         if pal is None:
             raise ValueError("GIF frame without a color table")
+        if i >= n:
+            # stream ends exactly before the LZW minimum-code-size byte
+            # (fuzz-found truncation point)
+            raise ValueError("GIF truncated before image data")
         mcs = b[i]
         i += 1
         chunks = []
@@ -674,6 +678,12 @@ def png_decode(payload: bytes) -> "np.ndarray":
         body = b[i + 8 : i + 8 + ln]
         i += 12 + ln  # len + type + body + crc
         if ctype == b"IHDR":
+            if len(body) != 13:
+                # corrupt-data contract: a truncated IHDR is a descriptive
+                # ValueError, never a struct.error from the unpack below
+                raise ValueError(
+                    f"PNG IHDR must be 13 bytes, got {len(body)}"
+                )
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = body
@@ -692,7 +702,12 @@ def png_decode(payload: bytes) -> "np.ndarray":
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # bit-flipped or truncated IDAT surfaces as zlib.error; route it
+        # through the corrupt-data contract (fuzz-found)
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = w * channels
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
