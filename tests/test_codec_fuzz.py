@@ -25,15 +25,29 @@ from time_series_and_data_lakes_spark.operators.jpeg import (
     jpeg_encode,
 )
 from time_series_and_data_lakes_spark.operators.multimodal import (
+    avi_decode,
+    avi_encode,
     bmp_decode,
     bmp_encode,
     gif_decode,
+    gif_decode_frames,
     gif_encode,
     png_decode,
     png_encode,
     ppm_decode,
     ppm_encode,
+    wav_decode,
+    wav_encode,
 )
+
+def _wav_payload(_img):
+    samples = np.random.RandomState(17).randint(-3000, 3000, (256, 2))
+    return wav_encode(samples.astype(np.int16), 8000, 2)
+
+
+def _avi_payload(img):
+    return avi_encode(np.stack([img, 255 - img, img]), 5)
+
 
 CODECS = {
     "bmp": (bmp_encode, bmp_decode),
@@ -41,6 +55,11 @@ CODECS = {
     "png": (png_encode, png_decode),
     "gif": (gif_encode, gif_decode),
     "jpeg": (jpeg_encode, jpeg_decode),
+    # media containers share the identical contract; their encode side
+    # takes different inputs, so adapt through the image
+    "wav": (_wav_payload, wav_decode),
+    "avi": (_avi_payload, avi_decode),
+    "gif_frames": (gif_encode, gif_decode_frames),
 }
 
 CONTRACT = (ValueError, NotImplementedError)
@@ -157,6 +176,32 @@ def test_jpeg_corrupt_dc_category_is_value_error():
     )
     with pytest.raises(ValueError, match="DC category 12 out of range"):
         jpeg_decode(stream)
+
+
+def test_avi_corrupt_dimensions_never_reach_the_output_allocation():
+    # avih h/w are raw uint32; before the guard, a bit flip in them sized
+    # a multi-hundred-GiB np.empty (executor OOM). Frame lengths are now
+    # validated against h*stride BEFORE allocating.
+    payload = bytearray(_avi_payload(_img(9)))
+    avih = bytes(payload).find(b"avih") + 8  # chunk body
+    for field, value in ((8, 1 << 24), (9, 1 << 24)):  # width, height dwords
+        p = bytearray(payload)
+        p[avih + 4 * field : avih + 4 * field + 4] = struct.pack("<I", value)
+        with pytest.raises(ValueError, match="AVI frame 0 holds"):
+            avi_decode(bytes(p))
+    # zero frame period must not divide by zero computing fps
+    p = bytearray(payload)
+    p[avih : avih + 4] = struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="zero frame period"):
+        avi_decode(bytes(p))
+
+
+def test_wav_truncated_fmt_chunk_is_value_error():
+    payload = bytes(_wav_payload(None))
+    fmt_off = payload.find(b"fmt ")
+    # keep RIFF/WAVE + the fmt header but cut inside the fmt body
+    with pytest.raises(ValueError, match="truncated WAV fmt chunk"):
+        wav_decode(payload[: fmt_off + 8 + 10])
 
 
 def test_gif_truncated_before_image_data_is_value_error():

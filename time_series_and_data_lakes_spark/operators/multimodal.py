@@ -1216,6 +1216,12 @@ def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # corrupt-data contract: a truncated fmt chunk is a
+                # descriptive ValueError, never a struct.error
+                raise ValueError(
+                    f"truncated WAV fmt chunk ({len(body)} of 16 bytes)"
+                )
             fmt, channels, rate = struct.unpack("<HHI", body[0:8])
             bits = struct.unpack("<H", body[14:16])[0]
         elif cid == b"data":
@@ -1373,6 +1379,10 @@ def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
 
     def walk(lo: int, hi: int) -> None:
         nonlocal us_per_frame, w, h, compression
+        # a lying parent LIST size can push hi past the buffer; clamp so
+        # the header slices below are always complete (corrupt-data
+        # contract: truncation surfaces as ValueError, not struct.error)
+        hi = min(hi, len(b))
         pos = lo
         while pos + 8 <= hi:
             cid = b[pos : pos + 4]
@@ -1381,9 +1391,13 @@ def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
             if cid == b"LIST":
                 walk(body_lo + 4, body_hi)  # skip the list-type fourcc
             elif cid == b"avih":
+                if body_lo + 56 > len(b):
+                    raise ValueError("truncated AVI avih header")
                 vals = struct.unpack("<14I", b[body_lo : body_lo + 56])
                 us_per_frame, w, h = vals[0], vals[8], vals[9]
             elif cid == b"strf" and size >= 40:
+                if body_lo + 20 > len(b):
+                    raise ValueError("truncated AVI strf header")
                 compression = struct.unpack("<I", b[body_lo + 16 : body_lo + 20])[0]
             elif cid in (b"00db", b"00dc"):
                 frames.append(b[body_lo:body_hi])
@@ -1392,9 +1406,21 @@ def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
     walk(12, len(b))
     if us_per_frame is None or w is None:
         raise ValueError("missing avih header")
+    if us_per_frame == 0:
+        raise ValueError("AVI avih declares zero frame period")
     if compression != 0:
         raise NotImplementedError(f"only uncompressed DIB video (got fourcc {compression:#x})")
     stride = _bmp_stride(w)
+    # validate every frame length BEFORE the output allocation: corrupt
+    # avih dimensions (h/w are raw uint32) would otherwise size a
+    # multi-hundred-GiB np.empty and OOM the executor (fuzz-found) —
+    # bounding by the actual frame payloads caps it at the input size
+    for i, fb in enumerate(frames):
+        if len(fb) < h * stride:
+            raise ValueError(
+                f"AVI frame {i} holds {len(fb)} bytes, {h}x{w} DIB "
+                f"needs {h * stride}"
+            )
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, fb in enumerate(frames):
         buf = np.frombuffer(fb, dtype=np.uint8, count=h * stride)
