@@ -103,6 +103,44 @@ def test_seeded_mutation_fuzz_keeps_error_contract(name):
             pass
 
 
+def test_dims_parsers_keep_error_contract_under_mutation():
+    # the header-only metadata parsers run in decode_media's hot path;
+    # same contract, lighter sweep (they were fuzz-clean — this pins it)
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        bmp_dims,
+        gif_dims,
+        gif_frames,
+        jpeg_dims,
+        png_dims,
+        ppm_dims,
+    )
+
+    img = _img(13)
+    parsers = [
+        (png_encode(img), png_dims),
+        (jpeg_encode(img), jpeg_dims),
+        (gif_encode(img), gif_dims),
+        (gif_encode(img), gif_frames),
+        (ppm_encode(img), ppm_dims),
+        (bmp_encode(img), bmp_dims),
+    ]
+    rng = random.Random(20260814)
+    for payload, fn in parsers:
+        payload = bytearray(payload)
+        for cut in range(min(len(payload), 64)):  # headers sit up front
+            try:
+                fn(bytes(payload[:cut]))
+            except CONTRACT:
+                pass
+        for _ in range(150):
+            p = bytearray(payload)
+            p[rng.randrange(len(p))] = rng.randrange(256)
+            try:
+                fn(bytes(p))
+            except CONTRACT:
+                pass
+
+
 def test_png_corrupt_idat_and_short_ihdr_are_value_errors():
     payload = bytearray(png_encode(_img(5)))
     # flip a byte in the middle of the zlib stream: the inflate fails its

@@ -150,3 +150,26 @@ def test_lttb_matches_reference_implementation(spark):
         ref = lttb_ref([((p[0] - epoch).total_seconds() * 1e6, p[1]) for p in pts], 12)
         want = sorted((epoch + dt.timedelta(microseconds=x), y) for x, y in ref)
         assert sorted(got[s]) == want, s
+
+
+def test_interval_parser_rejects_malformed_strings_descriptively():
+    """Every operator takes interval strings straight from the user; a
+    typo must raise a descriptive ValueError, never KeyError/IndexError
+    from the parsing internals (fuzz-found on ''/'1 hr'/'.5 wss')."""
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.timeseries import (
+        _interval_micros,
+    )
+
+    assert _interval_micros("30 seconds") == 30_000_000
+    assert _interval_micros(" INTERVAL '5' minutes ") == 300_000_000
+    assert _interval_micros("1.5 days") == int(1.5 * 86_400_000_000)
+    with pytest.raises(ValueError, match="expected '<qty> <unit>'"):
+        _interval_micros("")
+    with pytest.raises(ValueError, match="expected '<qty> <unit>'"):
+        _interval_micros("5")
+    with pytest.raises(ValueError, match="bad interval unit 'hr'"):
+        _interval_micros("1 hr")
+    with pytest.raises(ValueError, match="bad interval quantity"):
+        _interval_micros("x hours")

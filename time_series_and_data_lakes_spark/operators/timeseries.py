@@ -293,9 +293,10 @@ def time_bin(col: Column | str, step: str = "30 seconds") -> Column:
 
 
 def _interval_micros(step: str) -> int:
-    """Parse '30 seconds' / '1 hour' / '5 minutes' / '1 day' to microseconds."""
-    parts = step.strip().lower().replace("interval", "").strip().split()
-    qty, unit = float(parts[0].strip("'\"")), parts[1].rstrip("s")
+    """Parse '30 seconds' / '1 hour' / '5 minutes' / '1 day' to microseconds.
+    Malformed strings raise a descriptive ValueError (every operator takes
+    these straight from the user; a typo must not surface as KeyError or
+    IndexError from the parsing internals)."""
     scale = {
         "microsecond": 1,
         "millisecond": 1_000,
@@ -303,8 +304,23 @@ def _interval_micros(step: str) -> int:
         "minute": 60_000_000,
         "hour": 3_600_000_000,
         "day": 86_400_000_000,
-    }[unit]
-    return int(qty * scale)
+    }
+    parts = step.strip().lower().replace("interval", "").strip().split()
+    if len(parts) != 2:
+        raise ValueError(
+            f"bad interval {step!r}: expected '<qty> <unit>' like '5 minutes'"
+        )
+    try:
+        qty = float(parts[0].strip("'\""))
+    except ValueError:
+        raise ValueError(f"bad interval quantity {parts[0]!r} in {step!r}") from None
+    unit = parts[1].rstrip("s")
+    if unit not in scale:
+        raise ValueError(
+            f"bad interval unit {parts[1]!r} in {step!r}: expected one of "
+            f"{sorted(scale)} (optionally plural)"
+        )
+    return int(qty * scale[unit])
 
 
 def lttb_downsample(
