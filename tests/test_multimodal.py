@@ -1301,3 +1301,91 @@ def test_native_backend_cross_validates_against_pure_codecs():
     assert pure_px.shape == nat_px.shape
     delta = np.abs(pure_px.astype(np.int32) - nat_px.astype(np.int32))
     assert int(delta.max()) <= 2
+
+
+def test_on_error_skip_drops_only_bad_rows_and_media_errors_reports_them(spark):
+    """At corpus scale some payloads WILL be corrupt; on_error='skip'
+    costs one row per bad payload instead of the job, and media_errors
+    reports exactly the rows skip drops (corrupt vs unsupported)."""
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        audio_stats,
+        extract_frames,
+        media_errors,
+        pixel_stats,
+        png_encode,
+        resample_audio,
+        resize_media,
+        wav_encode,
+    )
+
+    img = np.random.RandomState(5).randint(0, 256, (8, 10, 3), dtype=np.uint8)
+    good_png = png_encode(img)
+    bad_png = bytearray(good_png)
+    bad_png[good_png.find(b"IDAT") + 10] ^= 0xFF  # corrupt zlib body
+    wav = wav_encode(
+        np.random.RandomState(6).randint(-2000, 2000, 64).astype(np.int16), 8000
+    )
+    rows = [
+        (1, "image", bytes(good_png), ("s3", "png")),
+        (2, "image", bytes(bad_png), ("s3", "png")),
+        (3, "audio", bytes(wav), ("s3", "wav")),
+        (4, "audio", bytes(wav[:20]), ("s3", "wav")),  # truncated
+        (5, "audio", b"ID3\x04mp3body", ("s3", "mp3")),  # unsupported
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    images = df.filter("media_id <= 2")
+    audio = df.filter("media_id in (3, 4)")
+
+    # default stays loud
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="corrupt PNG IDAT"):
+        pixel_stats(images).collect()
+    for op in (
+        lambda: pixel_stats(images, on_error="skip"),
+        lambda: resize_media(images, 4, 4, on_error="skip"),
+    ):
+        got = op().collect()
+        assert [r["media_id"] for r in got] == [1]
+    # decode_media is header-only and its dims parsers deliberately
+    # DEGRADE to zeros on corrupt bytes (tested elsewhere); its skip path
+    # triggers on unsupported codecs — a mixed corpus keeps known rows
+    mixed = spark.createDataFrame(
+        [(1, "image", bytes(good_png), ("s3", "png")),
+         (8, "audio", b"ID3\x04mp3body", ("s3", "mp3"))],
+        MEDIA_SCHEMA,
+    )
+    got = decode_media(mixed, on_error="skip").collect()
+    assert [r["media_id"] for r in got] == [1]
+    for op in (
+        lambda: audio_stats(audio, on_error="skip"),
+        lambda: resample_audio(audio, 2, on_error="skip"),
+    ):
+        got = op().collect()
+        assert [r["media_id"] for r in got] == [3]
+    # row-expanding op: a bad media row emits no frames, good ones intact
+    from time_series_and_data_lakes_spark.operators.multimodal import avi_encode
+
+    avi = avi_encode(np.stack([img, img]), 5)
+    vid = spark.createDataFrame(
+        [(6, "video", bytes(avi), ("s3", "avi")),
+         (7, "video", bytes(avi[:30]), ("s3", "avi"))],
+        MEDIA_SCHEMA,
+    )
+    got = extract_frames(vid, on_error="skip").collect()
+    assert sorted(set(r["media_id"] for r in got)) == [6]
+    with _pytest.raises(ValueError, match="on_error"):
+        extract_frames(vid, on_error="ignore")
+
+    # the audit twin reports exactly the drops, typed
+    report = {
+        r["media_id"]: r for r in media_errors(df.unionByName(vid)).collect()
+    }
+    assert sorted(report) == [2, 4, 5, 7]
+    assert report[2]["error_kind"] == "corrupt"
+    assert report[4]["error_kind"] == "corrupt"
+    assert report[5]["error_kind"] == "unsupported"
+    assert report[7]["error_kind"] == "corrupt"
+    assert "IDAT" in report[2]["error"]

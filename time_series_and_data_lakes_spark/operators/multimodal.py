@@ -950,24 +950,70 @@ def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
     )
 
 
-def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("fail", "skip"):
+        raise ValueError(
+            f"on_error must be 'fail' or 'skip', got {on_error!r}"
+        )
+
+
+def _row_attempt(on_error: str, fn, *args):
+    """Run one row's decode under the op's error policy. 'fail' (the
+    default everywhere) keeps the loud contract — one corrupt payload
+    fails the task, which is what the oracle-gated queries and any
+    correctness-first pipeline want. 'skip' drops the row instead: at
+    corpus scale (the 100 TB posture) some payloads WILL be corrupt, and
+    one bad image must cost one row, not the job. Only the decode
+    contract's errors are absorbed (ValueError = corrupt data,
+    NotImplementedError = unsupported feature); anything else is a real
+    bug and still propagates. :func:`media_errors` is the audit twin —
+    it reports exactly the rows 'skip' would drop.
+
+    Returns ``None`` for a skipped row (no decoder here returns None, so
+    the sentinel is unambiguous — an ``object()`` sentinel would lose
+    identity when cloudpickle re-creates the closure on the executor)."""
+    if on_error == "fail":
+        return fn(*args)
+    try:
+        return fn(*args)
+    except (ValueError, NotImplementedError):
+        return None
+
+
+def decode_media(
+    df: DataFrame, batch_size_hint: int = 1024, on_error: str = "fail"
+) -> DataFrame:
     """Decode payload headers into typed columns via mapInPandas (Arrow
-    record-batch streaming; one output row per input row)."""
+    record-batch streaming; one output row per input row).
+    ``on_error='skip'`` drops undecodable rows instead of failing the
+    task (see :func:`_row_attempt`)."""
+    _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [
-                _decode_payload(p, c)
-                for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
-            ]
+            keep, dims = [], []
+            for j, (p, c) in enumerate(
+                zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
+            ):
+                d = _row_attempt(on_error, _decode_payload, p, c)
+                if d is None:
+                    continue
+                keep.append(j)
+                dims.append(d)
+            if not keep:
+                # an all-skipped batch must yield NOTHING: an empty
+                # pandas frame degrades column dtypes to float64 and
+                # fails the Arrow struct/string conversion
+                continue
+            sub = pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
+                    "media_id": sub["media_id"],
+                    "media_type": sub["media_type"],
                     "width": pd.Series([d[0] for d in dims], dtype="int32"),
                     "height": pd.Series([d[1] for d in dims], dtype="int32"),
                     "n_frames": pd.Series([d[2] for d in dims], dtype="int32"),
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": sub["payload"].map(len).astype("int64"),
                 }
             )
 
@@ -1046,23 +1092,43 @@ def _transcode_resize(
     )
 
 
-def resize_media(df: DataFrame, max_width: int = 640, max_height: int = 480) -> DataFrame:
+def resize_media(
+    df: DataFrame,
+    max_width: int = 640,
+    max_height: int = 480,
+    on_error: str = "fail",
+) -> DataFrame:
     """Aspect-fit resize over the media schema. For every registered
     pixel codec (``_PIXEL_CODECS``: bmp/ppm/png/gif/jpeg) this is a real
     transcode — pixels are decoded, resampled with integer
     nearest-neighbor, and re-encoded (losslessly except for JPEG, whose
     re-encode is lossy by format design); for ``tsdl-fake`` only the
     header is rewritten (body bytes pass through). Output is the same
-    media schema, so resizes chain with decode/feature/frame ops."""
+    media schema, so resizes chain with decode/feature/frame ops.
+    ``on_error='skip'`` drops untranscodable rows (see
+    :func:`_row_attempt`)."""
+    _check_on_error(on_error)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codecs = active_pixel_codecs()  # loop-invariant: once per task
         for pdf in batches:
-            out = pdf.copy()
-            out["payload"] = [
-                _transcode_resize(p, c, max_width, max_height, codecs)
-                for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
-            ]
+            keep, payloads = [], []
+            for j, (p, c) in enumerate(
+                zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
+            ):
+                r = _row_attempt(
+                    on_error, _transcode_resize, p, c, max_width, max_height, codecs
+                )
+                if r is None:
+                    continue
+                keep.append(j)
+                payloads.append(r)
+            if not keep:
+                continue  # see decode_media: empty frames break Arrow
+            out = (
+                pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
+            ).copy()
+            out["payload"] = payloads
             yield out
 
     return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
@@ -1079,38 +1145,51 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
-def pixel_stats(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+def pixel_stats(
+    df: DataFrame, extra_cols: tuple[str, ...] = (), on_error: str = "fail"
+) -> DataFrame:
     """Decode pixel-codec payloads to pixels and emit per-media readouts
     (dimensions, uint8 pixel sum, encoded byte length). The pixel sum is a
     full-content check: any wrong byte anywhere in decode/resize/encode
     shifts it, and it is reproducible in a SQL oracle when the pixels are a
     pure function of the media id. ``extra_cols`` pass through unchanged
-    (e.g. ``frame_index`` from :func:`extract_frames`)."""
+    (e.g. ``frame_index`` from :func:`extract_frames`).
+    ``on_error='skip'`` drops undecodable rows (see :func:`_row_attempt`)."""
+    _check_on_error(on_error)
+
+    def one(p, c, codecs):
+        if c not in codecs:
+            raise NotImplementedError(
+                f"pixel_stats needs a pixel codec "
+                f"({'/'.join(sorted(codecs))}), got {c!r}"
+            )
+        arr = codecs[c][0](bytes(p))
+        return arr.shape[1], arr.shape[0], int(arr.sum(dtype=np.int64)), len(p)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codecs = active_pixel_codecs()  # loop-invariant: once per task
         for pdf in batches:
-            widths, heights, sums, sizes = [], [], [], []
-            for p, c in zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])):
-                if c not in codecs:
-                    raise NotImplementedError(
-                        f"pixel_stats needs a pixel codec "
-                        f"({'/'.join(sorted(codecs))}), got {c!r}"
-                    )
-                arr = codecs[c][0](bytes(p))
-                widths.append(arr.shape[1])
-                heights.append(arr.shape[0])
-                sums.append(int(arr.sum(dtype=np.int64)))
-                sizes.append(len(p))
+            keep, rows = [], []
+            for j, (p, c) in enumerate(
+                zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
+            ):
+                r = _row_attempt(on_error, one, p, c, codecs)
+                if r is None:
+                    continue
+                keep.append(j)
+                rows.append(r)
+            if not keep:
+                continue  # see decode_media: empty frames break Arrow
+            sub = pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
             out = {
-                "media_id": pdf["media_id"],
-                "width": pd.Series(widths, dtype="int32"),
-                "height": pd.Series(heights, dtype="int32"),
-                "pixel_sum": pd.Series(sums, dtype="int64"),
-                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "media_id": sub["media_id"],
+                "width": pd.Series([r[0] for r in rows], dtype="int32"),
+                "height": pd.Series([r[1] for r in rows], dtype="int32"),
+                "pixel_sum": pd.Series([r[2] for r in rows], dtype="int64"),
+                "n_bytes": pd.Series([r[3] for r in rows], dtype="int64"),
             }
             for c in extra_cols:
-                out[c] = pdf[c]
+                out[c] = sub[c]
             yield pd.DataFrame(out)
 
     schema = T.StructType(
@@ -1120,9 +1199,12 @@ def pixel_stats(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     return df.mapInPandas(stats, schema=schema)
 
 
-def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+def frame_sample(df: DataFrame, every_n: int = 2, on_error: str = "fail") -> DataFrame:
     """Video frame sampling (1 row per kept frame) — demonstrates the
-    row-expanding mapInPandas shape; frame payloads are stub slices."""
+    row-expanding mapInPandas shape; frame payloads are stub slices.
+    ``on_error='skip'`` emits no frames for an undecodable media row
+    (see :func:`_row_attempt`)."""
+    _check_on_error(on_error)
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -1136,7 +1218,10 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
             for mid, p, c in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
             ):
-                _, _, frames = _decode_payload(p, c)
+                d = _row_attempt(on_error, _decode_payload, p, c)
+                if d is None:
+                    continue
+                frames = d[2]
                 for i in range(0, frames, every_n):
                     out_ids.append(mid)
                     out_idx.append(i)
@@ -1236,7 +1321,7 @@ def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     return rate, channels, np.frombuffer(data, dtype="<i2")
 
 
-def audio_stats(df: DataFrame) -> DataFrame:
+def audio_stats(df: DataFrame, on_error: str = "fail") -> DataFrame:
     """Decode ``wav`` payloads and emit per-media audio readouts: rate,
     channels, sample count, integer peak (max |sample|), and RMS energy.
     The RMS divides the EXACT int64 sum of squares by the count before one
@@ -1248,40 +1333,53 @@ def audio_stats(df: DataFrame) -> DataFrame:
     (frames x channels), and peak/RMS pool all channels (a frame whose
     left channel clips reports the clip regardless of the right).
     :func:`resample_audio` handles multi-channel by frame-wise
-    decimation, so the two compose for any channel count."""
+    decimation, so the two compose for any channel count.
+    ``on_error='skip'`` drops undecodable rows (see :func:`_row_attempt`)."""
     import math
 
     import numpy as np
 
+    _check_on_error(on_error)
+
+    def one(p):
+        rate, ch, samples = wav_decode(p)
+        s = samples.astype(np.int64)
+        n = len(s)
+        return (
+            rate,
+            ch,
+            n,
+            int(np.max(np.abs(s))) if n else 0,
+            math.sqrt(int(np.sum(s * s)) / n) if n else 0.0,
+        )
+
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rates, chans, counts, peaks, rmss = [], [], [], [], []
-            for p in pdf["payload"]:
-                rate, ch, samples = wav_decode(p)
-                s = samples.astype(np.int64)
-                n = len(s)
-                rates.append(rate)
-                chans.append(ch)
-                counts.append(n)
-                peaks.append(int(np.max(np.abs(s))) if n else 0)
-                rmss.append(
-                    math.sqrt(int(np.sum(s * s)) / n) if n else 0.0
-                )
+            keep, rows = [], []
+            for j, p in enumerate(pdf["payload"]):
+                r = _row_attempt(on_error, one, p)
+                if r is None:
+                    continue
+                keep.append(j)
+                rows.append(r)
+            if not keep:
+                continue  # see decode_media: empty frames break Arrow
+            sub = pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "sample_rate": pd.Series(rates, dtype="int32"),
-                    "n_channels": pd.Series(chans, dtype="int32"),
-                    "n_samples": pd.Series(counts, dtype="int32"),
-                    "peak": pd.Series(peaks, dtype="int32"),
-                    "rms": pd.Series(rmss, dtype="float64"),
+                    "media_id": sub["media_id"],
+                    "sample_rate": pd.Series([r[0] for r in rows], dtype="int32"),
+                    "n_channels": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "n_samples": pd.Series([r[2] for r in rows], dtype="int32"),
+                    "peak": pd.Series([r[3] for r in rows], dtype="int32"),
+                    "rms": pd.Series([r[4] for r in rows], dtype="float64"),
                 }
             )
 
     return df.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
 
 
-def resample_audio(df: DataFrame, factor: int) -> DataFrame:
+def resample_audio(df: DataFrame, factor: int, on_error: str = "fail") -> DataFrame:
     """REAL audio downsampling by integer decimation: keep every
     ``factor``-th FRAME (the audio analogue of :func:`nn_resize`'s
     nearest-neighbor resampling — index arithmetic, fully reproducible in
@@ -1289,20 +1387,33 @@ def resample_audio(df: DataFrame, factor: int) -> DataFrame:
     streams de-interleave, decimate per channel, and re-interleave, so
     every channel keeps the same frame instants (decimating the raw
     interleaved stream would mix channels). Output keeps the media
-    schema, so it chains with :func:`audio_stats`."""
+    schema, so it chains with :func:`audio_stats`.
+    ``on_error='skip'`` drops undecodable rows (see :func:`_row_attempt`)."""
+    _check_on_error(on_error)
+
+    def one(p):
+        rate, ch, samples = wav_decode(p)
+        if ch == 1:
+            kept = samples[::factor]
+        else:
+            frames = samples.reshape(-1, ch)
+            kept = frames[::factor].reshape(-1)
+        return wav_encode(kept, rate // factor, channels=ch)
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                rate, ch, samples = wav_decode(p)
-                if ch == 1:
-                    kept = samples[::factor]
-                else:
-                    frames = samples.reshape(-1, ch)
-                    kept = frames[::factor].reshape(-1)
-                out.append(wav_encode(kept, rate // factor, channels=ch))
-            res = pdf.copy()
+            keep, out = [], []
+            for j, p in enumerate(pdf["payload"]):
+                r = _row_attempt(on_error, one, p)
+                if r is None:
+                    continue
+                keep.append(j)
+                out.append(r)
+            if not keep:
+                continue  # see decode_media: empty frames break Arrow
+            res = (
+                pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
+            ).copy()
             res["payload"] = out
             yield res
 
@@ -1428,7 +1539,7 @@ def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
     return 1_000_000 // us_per_frame, out
 
 
-def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+def extract_frames(df: DataFrame, every_n: int = 1, on_error: str = "fail") -> DataFrame:
     """REAL frame extraction: decode ``avi`` payloads (uncompressed DIB
     video) or ``gif`` payloads (animated, full disposal-method
     compositing via :func:`gif_decode_frames`), keep every ``every_n``-th
@@ -1436,22 +1547,30 @@ def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     in the metadata) — one output row per kept frame, so the result drops
     straight into the pixel pipeline (decode_media / resize_media /
     pixel_stats). The row-expanding mapInPandas shape of frame_sample,
-    with actual pixels."""
+    with actual pixels. ``on_error='skip'`` emits no frames for an
+    undecodable media row (see :func:`_row_attempt`)."""
+    _check_on_error(on_error)
+
+    def one(p, codec):
+        if codec == "gif":
+            return gif_decode_frames(p)
+        return avi_decode(p)[1]
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, types, payloads, metas, idxs = [], [], [], [], []
             for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                if m["codec"] == "gif":
-                    frames = gif_decode_frames(p)
-                else:
-                    _fps, frames = avi_decode(p)
+                frames = _row_attempt(on_error, one, p, m["codec"])
+                if frames is None:
+                    continue
                 for k in range(0, len(frames), every_n):
                     ids.append(mid)
                     types.append("image")
                     payloads.append(bmp_encode(frames[k]))
                     metas.append({"source": m["source"], "codec": "bmp"})
                     idxs.append(k)
+            if not ids:
+                continue  # see decode_media: empty frames break Arrow
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -1466,3 +1585,68 @@ def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
         MEDIA_SCHEMA.fields + [T.StructField("frame_index", T.IntegerType())]
     )
     return df.mapInPandas(expand, schema=schema)
+
+
+MEDIA_ERRORS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("error_kind", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def media_errors(df: DataFrame) -> DataFrame:
+    """Corpus-hygiene audit: one row per payload the media operators
+    cannot process — exactly the rows ``on_error='skip'`` would drop.
+    ``error_kind`` distinguishes ``corrupt`` (ValueError — bad bytes)
+    from ``unsupported`` (NotImplementedError — an honest feature
+    boundary such as progressive JPEG or a compressed AV codec), so a
+    pipeline can route the former to quarantine and the latter to a
+    different decode path. A clean corpus returns zero rows.
+
+    Runs the DEEPEST decode per codec (full pixels for image codecs —
+    animated GIFs through the frame compositor, so a valid animation is
+    not flagged; full sample/frame decode for wav/avi; header parse for
+    ``tsdl-fake``), so it costs about one analytics pass — an audit
+    tool, not a free filter."""
+
+    def one(p, codec, codecs):
+        b = bytes(p)
+        if codec == "gif":
+            gif_decode_frames(b)
+        elif codec in codecs:
+            codecs[codec][0](b)
+        elif codec == "wav":
+            wav_decode(b)
+        elif codec == "avi":
+            avi_decode(b)
+        else:
+            _decode_payload(b, codec)
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs = active_pixel_codecs()  # loop-invariant: once per task
+        for pdf in batches:
+            ids, cods, kinds, msgs = [], [], [], []
+            for mid, p, c in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
+            ):
+                try:
+                    one(p, c, codecs)
+                except ValueError as e:
+                    ids.append(mid); cods.append(c)
+                    kinds.append("corrupt"); msgs.append(str(e))
+                except NotImplementedError as e:
+                    ids.append(mid); cods.append(c)
+                    kinds.append("unsupported"); msgs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "codec": pd.Series(cods, dtype="object"),
+                    "error_kind": pd.Series(kinds, dtype="object"),
+                    "error": pd.Series(msgs, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(audit, schema=MEDIA_ERRORS_SCHEMA)
