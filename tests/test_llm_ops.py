@@ -625,3 +625,56 @@ def test_heavy_tokens_no_false_negatives(spark, sf_dir):
     }
     assert exact <= got
     assert exact  # the fixture does have heavy tokens at 1% support
+
+
+def test_dedup_ops_are_null_text_safe(spark):
+    """At corpus scale null/empty documents exist; the fused Arrow
+    minhash path and the simhash pandas_udf previously died on
+    text.split(None). Null/empty docs must yield no candidates while
+    pairs among real docs are unchanged."""
+    from time_series_and_data_lakes_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, dup, "web"),
+        (2, dup, "web"),
+        (3, None, "web"),
+        (4, "", "books"),
+        (5, "completely different text about entirely other topics here", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    clean = df.filter("doc_id in (1, 2, 5)")
+    for op in (minhash_lsh_dedup, simhash_dedup):
+        with_nulls = {(r["doc_a"], r["doc_b"]) for r in op(df).collect()}
+        without = {(r["doc_a"], r["doc_b"]) for r in op(clean).collect()}
+        assert with_nulls == without, op.__name__
+        assert (1, 2) in with_nulls, op.__name__
+
+
+def test_drop_degenerate_vectors_unblocks_cosine_on_dirty_corpus(spark):
+    """Cosine ops keep the documented LOUD zero-norm contract (ANSI
+    DIVIDE_BY_ZERO); drop_degenerate_vectors is the one-line scale-path
+    pre-filter that removes null/zero-norm vectors so the same query
+    runs, with identical scores for the surviving rows."""
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        cosine_topk,
+        drop_degenerate_vectors,
+    )
+
+    dirty = spark.createDataFrame(
+        [(1, [0.1] * 4), (2, None), (3, [0.0] * 4), (4, [0.4, 0.1, 0.0, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(9, [0.2] * 4)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        cosine_topk(dirty, q, k=3).collect()
+    clean = drop_degenerate_vectors(dirty)
+    assert sorted(r["vec_id"] for r in clean.collect()) == [1, 4]
+    got = cosine_topk(clean, q, k=3).collect()
+    ref = cosine_topk(dirty.filter("vec_id in (1, 4)"), q, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))

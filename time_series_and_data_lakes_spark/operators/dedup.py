@@ -192,7 +192,11 @@ def minhash_lsh_dedup(
         for pdf in batches:
             sh_out, band_out = [], []
             for text in pdf["__text"]:
-                toks = text.split(" ")
+                # null text yields no shingles and no bands — the doc can
+                # never be a candidate, same as the JVM shingles_col path
+                # (at corpus scale null documents exist; .split on None
+                # otherwise kills the task)
+                toks = text.split(" ") if text is not None else []
                 shs = (
                     list({" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)})
                     if len(toks) >= shingle_n
@@ -373,8 +377,12 @@ def simhash_col(text: Column, n_bits: int = 32) -> Column:
     @F.pandas_udf("bigint")
     def pack(texts: pd.Series) -> pd.Series:
         bits = np.arange(n_bits, dtype=np.int64)
-        out = np.empty(len(texts), dtype=np.int64)
+        out: list = [None] * len(texts)
         for i, text in enumerate(texts):
+            if text is None:
+                continue  # null text -> null simhash (null-propagating,
+                # like every JVM expression; .split on None otherwise
+                # kills the task on a corpus with null documents)
             toks = text.split(" ")
             a = np.fromiter(
                 (
@@ -386,7 +394,7 @@ def simhash_col(text: Column, n_bits: int = 32) -> Column:
             )
             votes = (((a[:, None] >> bits) & 1) * 2 - 1).sum(axis=0)
             out[i] = int(((votes >= 0).astype(np.int64) << bits).sum())
-        return pd.Series(out)
+        return pd.Series(out, dtype="object")
 
     return pack(text)
 
@@ -405,9 +413,17 @@ def simhash_dedup(
     assert n_bands > max_hamming, "need more bands than allowed bit flips"
     bits_per_band = n_bits // n_bands
     mask = (1 << bits_per_band) - 1
-    base = spread_small(df).select(
-        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col), n_bits).alias("sim")
-    ).persist()
+    base = (
+        spread_small(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            simhash_col(F.col(text_col), n_bits).alias("sim"),
+        )
+        # null text -> null simhash -> not a near-dup candidate (matches
+        # the minhash path, where null text yields no bands)
+        .filter(F.col("sim").isNotNull())
+        .persist()
+    )
     bands = base.select(
         "doc_id",
         "sim",

@@ -47,6 +47,22 @@ def norm(v: Column) -> Column:
     return F.sqrt(dot(v, v))
 
 
+def drop_degenerate_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The scale-path pre-filter for every cosine-scoring op: drop rows
+    whose vector is NULL or has zero norm. Cosine is undefined for them,
+    and the ops deliberately keep the LOUD contract (ANSI DIVIDE_BY_ZERO
+    fails the job) rather than ranking NaN/inf silently — but at corpus
+    scale a failed embedding job WILL ship null or all-zero vectors, and
+    they should cost their own rows, not the query. Surviving rows keep
+    the exact same IEEE score tree, so on a clean corpus this is a pure
+    no-op filter (and it pushes into the scan as a cheap predicate).
+
+    Use as ``cosine_topk(drop_degenerate_vectors(corpus), queries)`` —
+    same for ivf/lsh/pq/semantic_dedup inputs."""
+    v = F.col(vec_col)
+    return df.filter(v.isNotNull() & (norm(as_double(v)) > 0))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
