@@ -251,3 +251,29 @@ def test_gif_truncated_before_image_data_is_value_error():
     cut = 6 + 7 + gct_size + 10
     with pytest.raises(ValueError, match="truncated before image data"):
         gif_decode(payload[:cut])
+
+
+def test_tsdl_fake_header_parse_keeps_error_contract():
+    # review-found: a truncated tsdl-fake payload that keeps the magic
+    # raised struct.error, escaping on_error='skip' and crashing
+    # media_errors — the exact rows those features exist to absorb
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _decode_payload,
+        pack_fake_payload,
+    )
+
+    payload = pack_fake_payload(640, 480, 3, b"body")
+    assert _decode_payload(payload, "tsdl-fake") == (640, 480, 3)
+    assert _decode_payload(b"nope", "tsdl-fake") == (0, 0, 0)  # degrade
+    for cut in range(4, 10):  # magic intact, header cut
+        with pytest.raises(ValueError, match="truncated tsdl-fake"):
+            _decode_payload(payload[:cut], "tsdl-fake")
+    # and the generic sweeps
+    rng = random.Random(99)
+    for _ in range(300):
+        p = bytearray(payload)
+        p[rng.randrange(len(p))] = rng.randrange(256)
+        try:
+            _decode_payload(bytes(p[: rng.randrange(1, len(p))]), "tsdl-fake")
+        except CONTRACT:
+            pass

@@ -173,3 +173,18 @@ def test_interval_parser_rejects_malformed_strings_descriptively():
         _interval_micros("1 hr")
     with pytest.raises(ValueError, match="bad interval quantity"):
         _interval_micros("x hours")
+
+
+def test_interval_parser_rejects_nonfinite_and_nonpositive_quantities():
+    """Review-found: 'inf hours' overflowed int(), 'nan days' raised the
+    cryptic float-NaN error, and '0 seconds' passed validation only to
+    divide-by-zero later in pick_level / time_bin."""
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.timeseries import (
+        _interval_micros,
+    )
+
+    for bad in ("inf hours", "nan days", "1e400 seconds", "0 seconds", "-5 minutes"):
+        with pytest.raises(ValueError, match="positive finite"):
+            _interval_micros(bad)

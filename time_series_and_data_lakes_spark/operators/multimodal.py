@@ -927,6 +927,13 @@ def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
     if codec == "tsdl-fake":
         if payload[:4] != _MAGIC:
             return (0, 0, 0)
+        if len(payload) < 10:
+            # magic present but header cut: corrupt data, and it must be
+            # the contract ValueError — a struct.error here escapes
+            # on_error='skip' AND crashes media_errors (review-found)
+            raise ValueError(
+                f"truncated tsdl-fake header ({len(payload)} of 10 bytes)"
+            )
         w, h, f = struct.unpack(_HEADER, payload[4:10])
         return (w, h, f)
     if codec == "png":
@@ -966,8 +973,9 @@ def _row_attempt(on_error: str, fn, *args):
     one bad image must cost one row, not the job. Only the decode
     contract's errors are absorbed (ValueError = corrupt data,
     NotImplementedError = unsupported feature); anything else is a real
-    bug and still propagates. :func:`media_errors` is the audit twin —
-    it reports exactly the rows 'skip' would drop.
+    bug and still propagates. :func:`media_errors` is the audit
+    companion — it reports every row whose CONTENT is undecodable; an
+    op-level 'skip' can drop strictly more (see its docstring).
 
     Returns ``None`` for a skipped row (no decoder here returns None, so
     the sentinel is unambiguous — an ``object()`` sentinel would lose
@@ -978,6 +986,27 @@ def _row_attempt(on_error: str, fn, *args):
         return fn(*args)
     except (ValueError, NotImplementedError):
         return None
+
+
+def _attempt_rows(pdf: "pd.DataFrame", on_error: str, fn, row_args):
+    """Run ``fn`` once per row under the error policy. Returns
+    ``(sub, results)`` — the surviving slice of ``pdf`` (index reset, so
+    positional construction aligns) and ``fn``'s per-row results — or
+    ``(None, None)`` when every row was skipped; the caller must then
+    yield NOTHING, because an empty pandas frame degrades column dtypes
+    to float64 and fails the Arrow struct/string conversion. One
+    implementation so the five batch operators cannot drift apart."""
+    keep, rows = [], []
+    for j, args in enumerate(row_args):
+        r = _row_attempt(on_error, fn, *args)
+        if r is None:
+            continue
+        keep.append(j)
+        rows.append(r)
+    if not keep:
+        return None, None
+    sub = pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
+    return sub, rows
 
 
 def decode_media(
@@ -991,21 +1020,14 @@ def decode_media(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keep, dims = [], []
-            for j, (p, c) in enumerate(
-                zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
-            ):
-                d = _row_attempt(on_error, _decode_payload, p, c)
-                if d is None:
-                    continue
-                keep.append(j)
-                dims.append(d)
-            if not keep:
-                # an all-skipped batch must yield NOTHING: an empty
-                # pandas frame degrades column dtypes to float64 and
-                # fails the Arrow struct/string conversion
+            sub, dims = _attempt_rows(
+                pdf,
+                on_error,
+                _decode_payload,
+                zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])),
+            )
+            if sub is None:
                 continue
-            sub = pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
             yield pd.DataFrame(
                 {
                     "media_id": sub["media_id"],
@@ -1112,22 +1134,20 @@ def resize_media(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codecs = active_pixel_codecs()  # loop-invariant: once per task
         for pdf in batches:
-            keep, payloads = [], []
-            for j, (p, c) in enumerate(
-                zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
-            ):
-                r = _row_attempt(
-                    on_error, _transcode_resize, p, c, max_width, max_height, codecs
-                )
-                if r is None:
-                    continue
-                keep.append(j)
-                payloads.append(r)
-            if not keep:
-                continue  # see decode_media: empty frames break Arrow
-            out = (
-                pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
-            ).copy()
+            sub, payloads = _attempt_rows(
+                pdf,
+                on_error,
+                _transcode_resize,
+                (
+                    (p, c, max_width, max_height, codecs)
+                    for p, c in zip(
+                        pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
+                    )
+                ),
+            )
+            if sub is None:
+                continue
+            out = sub.copy()
             out["payload"] = payloads
             yield out
 
@@ -1169,18 +1189,19 @@ def pixel_stats(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codecs = active_pixel_codecs()  # loop-invariant: once per task
         for pdf in batches:
-            keep, rows = [], []
-            for j, (p, c) in enumerate(
-                zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"]))
-            ):
-                r = _row_attempt(on_error, one, p, c, codecs)
-                if r is None:
-                    continue
-                keep.append(j)
-                rows.append(r)
-            if not keep:
-                continue  # see decode_media: empty frames break Arrow
-            sub = pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
+            sub, rows = _attempt_rows(
+                pdf,
+                on_error,
+                one,
+                (
+                    (p, c, codecs)
+                    for p, c in zip(
+                        pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
+                    )
+                ),
+            )
+            if sub is None:
+                continue
             out = {
                 "media_id": sub["media_id"],
                 "width": pd.Series([r[0] for r in rows], dtype="int32"),
@@ -1355,16 +1376,11 @@ def audio_stats(df: DataFrame, on_error: str = "fail") -> DataFrame:
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keep, rows = [], []
-            for j, p in enumerate(pdf["payload"]):
-                r = _row_attempt(on_error, one, p)
-                if r is None:
-                    continue
-                keep.append(j)
-                rows.append(r)
-            if not keep:
-                continue  # see decode_media: empty frames break Arrow
-            sub = pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
+            sub, rows = _attempt_rows(
+                pdf, on_error, one, ((p,) for p in pdf["payload"])
+            )
+            if sub is None:
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": sub["media_id"],
@@ -1402,18 +1418,12 @@ def resample_audio(df: DataFrame, factor: int, on_error: str = "fail") -> DataFr
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keep, out = [], []
-            for j, p in enumerate(pdf["payload"]):
-                r = _row_attempt(on_error, one, p)
-                if r is None:
-                    continue
-                keep.append(j)
-                out.append(r)
-            if not keep:
-                continue  # see decode_media: empty frames break Arrow
-            res = (
-                pdf if len(keep) == len(pdf) else pdf.iloc[keep].reset_index(drop=True)
-            ).copy()
+            sub, out = _attempt_rows(
+                pdf, on_error, one, ((p,) for p in pdf["payload"])
+            )
+            if sub is None:
+                continue
+            res = sub.copy()
             res["payload"] = out
             yield res
 
@@ -1598,19 +1608,25 @@ MEDIA_ERRORS_SCHEMA = T.StructType(
 
 
 def media_errors(df: DataFrame) -> DataFrame:
-    """Corpus-hygiene audit: one row per payload the media operators
-    cannot process — exactly the rows ``on_error='skip'`` would drop.
-    ``error_kind`` distinguishes ``corrupt`` (ValueError — bad bytes)
-    from ``unsupported`` (NotImplementedError — an honest feature
-    boundary such as progressive JPEG or a compressed AV codec), so a
-    pipeline can route the former to quarantine and the latter to a
+    """Corpus-hygiene audit: one row per payload whose CONTENT cannot be
+    decoded at all. ``error_kind`` distinguishes ``corrupt`` (ValueError
+    — bad bytes) from ``unsupported`` (NotImplementedError — an honest
+    feature boundary such as progressive JPEG or a compressed AV codec),
+    so a pipeline can route the former to quarantine and the latter to a
     different decode path. A clean corpus returns zero rows.
 
     Runs the DEEPEST decode per codec (full pixels for image codecs —
-    animated GIFs through the frame compositor, so a valid animation is
-    not flagged; full sample/frame decode for wav/avi; header parse for
-    ``tsdl-fake``), so it costs about one analytics pass — an audit
-    tool, not a free filter."""
+    animated GIFs through the frame compositor; full sample/frame decode
+    for wav/avi; header parse for ``tsdl-fake``), so it costs about one
+    analytics pass — an audit tool, not a free filter.
+
+    Relationship to ``on_error='skip'``: every row reported here is
+    dropped by every skip-mode op that touches it, but an op can skip
+    MORE than this audit flags, because skip also absorbs op-level
+    feature refusals on perfectly good content — e.g. pixel_stats skips
+    a VALID animated GIF (its single-image decode refuses to drop
+    frames; route animations through :func:`extract_frames` instead).
+    This report is about bad bytes, not about which op fits which row."""
 
     def one(p, codec, codecs):
         b = bytes(p)

@@ -27,6 +27,7 @@ Grid densification happens executor-side via ``explode(sequence(...))`` so a
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -314,6 +315,15 @@ def _interval_micros(step: str) -> int:
         qty = float(parts[0].strip("'\""))
     except ValueError:
         raise ValueError(f"bad interval quantity {parts[0]!r} in {step!r}") from None
+    if not math.isfinite(qty) or qty <= 0:
+        # inf/nan float()-parse fine but overflow/garble the int()
+        # conversion below; zero/negative steps divide-by-zero later in
+        # pick_level / time_bin — every interval this engine takes is a
+        # positive duration, so reject here, descriptively
+        raise ValueError(
+            f"interval quantity must be a positive finite number, got "
+            f"{parts[0]!r} in {step!r}"
+        )
     unit = parts[1].rstrip("s")
     if unit not in scale:
         raise ValueError(
