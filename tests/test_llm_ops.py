@@ -678,3 +678,23 @@ def test_drop_degenerate_vectors_unblocks_cosine_on_dirty_corpus(spark):
     got = cosine_topk(clean, q, k=3).collect()
     ref = cosine_topk(dirty.filter("vec_id in (1, 4)"), q, k=3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+def test_weighted_mixture_rejects_degenerate_weights(spark):
+    """Zero/negative/non-finite weights previously surfaced as a runtime
+    DIVIDE_BY_ZERO deep inside the capacity window; they are now rejected
+    at construction, naming the offending source."""
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.curation import (
+        weighted_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "web"), (2, "b", "books")], "doc_id long, text string, source string"
+    )
+    for bad in ({"web": 0.0}, {"web": -1.0}, {"web": float("inf")}, {}):
+        with pytest.raises(ValueError, match="weight|at least one source"):
+            weighted_mixture(df, bad)
+    # valid weights still work
+    assert weighted_mixture(df, {"web": 1.0, "books": 1.0}).count() == 2

@@ -130,6 +130,20 @@ def weighted_mixture(
 
     Returns the kept rows with ``n_avail`` and ``keep_frac`` attached.
     """
+    import math
+
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    for src, w in weights.items():
+        if not math.isfinite(w) or w <= 0:
+            # a zero/negative/non-finite weight otherwise surfaces as a
+            # runtime DIVIDE_BY_ZERO deep inside the capacity window —
+            # reject at construction, naming the offender. A source the
+            # mixture should exclude is expressed by omitting it.
+            raise ValueError(
+                f"mixture weight for {src!r} must be a positive finite "
+                f"number, got {w!r}"
+            )
     w_items = sorted(weights.items())
     wmap = F.create_map(*[F.lit(x) for kv in w_items for x in kv])
     base = df.filter(F.col(group_col).isin(*weights))
