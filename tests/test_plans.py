@@ -571,3 +571,12 @@ def test_plan_fingerprint_stable_and_shape_sensitive(spark, sf_dir, tmp_path):
     alias = str(tmp_path / "sf_alias")
     os.symlink(str(sf_dir).rstrip("/"), alias)
     assert plan_fingerprint(Q.a1_enrichment_join(spark, alias)) == a
+
+    # 4. INSENSITIVE to run-varying RDD ids: a localCheckpoint'd frame
+    #    (the connected-components iteration uses one) prints
+    #    MapPartitionsRDD[<id>] in its scan — two checkpoints of the same
+    #    frame must hash identically (found via a bench-twice compare:
+    #    dedup_components was the one query whose hash moved run-to-run).
+    ck1 = plan_fingerprint(df.localCheckpoint(eager=True))
+    ck2 = plan_fingerprint(df.localCheckpoint(eager=True))
+    assert ck1 == ck2

@@ -70,6 +70,10 @@ def plan_fingerprint(plan: str | DataFrame) -> str:
     canon = re.sub(r"cte\d+", "cte", canon)
     canon = re.sub(r"codegen id : \d+", "codegen", canon)
     canon = re.sub(r"0x[0-9a-f]+", "0x", canon)      # object addresses
+    # localCheckpoint/cache scans print their run-varying RDD id
+    # (MapPartitionsRDD[115] at localCheckpoint at ...) — found as the
+    # one nondeterministic hash in a bench-twice compare (dedup_components)
+    canon = re.sub(r"RDD\[\d+\]", "RDD[]", canon)
     # InMemoryFileIndex elides long path lists nondeterministically
     canon = re.sub(r"\[[^\]]*\.\.\. \d+ entries\]", "[paths]", canon)
     # Scan locations are DATA-DIRECTORY text, not plan shape: hashing the
