@@ -456,8 +456,29 @@ def pq_train(
             ((r["vec_id"], list(r["embedding"])) for r in cent.collect()),
             key=lambda t: t[0],
         )
+        if not rows:
+            # An empty corpus yields zero centroids in every subspace; a
+            # codebook-less PQ model is meaningless, and letting it escape
+            # surfaces later as a bare IndexError inside pq_encode. Fail
+            # loudly at the training boundary instead (dirty-input
+            # contract: degenerate model inputs are ValueError).
+            raise ValueError(
+                "cannot train PQ codebooks on an empty corpus: "
+                f"no vectors in column {vec_col!r}"
+            )
         codebooks.append([c for _, c in rows])
     return codebooks
+
+
+def _require_codebooks(codebooks: list[list[list[float]]]) -> None:
+    """Reject a degenerate PQ model (no subspaces, or a subspace with no
+    centroids) before any plan is built — the symptom otherwise is a bare
+    IndexError deep in the encode/LUT numpy code."""
+    if not codebooks or any(not cb or not cb[0] for cb in codebooks):
+        raise ValueError(
+            "degenerate PQ codebooks: expected M non-empty centroid lists, "
+            f"got shapes {[len(cb) for cb in codebooks] or '[]'}"
+        )
 
 
 def _pq_lut_frame(
@@ -481,6 +502,7 @@ def _pq_lut_frame(
     import numpy as np
     import pandas as pd
 
+    _require_codebooks(codebooks)
     m_subspaces = len(codebooks)
     sub_dim = len(codebooks[0][0])
     cb = np.array(codebooks, dtype=np.float64)  # (M, k, sub_dim)
@@ -541,6 +563,7 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
+    _require_codebooks(codebooks)
     m_subspaces = len(codebooks)
     sub_dim = len(codebooks[0][0])
     cb = np.array(codebooks, dtype=np.float64)  # (M, k, sub_dim)
