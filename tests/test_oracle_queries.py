@@ -138,3 +138,52 @@ def test_ewma_oracle_parity_at_fold_cap(spark, tmp_path):
     (row,) = out.collect()
     assert row["n_obs"] == _FOLD_MAX_POINTS  # capped, not the full history
     assert_matches_oracle(out, sf_dir, Q.ORACLES["analytics_ewma"], "ewma_cap")
+
+
+def test_analytics_null_measurements_skip_not_reset(spark, tmp_path):
+    # A null measurement is NO observation — the fold family must skip it
+    # (like SQL aggregates), never restart the smoother (EWMA's null-seeded
+    # accumulator did) or zero-clamp the drift state (CUSUM's greatest()
+    # did). Parity alone can't prove the semantics (a bug written into both
+    # sides still matches — see the verify recipe), so assert the EWMA
+    # value equals a Python fold over the NON-NULL values, then gate the
+    # whole value-bearing family against the oracles on the same fixture.
+    import datetime as dt
+
+    from tests.oracle_util import assert_matches_oracle
+    from tests.test_cep import _write_synthetic_events
+    from time_series_and_data_lakes_spark.queries import _EWMA_ALPHA
+
+    t0 = dt.datetime(2024, 5, 1)
+    vals = [12.0, None, 15.0, 18.0, None, None, 21.0, 9.0, None, 30.0]
+    rows = [
+        (i + 100 * uid, t0 + dt.timedelta(minutes=5 * i), uid,
+         "ok" if i % 3 else "error", v)
+        for uid in (1, 2)
+        for i, v in enumerate(vals)
+    ]
+    sf_dir = _write_synthetic_events(tmp_path, rows)
+
+    out = Q.QUERIES["analytics_ewma"](spark, sf_dir)
+    got = {r["sensor_id"]: r for r in out.collect()}
+    acc = None
+    for x in vals:
+        if x is None:
+            continue
+        acc = x if acc is None else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc
+    assert got[1]["n_obs"] == sum(v is not None for v in vals)
+    assert got[1]["ewma_temperature"] == acc  # bit-exact same fold chain
+
+    for name in (
+        "analytics_ewma",
+        "analytics_holt",
+        "analytics_cusum",
+        "analytics_lttb_downsample",
+        "analytics_anomaly_zscore",
+        "analytics_moving_window",
+        "g9_ohlc_per_sensor",
+        "g5_binned_percentiles",
+    ):
+        assert_matches_oracle(
+            Q.QUERIES[name](spark, sf_dir), sf_dir, Q.ORACLES[name], f"{name}_nulls"
+        )

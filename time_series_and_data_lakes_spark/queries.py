@@ -1411,23 +1411,35 @@ _FOLD_MAX_POINTS = 50_000
 def _bounded_obs(obs: DataFrame, max_points: int = _FOLD_MAX_POINTS) -> DataFrame:
     """Most recent ``max_points`` observations per sensor, under the same
     (time, temperature) ordering the folds sort by — ties broken identically
-    on both engines, so the kept set is deterministic."""
+    on both engines, so the kept set is deterministic.
+
+    A NULL measurement is no observation: it is dropped here, BEFORE the
+    cap, so the fold family (EWMA/Holt/CUSUM/LTTB) shares one null
+    contract — skip, like SQL aggregates. Without the filter each fold
+    improvised its own accident (EWMA's null-seeded accumulator RESTARTED
+    the smoother, CUSUM's greatest() zero-clamped the drift state, the
+    streaming twins' Arrow batches poisoned it to NaN), null slots consumed
+    cap entries, and the DESC tie-order of nulls differs across engines.
+    NaN is a real IEEE value, not a null — it propagates through the folds
+    identically on both engines and is deliberately NOT filtered."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("sensor_id").orderBy(
         F.col("time").desc(), F.col("temperature").desc()
     )
     return (
-        obs.withColumn("__rn", F.row_number().over(w))
+        obs.filter(F.col("temperature").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_points)
         .drop("__rn")
     )
 
 
 # Oracle-side mirror of _bounded_obs: DuckDB QUALIFY over the same
-# descending (ts, value) row_number.
+# descending (ts, value) row_number, same null-measurement drop.
 _BOUNDED_OBS_SQL = f"""
   SELECT user_id, ts, value FROM events
+  WHERE value IS NOT NULL
   QUALIFY row_number() OVER (PARTITION BY user_id
                              ORDER BY ts DESC, value DESC) <= {_FOLD_MAX_POINTS}
 """

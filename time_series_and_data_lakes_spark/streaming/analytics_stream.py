@@ -85,6 +85,13 @@ def ewma_stream(
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col, kind="mergesort")
             for x in pdf[value_col]:
+                if pd.isna(x):
+                    # Same null contract as the batch fold's _bounded_obs:
+                    # a null measurement is no observation. (Arrow float64
+                    # batches conflate null with NaN, so a genuine NaN
+                    # measurement is skipped here too — the one documented
+                    # divergence from the batch fold, where NaN propagates.)
+                    continue
                 x = float(x)
                 acc = x if acc is None else alpha * x + (1.0 - alpha) * acc
                 n += 1
@@ -152,6 +159,8 @@ def holt_stream(
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col, kind="mergesort")
             for x in pdf[value_col]:
+                if pd.isna(x):
+                    continue  # null contract — see the EWMA twin
                 x = float(x)
                 if l is None:
                     l, b = x, 0.0
