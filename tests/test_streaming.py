@@ -925,6 +925,77 @@ def test_streaming_holt_equals_batch_fold(spark, tmp_path):
     assert final == want
 
 
+def test_streaming_smoothers_skip_null_measurements(spark, tmp_path):
+    # Streaming twin of the batch fold family's null contract (see
+    # queries._bounded_obs): a null measurement is NO observation — the
+    # smoother skips it rather than restarting (EWMA) or poisoning state to
+    # NaN (both, via the Arrow float64 batch). Nulls ride a real JSON
+    # stream here, so they arrive exactly as production tombstone readings
+    # would.
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        ewma_stream,
+        holt_stream,
+    )
+
+    rows = sensor_readings(seed=77, sensors=3, span_seconds=30)
+    for i, r in enumerate(rows):
+        if i % 4 == 1:  # every 4th reading loses its measurement
+            r["temperature"] = None
+    src = _write_json_batches(tmp_path, rows, n_batches=5)
+
+    wide = read_json_stream(spark, src).select(
+        "sensor_id", "event_time", "temperature"
+    )
+    for name, out in (
+        ("ewma_nulls", ewma_stream(wide, alpha=0.2, time_col="event_time")),
+        (
+            "holt_nulls",
+            holt_stream(wide, alpha=0.3, gamma=0.1, time_col="event_time"),
+        ),
+    ):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["sensor_id"], r["event_time"])):
+        if r["temperature"] is not None:
+            series.setdefault(r["sensor_id"], []).append(float(r["temperature"]))
+
+    final = {}
+    for r in spark.sql("SELECT * FROM ewma_nulls").collect():
+        k = r["sensor_id"]
+        if k not in final or r["n_obs"] > final[k][0]:
+            final[k] = (r["n_obs"], r["ewma"])
+    want = {}
+    for k, vals in series.items():
+        acc = None
+        for x in vals:
+            acc = x if acc is None else 0.2 * x + 0.8 * acc
+        want[k] = (len(vals), acc)
+    assert final == want  # n_obs counts only real observations
+
+    final = {}
+    for r in spark.sql("SELECT * FROM holt_nulls").collect():
+        k = r["sensor_id"]
+        if k not in final or r["n_obs"] > final[k][0]:
+            final[k] = (r["n_obs"], r["holt_level"], r["holt_trend"])
+    want = {}
+    for k, vals in series.items():
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            lp = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * (lp - l) + 0.9 * b
+            l = lp
+        want[k] = (len(vals), l, b)
+    assert final == want
+
+
 def test_kafka_broker_smoke(spark, tmp_path):
     """End-to-end broker smoke (VERDICT_r4 item 7): produce JSON records to
     a real Kafka topic with Spark's own Kafka sink, then stream them back
