@@ -1,0 +1,119 @@
+"""Row-level dirty-input sweep: catalog queries over NULL-injected tables.
+
+Complements test_empty_inputs.py (table-level degeneracy). At corpus scale a
+null cell is routine — a failed crawl leaves a document row with NULL text, a
+sensor glitch leaves an event row with a NULL measurement or NULL status —
+and the contract is that every query still matches its DuckDB oracle on the
+SAME nulled parquet, i.e. the engine's null semantics are not merely
+"doesn't crash" but bit-for-bit the SQL semantics:
+
+  * a NULL measurement is skipped by aggregates/folds (SQL aggregate rule),
+    is "no observation" to melt (a narrow-store record IS a non-null pair),
+    and in `resample` is per-column — the row still bounds the other
+    series' grid (operators/timeseries.py);
+  * a NULL status matches NO pattern variable, so it breaks
+    MATCH_RECOGNIZE contiguity (operators/cep.py, streaming twin);
+  * a NULL document text is no document: no shingles/signature/quality
+    rank, and its media row carries a NULL payload, which every media op
+    drops under BOTH error policies (multimodal._row_attempt).
+
+The representative set below covers each of those families with full oracle
+parity. The FULL 108-query sweep (every query, parity where an oracle
+exists) is gated behind TSDL_DIRTY_SWEEP=1 (~4 min):
+
+    TSDL_DIRTY_SWEEP=1 python -m pytest tests/test_dirty_inputs.py -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_util import assert_matches_oracle
+
+# table -> {column: period}; row i is nulled when i % period == period // 2.
+# Prime periods so the null patterns of different columns interleave (rows
+# with several simultaneous nulls AND rows with exactly one both occur).
+_INJECT = {
+    "events": {"value": 7, "event_type": 19, "props": 13},
+    "documents": {"text": 11, "lang": 17, "source": 23},
+}
+
+
+@pytest.fixture(scope="module")
+def dirty_sf(tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = tmp_path_factory.mktemp("dirty_sf")
+    for name in sorted(os.listdir(SF_SMOKE)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(SF_SMOKE, name)
+        if os.path.isdir(src):
+            parts = [
+                os.path.join(src, p)
+                for p in sorted(os.listdir(src))
+                if p.endswith(".parquet")
+            ]
+            tb = pa.concat_tables([pq.read_table(p) for p in parts])
+        else:
+            tb = pq.read_table(src)
+        for col, period in _INJECT.get(name[:-8], {}).items():
+            i = tb.schema.get_field_index(col)
+            arr = tb.column(col).combine_chunks()
+            mask = pa.array((np.arange(tb.num_rows) % period) == (period // 2))
+            nulled = pa.compute.if_else(mask, pa.nulls(tb.num_rows, arr.type), arr)
+            tb = tb.set_column(i, tb.schema.field(i), nulled)
+        pq.write_table(tb, str(dst / name))
+    return str(dst)
+
+
+# One query per null-semantics family changed for this contract; each is a
+# FULL oracle-parity gate over the nulled tables, not a smoke count.
+REPRESENTATIVE = [
+    "f2_cep_match_recognize",  # null status breaks contiguity; null temps in match aggs
+    "q1_flagship_interpolate",  # per-column IGNORE-NULLS lerp/LOCF endpoints
+    "g2_measure_series",  # melt drops null measures
+    "g4_status_counts",  # null event_type is its own GROUP BY key
+    "analytics_ewma",  # sequential fold skips null measurements
+    "pipe_quality_deciles",  # null text never enters the decile window
+    "dedup_simhash",  # null text -> no signature -> no candidates
+    "multimodal_decode_stats",  # null text -> NULL payload -> row dropped
+    "text_winnow_fingerprint",  # null text -> no fingerprints
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_representative_queries_match_oracle_on_dirty_tables(
+    spark, dirty_sf, name
+):
+    sql = entry.oracle_sql()[name]
+    assert_matches_oracle(entry.queries()[name](spark, dirty_sf), dirty_sf, sql, name)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TSDL_DIRTY_SWEEP"),
+    reason="set TSDL_DIRTY_SWEEP=1 for the full 108-query dirty-input sweep",
+)
+def test_full_catalog_dirty_sweep(spark, dirty_sf):
+    oracles = entry.oracle_sql()
+    failures = {}
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, dirty_sf)
+            sql = oracles.get(name)
+            if sql is None:  # approximate-by-design: rows-only check
+                df.count()
+            else:
+                assert_matches_oracle(df, dirty_sf, sql, name)
+        except AssertionError as e:
+            failures[name] = str(e).splitlines()[0][:200]
+        except Exception as e:  # noqa: BLE001 — the sweep's whole point
+            failures[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+    assert not failures, failures

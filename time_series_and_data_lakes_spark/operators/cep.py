@@ -85,11 +85,20 @@ def match_error_pattern(
     )
     # Running count of error rows, inclusive: for an error row this is its
     # 1-based error index k; non-error rows carry the index of the error
-    # segment they follow.
-    rows = rows.withColumn(
-        "__err_seq",
-        F.sum("__is_err").over(w_key.rowsBetween(Window.unboundedPreceding, 0)),
-    ).withColumn("__pos", F.row_number().over(w_key))
+    # segment they follow. A NULL status matches NO pattern variable
+    # (three-valued logic: both `status = 'ERROR'` and `status <> 'ERROR'`
+    # are NULL), so under MATCH_RECOGNIZE contiguity such a row breaks any
+    # match spanning it — tracked by a second running count so pair
+    # validity can require zero interior null-status rows.
+    w_run = w_key.rowsBetween(Window.unboundedPreceding, 0)
+    rows = (
+        rows.withColumn("__err_seq", F.sum("__is_err").over(w_run))
+        .withColumn(
+            "__null_seq",
+            F.sum(F.col("__status").isNull().cast("int")).over(w_run),
+        )
+        .withColumn("__pos", F.row_number().over(w_key))
+    )
 
     # B-segment aggregates: non-error rows between error k and error k+1
     # share __err_seq = k. History preserves arrival order via pos-sorted
@@ -108,9 +117,17 @@ def match_error_pattern(
             ).alias("history"),
             F.min("__v").alias("__b_min"),
             F.max("__v").alias("__b_max"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
-                lambda x: x["__v"],
+            # null B measurements ride inside the structs (collect_list only
+            # skips null STRUCTS), so drop them here: the avg fold sums real
+            # temps only, while its denominator stays b_count + 2 (rows) —
+            # mirrored by the oracle's FILTER'd list(). A's/C's own null
+            # temp still nulls the whole avg on both engines.
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
+                    lambda x: x["__v"],
+                ),
+                lambda v: v.isNotNull(),
             ).alias("__b_temps"),
         )
     )
@@ -121,12 +138,14 @@ def match_error_pattern(
         F.col("__t").alias("__t_a"),
         F.col("__pos").alias("__pos_a"),
         F.col("__v").alias("__v_a"),
+        F.col("__null_seq").alias("__ns_a"),
     )
     w_err = Window.partitionBy(key).orderBy("__k")
     pairs = (
         errs.withColumn("__t_c", F.lead("__t_a").over(w_err))
         .withColumn("__pos_c", F.lead("__pos_a").over(w_err))
         .withColumn("__v_c", F.lead("__v_a").over(w_err))
+        .withColumn("__ns_c", F.lead("__ns_a").over(w_err))
         .filter(F.col("__t_c").isNotNull())
     )
     n_b = F.col("__pos_c") - F.col("__pos_a") - 1
@@ -136,6 +155,10 @@ def match_error_pattern(
             (n_b >= min_b)
             & (n_b <= max_b)
             & ((F.unix_micros("__t_c") - F.unix_micros("__t_a")) <= within_us)
+            # A and C have non-null status, so the inclusive running counts
+            # differ by exactly the interior null-status rows — which match
+            # no variable and therefore break contiguity.
+            & (F.col("__ns_c") - F.col("__ns_a") == 0)
         ).cast("int"),
     )
     # SKIP PAST LAST ROW: run id = invalid pairs seen so far; within a run,
@@ -208,7 +231,19 @@ def brute_force_matches(
     non-overlapping matches, skip past last row. O(n) driver-side Python —
     test oracle only, never part of a query plan.
     """
-    rows = sorted(rows)
+    # same (time, status, value) order as before, made total under Nones
+    # (None sorts before any real status/value; irrelevant when rows are
+    # null-free, where this reduces to plain tuple order)
+    rows = sorted(
+        rows,
+        key=lambda r: (
+            r[0],
+            r[1] is not None,
+            r[1] or "",
+            r[2] is not None,
+            r[2] if r[2] is not None else 0.0,
+        ),
+    )
     out: list[dict] = []
     i = 0
     n = len(rows)
@@ -216,30 +251,47 @@ def brute_force_matches(
         if rows[i][1] != error_value:
             i += 1
             continue
-        # A anchored at i; B rows must be non-error; C the next error.
+        # A anchored at i; B rows must be non-error AND non-null (a NULL
+        # status matches no DEFINE variable, so it breaks contiguity); C
+        # the next error.
         j = i + 1
+        broken = False
         while j < n and rows[j][1] != error_value:
+            if rows[j][1] is None:
+                broken = True
             j += 1
         b_count = j - i - 1
         if (
             j < n
+            and not broken
             and min_b <= b_count <= max_b
             and (rows[j][0] - rows[i][0]).total_seconds() <= within_seconds
         ):
             match = rows[i : j + 1]
-            temps = [r[2] for r in match]
+            # null-measurement contract, mirroring the distributed operator:
+            # min/max skip null temps; the avg fold keeps the (rows + 2)
+            # denominator but sums only non-null B temps, and goes null if
+            # A's or C's own temp is null (their array slots are folded).
+            va, vc = match[0][2], match[-1][2]
+            b_temps = [r[2] for r in match[1:-1] if r[2] is not None]
+            nn = [t for t in (va, *b_temps, vc) if t is not None]
             delta = rows[j][0] - rows[i][0]
             factor = float(10**round_avg)
+            if va is None or vc is None:
+                avg = None
+            else:
+                acc = 0.0
+                for t in (va, *b_temps, vc):
+                    acc += t
+                avg = math.floor(acc / len(match) * factor + 0.5) / factor
             out.append(
                 {
                     "event_time": rows[i][0],
                     "non_errors": b_count,
                     "history": "-".join(r[1] for r in match[1:-1]),
-                    "min_temperature": min(temps),
-                    # same floor-based rounding as the distributed operator
-                    "avg_temperature": math.floor(sum(temps) / len(temps) * factor + 0.5)
-                    / factor,
-                    "max_temperature": max(temps),
+                    "min_temperature": min(nn) if nn else None,
+                    "avg_temperature": avg,
+                    "max_temperature": max(nn) if nn else None,
                     # floor seconds (timedelta normalizes micros separately)
                     "elapsed": delta.days * 86400 + delta.seconds,
                 }

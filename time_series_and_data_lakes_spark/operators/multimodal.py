@@ -977,9 +977,17 @@ def _row_attempt(on_error: str, fn, *args):
     companion — it reports every row whose CONTENT is undecodable; an
     op-level 'skip' can drop strictly more (see its docstring).
 
+    A NULL payload (always ``fn``'s first argument) is NO media — absence,
+    not corruption: the row is skipped under BOTH policies, the same
+    contract as a null measurement or a null document text; 'fail' stays
+    reserved for bytes that exist but lie. :func:`media_errors` reports
+    null payloads so corpus audits still see them.
+
     Returns ``None`` for a skipped row (no decoder here returns None, so
     the sentinel is unambiguous — an ``object()`` sentinel would lose
     identity when cloudpickle re-creates the closure on the executor)."""
+    if args and args[0] is None:
+        return None
     if on_error == "fail":
         return fn(*args)
     try:
@@ -999,7 +1007,7 @@ def _attempt_rows(pdf: "pd.DataFrame", on_error: str, fn, row_args):
     keep, rows = [], []
     for j, args in enumerate(row_args):
         r = _row_attempt(on_error, fn, *args)
-        if r is None:
+        if r is None:  # skipped: decode refused, or a NULL payload (no media)
             continue
         keep.append(j)
         rows.append(r)
@@ -1618,7 +1626,9 @@ def media_errors(df: DataFrame) -> DataFrame:
     Runs the DEEPEST decode per codec (full pixels for image codecs —
     animated GIFs through the frame compositor; full sample/frame decode
     for wav/avi; header parse for ``tsdl-fake``), so it costs about one
-    analytics pass — an audit tool, not a free filter.
+    analytics pass — an audit tool, not a free filter. A NULL payload is
+    reported as ``error_kind='null'`` — absence, not corruption; the ops
+    drop such rows silently under both error policies.
 
     Relationship to ``on_error='skip'``: every row reported here is
     dropped by every skip-mode op that touches it, but an op can skip
@@ -1648,6 +1658,12 @@ def media_errors(df: DataFrame) -> DataFrame:
             for mid, p, c in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
             ):
+                if p is None:
+                    # silently dropped by every op (_attempt_rows); the
+                    # audit is where a corpus run counts its missing blobs
+                    ids.append(mid); cods.append(c)
+                    kinds.append("null"); msgs.append("null payload")
+                    continue
                 try:
                     one(p, c, codecs)
                 except ValueError as e:

@@ -130,30 +130,63 @@ def resample(
     value_cols = sorted({*linear.values(), *locf.values()})
     step_us = _interval_micros(step)
 
-    # Interval-join densification. Each observation owns the grid slots in
-    # [t_i, t_{i+1}): slot indices k (relative to the key's min time, the
+    # Interval-join densification. Each observation row owns the grid slots
+    # in [t_i, t_{i+1}): slot indices k (relative to the key's min time, the
     # grid phase — Timestream's SEQUENCE starts at min(time)) are generated
-    # per observation and lerped against the lead neighbor. Compared to the
-    # union-the-grid-then-window formulation this shuffles and sorts ONLY
-    # the observations (grid densification happens after the window, inside
-    # codegen), which at scale cuts the exchanged volume by the
-    # grid-to-observation ratio. Values are assumed non-null (nulls are
-    # non-observations; drop them upstream).
+    # per row. Compared to the union-the-grid-then-window formulation this
+    # shuffles and sorts ONLY the observations (grid densification happens
+    # after the window, inside codegen), which at scale cuts the exchanged
+    # volume by the grid-to-observation ratio.
+    #
+    # Null semantics are PER COLUMN (Timestream-faithful — the semantics a
+    # window IGNORE NULLS formulation gives): a row whose value is null for
+    # one series is still an observation for its other series, and still
+    # bounds the grid. So slot ownership uses ALL rows, while each column's
+    # lerp endpoints / LOCF state come from running last/first IGNORE NULLS
+    # over the same (keys, time) sort — one WindowExec, one exchange, same
+    # plan shape as before. On null-free input every expression reduces to
+    # the old row-local value / lead pair bit-exactly.
     w = Window.partitionBy(*keys).orderBy("__t")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fut = w.rowsBetween(1, Window.unboundedFollowing)
     obs = df.select(
         *keys,
         F.col(time_col).alias("__t"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     lin_vals = sorted(set(linear.values()))
+    locf_vals = sorted(set(locf.values()))
+    t_us = F.unix_micros("__t")
+
+    def _nn_t(c: str):
+        return F.when(F.col(f"__v_{c}").isNotNull(), t_us)
+
     staged = obs.select(
         *keys,
-        F.unix_micros("__t").alias("__t_us"),
+        t_us.alias("__t_us"),
         F.unix_micros(F.first("__t").over(w_run)).alias("__min_us"),
         F.unix_micros(F.lead("__t").over(w)).alias("__next_t_us"),
         *[F.col(f"__v_{c}") for c in value_cols],
-        *[F.lead(f"__v_{c}").over(w).alias(f"__next_{c}") for c in lin_vals],
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w_run).alias(f"__pv_{c}")
+            for c in lin_vals
+        ],
+        *[
+            F.last(_nn_t(c), ignorenulls=True).over(w_run).alias(f"__pt_{c}")
+            for c in lin_vals
+        ],
+        *[
+            F.first(f"__v_{c}", ignorenulls=True).over(w_fut).alias(f"__nv_{c}")
+            for c in lin_vals
+        ],
+        *[
+            F.first(_nn_t(c), ignorenulls=True).over(w_fut).alias(f"__nt_{c}")
+            for c in lin_vals
+        ],
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w_run).alias(f"__locf_{c}")
+            for c in locf_vals
+        ],
     )
 
     d = F.col("__t_us") - F.col("__min_us")
@@ -173,26 +206,33 @@ def resample(
         "__t_us",
         "__min_us",
         "__next_t_us",
-        *[F.col(f"__v_{c}") for c in value_cols],
-        *[F.col(f"__next_{c}") for c in lin_vals],
+        *[F.col(f"__pv_{c}") for c in lin_vals],
+        *[F.col(f"__pt_{c}") for c in lin_vals],
+        *[F.col(f"__nv_{c}") for c in lin_vals],
+        *[F.col(f"__nt_{c}") for c in lin_vals],
+        *[F.col(f"__locf_{c}") for c in locf_vals],
         F.explode(slots).alias("__k"),
     ).withColumn("__g_us", F.col("__min_us") + F.col("__k") * F.lit(step_us))
 
     out_cols: list[Column] = []
     for out_name, in_name in locf.items():
-        out_cols.append(F.col(f"__v_{in_name}").alias(out_name))
+        out_cols.append(F.col(f"__locf_{in_name}").alias(out_name))
     for out_name, in_name in linear.items():
-        v, v_next = F.col(f"__v_{in_name}"), F.col(f"__next_{in_name}")
-        # same IEEE expression tree as the oracle: lerp in epoch micros; a
-        # slot exactly on the observation returns it verbatim (covers the
-        # final grid point and single-observation keys)
-        frac = (F.col("__g_us") - F.col("__t_us")) / (
-            F.col("__next_t_us") - F.col("__t_us")
-        )
+        # same IEEE expression tree as the oracle: lerp in epoch micros
+        # between the column's nearest non-null neighbors; a slot exactly on
+        # a non-null observation returns it verbatim (covers the final grid
+        # point and single-observation keys). A slot owned by row i sees
+        # non-null obs at t <= g as exactly rows 0..i (prev state) and at
+        # t >= g as rows i+1.. (next state): g == t_i with a non-null value
+        # is the verbatim branch, and with a null value row i contributes
+        # to neither side — IGNORE NULLS semantics per column.
+        pv, pt = F.col(f"__pv_{in_name}"), F.col(f"__pt_{in_name}")
+        nv, nt = F.col(f"__nv_{in_name}"), F.col(f"__nt_{in_name}")
+        frac = (F.col("__g_us") - pt) / (nt - pt)
         lerp = (
-            F.when(F.col("__g_us") == F.col("__t_us"), v)
-            .when(F.col("__next_t_us").isNull(), F.lit(None))
-            .otherwise(v + (v_next - v) * frac)
+            F.when(pt == F.col("__g_us"), pv)
+            .when(pt.isNull() | nt.isNull(), F.lit(None))
+            .otherwise(pv + (nv - pv) * frac)
         )
         out_cols.append(lerp.alias(out_name))
 

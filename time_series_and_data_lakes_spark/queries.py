@@ -412,6 +412,8 @@ G2_ORACLE = """
 SELECT user_id AS sensor_id, ts AS time, value AS temperature
 FROM events
 WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+  AND value IS NOT NULL  -- melt drops null measures: a narrow-store record
+                         -- IS a (measure_name, non-null value) pair
 ORDER BY time
 """
 
@@ -739,28 +741,40 @@ WITH obs AS (
          value AS temperature{tb_sel}
   FROM events
 ), rows_ AS (
+  -- NULL status matches NO pattern variable (status = 'error' and
+  -- status <> 'error' are both NULL), so it anchors nothing, counts as no
+  -- B row, and null_seq lets pair validity require zero interior nulls —
+  -- MATCH_RECOGNIZE contiguity, mirrored in operators/cep.py.
   SELECT sensor_id, time, status, temperature,
     CASE WHEN status = 'error' THEN 1 ELSE 0 END AS is_err,
     sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
       OVER (PARTITION BY sensor_id ORDER BY {order}
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_seq,
+    sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END)
+      OVER (PARTITION BY sensor_id ORDER BY {order}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS null_seq,
     row_number() OVER (PARTITION BY sensor_id ORDER BY {order}) AS pos
   FROM obs
 ), segs AS (
+  -- b_temps drops NULL measurements (Spark's collect_list does the same);
+  -- string_agg/min/max skip them natively on both engines
   SELECT sensor_id, err_seq, count(*) AS b_count,
     string_agg(status, '-' ORDER BY pos) AS history,
     min(temperature) AS b_min, max(temperature) AS b_max,
-    list(temperature ORDER BY pos) AS b_temps
-  FROM rows_ WHERE is_err = 0 AND err_seq >= 1
+    list(temperature ORDER BY pos) FILTER (temperature IS NOT NULL) AS b_temps
+  FROM rows_ WHERE is_err = 0 AND status IS NOT NULL AND err_seq >= 1
   GROUP BY sensor_id, err_seq
 ), errs AS (
   SELECT sensor_id, err_seq AS k, time AS t_a, pos AS pos_a, temperature AS v_a,
-    lead(time) OVER w AS t_c, lead(pos) OVER w AS pos_c, lead(temperature) OVER w AS v_c
+    null_seq AS ns_a,
+    lead(time) OVER w AS t_c, lead(pos) OVER w AS pos_c,
+    lead(temperature) OVER w AS v_c, lead(null_seq) OVER w AS ns_c
   FROM rows_ WHERE is_err = 1
   WINDOW w AS (PARTITION BY sensor_id ORDER BY err_seq)
 ), pairs AS (
   SELECT *, CASE WHEN pos_c - pos_a - 1 BETWEEN {min_b} AND {max_b}
                   AND epoch_us(t_c) - epoch_us(t_a) <= {within_us}
+                  AND ns_c - ns_a = 0
              THEN 1 ELSE 0 END AS valid
   FROM errs WHERE t_c IS NOT NULL
 ), runs AS (
@@ -1612,8 +1626,15 @@ WITH RECURSIVE bounded AS ({_BOUNDED_OBS_SQL}
          list_append(sel, {{'t': (bst).t, 'v': (bst).v}})
   FROM (
     SELECT sensor_id, b, sel,
-           list_reduce(cands,
-             (bst, c) -> CASE WHEN c.area > bst.area THEN c ELSE bst END) AS bst
+           -- first-max argmax. NOT a list_reduce: DuckDB 1.0 mis-broadcasts
+           -- a list_reduce chained over list_transform(generate_series(...))
+           -- when concurrent rows carry different list lengths — with
+           -- sensors of unequal n, every row silently received one row's
+           -- fold result (reproduced outside the recursion; driver data has
+           -- uniform per-key counts, so clean runs never tripped it).
+           -- max + first-equal keeps the fold's first-max tie rule exactly.
+           list_filter(cands, c -> c.area =
+             list_aggregate(list_transform(cands, c2 -> c2.area), 'max'))[1] AS bst
     FROM (
       SELECT sensor_id, b, sel, prev_t, prev_v,
              list_transform(generate_series(lo, hi), j -> {{

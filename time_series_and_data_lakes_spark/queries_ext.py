@@ -243,7 +243,12 @@ def _simhash_oracle(n_bits: int = 32, max_hamming: int = 3, n_bands: int = 4) ->
     tok_hash = _h64_sql("t", 0)
     return f"""
 WITH ht AS (
-  SELECT doc_id, list_transform({_TOKS}, t -> {tok_hash}) AS hs FROM documents
+  -- null text is no document: the Spark simhash stage null-propagates
+  -- (no signature, no candidates), while an unfiltered oracle would give
+  -- every null doc sim = 0 (each bit's NULL fold lands in the ELSE arm)
+  -- and pair them all with hamming 0.
+  SELECT doc_id, list_transform({_TOKS}, t -> {tok_hash}) AS hs
+  FROM documents WHERE text IS NOT NULL
 ), sim AS (
   SELECT doc_id, {_FOLD_SUM.format(lst=f'''list_transform(generate_series(0, {n_bits - 1}), b ->
     CASE WHEN {_FOLD_SUM.format(lst="list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)")} >= 0
@@ -911,6 +916,7 @@ SELECT doc_id,
        1 + doc_id % 30 AS n_frames,
        10 + octet_length(encode(text)) AS n_bytes
 FROM documents
+WHERE text IS NOT NULL  -- null text -> null payload -> no media row
 """
 
 
@@ -935,7 +941,12 @@ def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["doc_id"],
                     "media_type": ["video"] * len(pdf),
                     "payload": [
-                        pack_fake_payload(
+                        # a null text is no document: its media row carries a
+                        # NULL payload (the realistic failed-crawl shape) and
+                        # every media op drops it per the null-media contract
+                        None
+                        if t is None
+                        else pack_fake_payload(
                             int(100 + d % 1820), int(100 + d % 980), int(1 + d % 30),
                             t.encode("utf-8"),
                         )
@@ -966,6 +977,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_SAMPLE_ORACLE = f"""
 SELECT doc_id, unnest(range(0, 1 + doc_id % 30, {_FRAME_EVERY_N})) AS frame_index
 FROM documents
+WHERE text IS NOT NULL  -- null text -> null payload -> no media row
 """
 
 
@@ -997,6 +1009,7 @@ WITH dims AS (
   SELECT doc_id, 100 + doc_id % 1820 AS w, 100 + doc_id % 980 AS h,
          octet_length(encode(text)) AS blen
   FROM documents
+  WHERE text IS NOT NULL  -- null text -> null payload -> no media row
 )
 SELECT doc_id,
   CASE WHEN w <= {_RESIZE_MAX_W} AND h <= {_RESIZE_MAX_H} THEN w

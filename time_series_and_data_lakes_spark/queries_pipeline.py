@@ -617,7 +617,13 @@ def pipe_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _load_docs(spark, sf_dir)
-    q = docs.select("doc_id", X.quality_score(F.col("text")).alias("q"))
+    # A null text is no document: quality_score null-propagates (like every
+    # SQL expression), but ntile ORDERS nulls engine-dependently (Spark
+    # nulls-first vs DuckDB nulls-last), so unranked docs must not enter
+    # the decile window at all.
+    q = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", X.quality_score(F.col("text")).alias("q")
+    )
     w = Window.orderBy(F.asc("q"), F.asc("doc_id"))
     return (
         q.withColumn("decile", F.ntile(_N_DECILES).over(w).cast("bigint"))
@@ -640,7 +646,7 @@ def _quality_deciles_oracle() -> str:
   END"""
     return f"""
 WITH scored AS (
-  SELECT doc_id, ({quality}) AS q FROM documents
+  SELECT doc_id, ({quality}) AS q FROM documents WHERE text IS NOT NULL
 )
 SELECT decile, count(*) AS n_docs,
        min(q) AS min_quality, max(q) AS max_quality

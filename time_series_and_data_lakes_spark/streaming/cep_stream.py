@@ -67,6 +67,15 @@ CEP_STATE_SCHEMA = T.StructType(
 )
 
 
+
+def _row_order(r: tuple) -> tuple:
+    """Total order for (t_us, status, temp) rows: plain tuple order when
+    null-free; a None status/NaN temp sorts before real values instead of
+    raising TypeError on equal-timestamp ties."""
+    t, s, v = r
+    v_real = v is not None and not math.isnan(v)
+    return (t, s is not None, s or "", v_real, v if v_real else 0.0)
+
 def _nfa_step(
     state: tuple[int | None, float | None, list[str], list[float]],
     t_us: int,
@@ -80,23 +89,45 @@ def _nfa_step(
 ) -> tuple[tuple, dict | None]:
     """Advance the per-key NFA by one row; return (new_state, emitted_match)."""
     a_time, a_temp, b_statuses, b_temps = state
+    if status is None:
+        # NULL status matches no DEFINE variable (three-valued logic), so
+        # under MATCH_RECOGNIZE contiguity it kills any active candidate
+        # and can anchor nothing — same contract as the batch operator's
+        # zero-interior-nulls pair validity (operators/cep.py).
+        return (None, None, [], []), None
     if status == error_value:
         if (
             a_time is not None
             and min_b <= len(b_statuses) <= max_b
             and t_us - a_time <= within_us
         ):
-            temps = [a_temp, *b_temps, temp]
+            # Null-measurement contract, mirroring the batch operator: the
+            # Arrow float64 batch conflates null with NaN, so NaN here IS
+            # the null measurement — min/max skip it, the avg fold keeps
+            # the (rows + 2) denominator but sums only real B temps, and
+            # goes null when A's or C's own temp is missing.
+            b_real = [t for t in b_temps if not (t is None or math.isnan(t))]
+            nn = [
+                t for t in (a_temp, *b_real, temp) if not (t is None or math.isnan(t))
+            ]
             factor = float(10**round_avg)
+            if a_temp is None or math.isnan(a_temp) or temp is None or math.isnan(temp):
+                avg = None
+            else:
+                acc = 0.0
+                for t in (a_temp, *b_real, temp):
+                    acc += t
+                avg = (
+                    math.floor(acc / (len(b_statuses) + 2) * factor + 0.5) / factor
+                )
             match = {
                 "a_time_us": a_time,
                 "non_errors": len(b_statuses),
                 "history": "-".join(b_statuses),
-                "min_temperature": min(temps),
+                "min_temperature": min(nn) if nn else None,
                 # floor-based rounding, identical to the batch operator
-                "avg_temperature": math.floor(sum(temps) / len(temps) * factor + 0.5)
-                / factor,
-                "max_temperature": max(temps),
+                "avg_temperature": avg,
+                "max_temperature": max(nn) if nn else None,
                 # floor seconds, per Flink's integer division (notebook.txt:61)
                 "elapsed": (t_us // 1000 - a_time // 1000) // 1000,
             }
@@ -149,18 +180,20 @@ def _advance_key(
     for pdf in batches:
         times_us = pdf[time_col].astype("datetime64[us]").astype("int64")
         rows += [
-            (int(t), s, float(v))
+            # a null temp is NaN from a float64 Arrow batch, but an object
+            # column (all-null batch) delivers None — normalize to NaN
+            (int(t), s, float(v) if v is not None else float("nan"))
             for t, s, v in zip(times_us, pdf[status_col], pdf[value_col], strict=True)
         ]
 
     if flush:
-        ready = sorted(pending + rows)
+        ready = sorted(pending + rows, key=_row_order)
         pending = []
     elif lateness_us is None:
-        ready = sorted(rows)
+        ready = sorted(rows, key=_row_order)
     else:
         pending.extend(rows)
-        pending.sort()
+        pending.sort(key=_row_order)
         if pending:
             max_seen = max(max_seen or pending[-1][0], pending[-1][0])
         frontier = (max_seen - lateness_us) if max_seen is not None else None
