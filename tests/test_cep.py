@@ -83,9 +83,11 @@ def test_failed_attempt_does_not_consume(spark):
     assert [m[1] for m in got] == [_t(10)]
 
 
-def _random_stream(seed: int, n: int, keys: int = 3):
+def _random_stream(seed: int, n: int, keys: int = 3, dirty: bool = False):
     """Status distribution per the reference generator: temp uniform 10-180;
-    >160 ERROR; >140 or 20% chance → WARNING/ERROR coin-flip; else OK."""
+    >160 ERROR; >140 or 20% chance → WARNING/ERROR coin-flip; else OK.
+    With dirty=True, ~10% of statuses and ~15% of temperatures are NULL
+    (independently), exercising the null-measurement/null-status contract."""
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -97,32 +99,56 @@ def _random_stream(seed: int, n: int, keys: int = 3):
             status = rng.choice(["WARNING", "ERROR"])
         else:
             status = "OK"
+        if dirty:
+            if rng.random() < 0.10:
+                status = None
+            if rng.random() < 0.15:
+                temp = None
         rows.append((key, _t(i * 7), status, temp))
     return rows
+
+
+def _brute_want(rows):
+    want = []
+    for key in sorted({r[0] for r in rows}):
+        per_key = [(r[1], r[2], r[3]) for r in rows if r[0] == key]
+        for m in brute_force_matches(per_key):
+            want.append(
+                (
+                    key,
+                    m["event_time"],
+                    m["non_errors"],
+                    m["history"],
+                    m["min_temperature"],
+                    m["avg_temperature"],
+                    m["max_temperature"],
+                    m["elapsed"],
+                )
+            )
+    want.sort(key=lambda r: (r[0], r[1]))
+    return want
 
 
 def test_property_matches_brute_force(spark):
     for seed in range(5):
         rows = _random_stream(seed, 120)
         got = _run(spark, rows)
-        want = []
-        for key in sorted({r[0] for r in rows}):
-            per_key = [(r[1], r[2], r[3]) for r in rows if r[0] == key]
-            for m in brute_force_matches(per_key):
-                want.append(
-                    (
-                        key,
-                        m["event_time"],
-                        m["non_errors"],
-                        m["history"],
-                        m["min_temperature"],
-                        m["avg_temperature"],
-                        m["max_temperature"],
-                        m["elapsed"],
-                    )
-                )
-        want.sort(key=lambda r: (r[0], r[1]))
-        assert got == want, f"seed={seed}"
+        assert got == _brute_want(rows), f"seed={seed}"
+
+
+def test_property_matches_brute_force_on_dirty_streams(spark):
+    """Null contract on random streams: a NULL status matches no pattern
+    variable (breaks contiguity, anchors nothing); a NULL temperature is
+    skipped by min/max, voids avg when it is A's or C's own reading, and
+    keeps the rows+2 denominator when it is a B's. Distributed plan and
+    brute-force oracle must agree row-for-row."""
+    matched = 0
+    for seed in range(8):
+        rows = _random_stream(seed, 150, dirty=True)
+        got = _run(spark, rows)
+        assert got == _brute_want(rows), f"seed={seed}"
+        matched += len(got)
+    assert matched > 10  # the dirt must not have made the property vacuous
 
 
 def test_event_time_reorder_property_pure_python():
@@ -262,6 +288,92 @@ def test_event_time_stream_equals_batch_twin(spark):
             for m in got
         )
         assert got_rows == want, f"seed {seed}: stream/batch-twin divergence"
+
+
+def test_event_time_stream_equals_batch_twin_on_dirty_streams(spark):
+    """The streaming NFA's null path bound to the batch operator's: None
+    status kills active candidates and anchors nothing; a missing
+    temperature (NaN through the Arrow float64 batch) is skipped by
+    min/max, voids avg at A/C, and keeps the rows+2 denominator at B.
+    Same harness as the clean twin above, with dirty streams."""
+    import math
+
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.streaming.cep_stream import _advance_key
+
+    within_us = 60_000_000
+    nfa_args = ("time", "status", "temperature", "ERROR", 1, 3, within_us, 2)
+
+    matched = 0
+    for seed in range(6):
+        rng = random.Random(2000 + seed)
+        t, rows = 0, []
+        for _ in range(rng.randrange(80, 200)):
+            t += rng.randrange(1_000_000, 20_000_000)
+            status = rng.choice(["OK", "WARNING", "ERROR", "ERROR"])
+            temp = float(rng.randrange(10, 181))
+            if rng.random() < 0.10:
+                status = None
+            if rng.random() < 0.15:
+                temp = None
+            rows.append((t, status, temp))
+
+        df = spark.createDataFrame(
+            [("k", dt.datetime.utcfromtimestamp(r[0] / 1e6), r[1], r[2], i)
+             for i, r in enumerate(rows)],
+            SCHEMA + ", event_id long",
+        )
+        want = sorted(
+            tuple(r)
+            for r in match_error_pattern(
+                df, min_b=1, max_b=3, within="INTERVAL 1 MINUTE", tiebreak="event_id"
+            ).collect()
+        )
+
+        d_us = rng.randrange(5_000_000, 60_000_000)
+        jittered = sorted(rows, key=lambda r: r[0] + rng.randrange(-d_us, d_us))
+        running_max, lateness_us = 0, 0
+        for r in jittered:
+            lateness_us = max(lateness_us, running_max - r[0])
+            running_max = max(running_max, r[0])
+        flush_t = rows[-1][0] + lateness_us + 120_000_000
+        batches = [jittered, [(flush_t, "OK", 0.0)]]
+        state, got = None, []
+        for batch in batches:
+            pdf = pd.DataFrame(
+                {
+                    "time": pd.to_datetime([r[0] for r in batch], unit="us"),
+                    "status": [r[1] for r in batch],
+                    # float64 column: None becomes NaN, the shape a real
+                    # Arrow micro-batch delivers for a null measurement
+                    "temperature": pd.array(
+                        [r[2] for r in batch], dtype="float64"
+                    ),
+                }
+            )
+            state, emitted = _advance_key(state, iter([pdf]), *nfa_args, lateness_us)
+            got += emitted
+
+        def _clean(v):
+            return None if v is None or (isinstance(v, float) and math.isnan(v)) else v
+
+        got_rows = sorted(
+            (
+                "k",
+                dt.datetime.utcfromtimestamp(m["a_time_us"] / 1e6),
+                m["non_errors"],
+                m["history"],
+                _clean(m["min_temperature"]),
+                _clean(m["avg_temperature"]),
+                _clean(m["max_temperature"]),
+                m["elapsed"],
+            )
+            for m in got
+        )
+        assert got_rows == want, f"seed {seed}: dirty stream/batch-twin divergence"
+        matched += len(got_rows)
+    assert matched > 10  # dirt must leave the property non-vacuous
 
 
 def test_f3_oracle_parity_under_duplicate_timestamps(spark, tmp_path):
