@@ -142,13 +142,18 @@ def resample(
     # window IGNORE NULLS formulation gives): a row whose value is null for
     # one series is still an observation for its other series, and still
     # bounds the grid. So slot ownership uses ALL rows, while each column's
-    # lerp endpoints / LOCF state come from running last/first IGNORE NULLS
-    # over the same (keys, time) sort — one WindowExec, one exchange, same
-    # plan shape as before. On null-free input every expression reduces to
-    # the old row-local value / lead pair bit-exactly.
+    # lerp endpoints / LOCF state come from running last IGNORE NULLS
+    # (backward) and lead IGNORE NULLS (forward) over the same (keys, time)
+    # sort — one WindowExec, one exchange, same plan shape as before. The
+    # forward endpoint MUST be lead-IGNORE-NULLS, never
+    # first().over(rowsBetween(1, unboundedFollowing)): Spark evaluates an
+    # UNBOUNDED FOLLOWING aggregate frame by rescanning the frame per row —
+    # O(rows²) per key partition (measured 142 s for ONE 100k-row key vs
+    # 0.35 s for the O(rows) frameless lead) — a hang, not a slowdown, on a
+    # year-long sensor series. On null-free input every expression reduces
+    # to the old row-local value / lead pair bit-exactly.
     w = Window.partitionBy(*keys).orderBy("__t")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_fut = w.rowsBetween(1, Window.unboundedFollowing)
     obs = df.select(
         *keys,
         F.col(time_col).alias("__t"),
@@ -161,12 +166,19 @@ def resample(
     def _nn_t(c: str):
         return F.when(F.col(f"__v_{c}").isNotNull(), t_us)
 
+    def _lead_nn(col_name: str) -> Column:
+        # pyspark's F.lead doesn't expose ignoreNulls; the SQL form does
+        quoted = col_name.replace("`", "``")
+        return F.expr(f"lead(`{quoted}`, 1) ignore nulls")
+
     staged = obs.select(
         *keys,
+        "__t",
         t_us.alias("__t_us"),
         F.unix_micros(F.first("__t").over(w_run)).alias("__min_us"),
         F.unix_micros(F.lead("__t").over(w)).alias("__next_t_us"),
         *[F.col(f"__v_{c}") for c in value_cols],
+        *[_nn_t(c).alias(f"__xt_{c}") for c in lin_vals],
         *[
             F.last(f"__v_{c}", ignorenulls=True).over(w_run).alias(f"__pv_{c}")
             for c in lin_vals
@@ -176,17 +188,13 @@ def resample(
             for c in lin_vals
         ],
         *[
-            F.first(f"__v_{c}", ignorenulls=True).over(w_fut).alias(f"__nv_{c}")
-            for c in lin_vals
-        ],
-        *[
-            F.first(_nn_t(c), ignorenulls=True).over(w_fut).alias(f"__nt_{c}")
-            for c in lin_vals
-        ],
-        *[
             F.last(f"__v_{c}", ignorenulls=True).over(w_run).alias(f"__locf_{c}")
             for c in locf_vals
         ],
+    ).select(
+        "*",
+        *[_lead_nn(f"__v_{c}").over(w).alias(f"__nv_{c}") for c in lin_vals],
+        *[_lead_nn(f"__xt_{c}").over(w).alias(f"__nt_{c}") for c in lin_vals],
     )
 
     d = F.col("__t_us") - F.col("__min_us")

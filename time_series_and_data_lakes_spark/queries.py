@@ -215,18 +215,24 @@ WITH obs AS (
   UNION ALL
   SELECT sensor_id, time, CAST(NULL AS DOUBLE), CAST(NULL AS STRING), 1 FROM grid
 ), w AS (
+  -- forward state is a running frame (O(rows)); the NEXT endpoint must be
+  -- lead ... IGNORE NULLS, not first_value OVER (... UNBOUNDED FOLLOWING):
+  -- Spark rescans an UNBOUNDED FOLLOWING aggregate frame per row, O(rows²)
+  -- per key. Consumers are grid rows only (temperature NULL there), so the
+  -- excluded current row cannot be its own next endpoint — identical
+  -- results, and the on-grid observation still returns verbatim via
+  -- t_prev = time (the obs row sorts before its grid twin).
   SELECT sensor_id, time, is_grid,
     last(temperature, true) OVER fwd AS v_prev,
     last(CASE WHEN temperature IS NOT NULL THEN time END, true) OVER fwd AS t_prev,
-    first(temperature, true) OVER bwd AS v_next,
-    first(CASE WHEN temperature IS NOT NULL THEN time END, true) OVER bwd AS t_next,
+    lead(temperature, 1) IGNORE NULLS OVER ord AS v_next,
+    lead(CASE WHEN temperature IS NOT NULL THEN time END, 1) IGNORE NULLS OVER ord AS t_next,
     last(status, true) OVER fwd AS locf_status
   FROM unioned
   WINDOW
     fwd AS (PARTITION BY sensor_id ORDER BY time, is_grid
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    bwd AS (PARTITION BY sensor_id ORDER BY time, is_grid
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ord AS (PARTITION BY sensor_id ORDER BY time, is_grid)
 ), interp AS (
   SELECT sensor_id, time, locf_status,
     CASE WHEN t_prev = time THEN v_prev
