@@ -47,6 +47,14 @@ def test_resample_costs_one_exchange_one_scan(spark, sf_dir):
     plan = _plan(out)
     assert _nodes(plan, "Exchange") == 1
     assert _nodes(plan, "Scan parquet") == 1
+    # ALL endpoint windows (running last + frameless lead IGNORE NULLS)
+    # must collapse into one WindowExec over one sort
+    assert _nodes(plan, "Window") == 1
+    assert _nodes(plan, "Sort") == 1
+    # and none may be an UNBOUNDED FOLLOWING aggregate frame: Spark rescans
+    # that frame per row — O(rows^2) per key partition (measured 142 s for
+    # one 100k-row key vs 0.35 s for the frameless lead it replaced)
+    assert "unboundedfollowing" not in plan.lower()
 
 
 def test_flagship_reagg_reuses_partitioning(spark, sf_dir):
