@@ -79,6 +79,7 @@ def dirty_sf(tmp_path_factory):
 REPRESENTATIVE = [
     "f2_cep_match_recognize",  # null status breaks contiguity; null temps in match aggs
     "q1_flagship_interpolate",  # per-column IGNORE-NULLS lerp/LOCF endpoints
+    "q1_sql_flagship",  # SQL twin: lead IGNORE NULLS forward endpoints
     "g2_measure_series",  # melt drops null measures
     "g4_status_counts",  # null event_type is its own GROUP BY key
     "analytics_ewma",  # sequential fold skips null measurements
