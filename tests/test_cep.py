@@ -60,6 +60,23 @@ def test_b_count_bounds(spark):
     assert _run(spark, rows) == []
 
 
+def test_oversized_segment_bounded_and_discarded(spark):
+    # A segment far longer than max_b can never match — the operator caps
+    # its per-segment aggregation state at max_b rows (the collect_list
+    # would otherwise buffer the whole segment), and the cap must not
+    # disturb the measures of a valid match that follows.
+    rows = [("a", _t(0), "ERROR", 1.0)]
+    rows += [("a", _t(i + 1), "OK", float(i)) for i in range(50)]
+    rows += [
+        ("a", _t(60), "ERROR", 100.0),
+        ("a", _t(61), "OK", 40.0),
+        ("a", _t(62), "WARNING", 60.0),
+        ("a", _t(63), "ERROR", 200.0),
+    ]
+    (m,) = _run(spark, rows)
+    assert m == ("a", _t(60), 2, "OK-WARNING", 40.0, 100.0, 200.0, 3)
+
+
 def test_skip_past_last_row_non_overlap(spark):
     # errors at 0,10,20 with one OK between each: greedy picks (0,10) only —
     # the error at 10 is consumed, so (10,20) must not match.

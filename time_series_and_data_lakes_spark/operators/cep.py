@@ -103,8 +103,28 @@ def match_error_pattern(
     # B-segment aggregates: non-error rows between error k and error k+1
     # share __err_seq = k. History preserves arrival order via pos-sorted
     # collect; min/max/sum feed the full-match MEASURES.
+    #
+    # Bound the per-segment state BEFORE aggregating: a segment with more
+    # than max_b interior rows can never join a selected pair (n_b comes
+    # from error positions, not from this aggregation), yet its collect_list
+    # would otherwise buffer the whole segment — one aggregation row holding
+    # a month of OK readings between two rare errors. Rows past max_b
+    # positions after the segment's opening error are therefore dropped
+    # here; every VALID segment (no interior nulls, n_b <= max_b) keeps all
+    # of its rows, so emitted measures are unchanged. The running last-error
+    # position rides the same (key, order) sort — no new exchange, and the
+    # streaming NFA applies the identical cap (cep_stream._nfa_step).
+    rows = rows.withColumn(
+        "__rel",
+        F.col("__pos")
+        - F.max(F.when(F.col("__is_err") == 1, F.col("__pos"))).over(w_run),
+    )
     segs = (
-        rows.filter((F.col("__is_err") == 0) & (F.col("__err_seq") >= 1))
+        rows.filter(
+            (F.col("__is_err") == 0)
+            & (F.col("__err_seq") >= 1)
+            & (F.col("__rel") <= max_b)
+        )
         .groupBy(key, "__err_seq")
         .agg(
             F.count("*").alias("__b_count"),
