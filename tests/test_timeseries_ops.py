@@ -79,6 +79,56 @@ def test_sequence_grid_counts_and_bounds(spark):
     ]  # stop bound inclusive only on exact hit
 
 
+def test_slot_explode_exact_across_chunk_boundaries(spark):
+    # the chunked two-level explode must enumerate [0, n] exactly once for
+    # ranges spanning several _SLOT_CHUNK blocks, including partial first
+    # and last blocks
+    from pyspark.sql import functions as F
+
+    from time_series_and_data_lakes_spark.operators.timeseries import (
+        _SLOT_CHUNK,
+        _explode_slot_range,
+    )
+
+    lo, hi = _SLOT_CHUNK - 3, 3 * _SLOT_CHUNK + 5
+    df = spark.range(1).select(
+        F.lit(lo).cast("bigint").alias("__ks"), F.lit(hi).cast("bigint").alias("__ke")
+    )
+    out = _explode_slot_range(df).agg(
+        F.count("*").alias("n"),
+        F.min("__k").alias("lo"),
+        F.max("__k").alias("hi"),
+        F.count_distinct("__k").alias("d"),
+    ).collect()[0]
+    assert (out["n"], out["lo"], out["hi"], out["d"]) == (hi - lo + 1, lo, hi, hi - lo + 1)
+
+
+def test_resample_sparse_series_streams_giant_gap(spark):
+    # one 30M-slot gap (a ~1-year sensor outage on a 1-second grid): the
+    # pre-chunking formulation materialized the whole gap as ONE in-row
+    # array (~240 MB of bigints before struct/lerp columns); the chunked
+    # explode streams it through codegen. Count + endpoint lerps only — the
+    # 30M output rows never collect.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    n_slots = 30_000_000
+    t0 = dt.datetime(2024, 1, 1)
+    df = _obs(
+        spark,
+        [("a", t0, 0.0, "OK"), ("a", t0 + dt.timedelta(seconds=n_slots), 300.0, "OK")],
+    )
+    out = resample(
+        df, ["sensor_id"], step="INTERVAL 1 SECOND", linear={"temperature": "temperature"}
+    )
+    agg = out.agg(
+        F.count("*").alias("n"), F.min("temperature"), F.max("temperature")
+    ).collect()[0]
+    assert agg[0] == n_slots + 1
+    assert (agg[1], agg[2]) == (0.0, 300.0)
+
+
 def test_time_bin_floors_to_epoch_multiple(spark):
     df = spark.createDataFrame([(dt.datetime(2024, 1, 1, 0, 0, 37),)], "t timestamp")
     got = df.select(time_bin("t", "30 seconds").alias("b")).collect()[0]["b"]

@@ -75,6 +75,33 @@ def unnest_time_series(
     )
 
 
+# Per-explode array cap for slot-range densification. One sequence() call
+# materializes its whole array in a single row buffer, so a sparse series
+# (one reading, then one a year later, on a 1-second grid) would otherwise
+# build a multi-hundred-MB array and OOM the task. Two chunked levels bound
+# the arrays at O(range/CHUNK + CHUNK) while the cross-product of the two
+# generates still enumerates every slot exactly once, inside codegen.
+_SLOT_CHUNK = 8192
+
+
+def _explode_slot_range(df: DataFrame, out: str = "__k") -> DataFrame:
+    """Explode the inclusive bigint range [``__ks``, ``__ke``] (empty when
+    ``__ks > __ke`` or either bound is null) into one row per value ``out``,
+    never materializing an array longer than ``_SLOT_CHUNK`` slots or the
+    chunk count. Consumes/drops the ``__ks``/``__ke`` columns."""
+    c = F.lit(_SLOT_CHUNK)
+    chunks = F.when(
+        F.col("__ks") <= F.col("__ke"),
+        F.sequence(F.floor(F.col("__ks") / c), F.floor(F.col("__ke") / c)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    chunked = df.select("*", F.explode(chunks).alias("__chunk"))
+    lo = F.greatest(F.col("__ks"), F.col("__chunk") * c)
+    hi = F.least(F.col("__ke"), (F.col("__chunk") + 1) * c - 1)
+    return chunked.select("*", F.explode(F.sequence(lo, hi)).alias(out)).drop(
+        "__ks", "__ke", "__chunk"
+    )
+
+
 def sequence_grid(
     df: DataFrame,
     keys: Sequence[str],
@@ -86,15 +113,29 @@ def sequence_grid(
     suggests 1 s / 10 s / 60 s (`mwaa/datawrangler/airflow-query.py:30-33`).
 
     Returns one row per (key, grid timestamp). Densification happens in the
-    executors via ``explode(sequence(...))``, after a single partial-agg
-    (map-side combined) min/max shuffle.
+    executors after a single partial-agg (map-side combined) min/max
+    shuffle, through the chunked slot explode — a key spanning years at a
+    1-second step streams its grid out instead of materializing it as one
+    array.
     """
+    step_us = _interval_micros(step)
     bounds = df.groupBy(*keys).agg(
-        F.min(time_col).alias("__tmin"), F.max(time_col).alias("__tmax")
+        F.unix_micros(F.min(time_col)).alias("__a"),
+        F.unix_micros(F.max(time_col)).alias("__b"),
     )
-    return bounds.select(
+    staged = bounds.select(
         *keys,
-        F.explode(F.sequence("__tmin", "__tmax", F.expr(step))).alias(time_col),
+        "__a",
+        F.lit(0).cast("bigint").alias("__ks"),
+        F.floor((F.col("__b") - F.col("__a")) / F.lit(step_us))
+        .cast("bigint")
+        .alias("__ke"),
+    )
+    return _explode_slot_range(staged).select(
+        *keys,
+        F.timestamp_micros(F.col("__a") + F.col("__k") * F.lit(step_us)).alias(
+            time_col
+        ),
     )
 
 
@@ -205,21 +246,20 @@ def resample(
         F.col("__next_t_us").isNotNull(),
         F.floor((F.col("__next_t_us") - F.lit(1) - F.col("__min_us")) / F.lit(step_us)),
     ).otherwise(F.floor(d / F.lit(step_us)))
-    slots = F.when(
-        k_start <= k_end, F.sequence(k_start.cast("bigint"), k_end.cast("bigint"))
-    ).otherwise(F.array().cast("array<bigint>"))
-
-    dense = staged.select(
-        *keys,
-        "__t_us",
-        "__min_us",
-        "__next_t_us",
-        *[F.col(f"__pv_{c}") for c in lin_vals],
-        *[F.col(f"__pt_{c}") for c in lin_vals],
-        *[F.col(f"__nv_{c}") for c in lin_vals],
-        *[F.col(f"__nt_{c}") for c in lin_vals],
-        *[F.col(f"__locf_{c}") for c in locf_vals],
-        F.explode(slots).alias("__k"),
+    dense = _explode_slot_range(
+        staged.select(
+            *keys,
+            "__t_us",
+            "__min_us",
+            "__next_t_us",
+            *[F.col(f"__pv_{c}") for c in lin_vals],
+            *[F.col(f"__pt_{c}") for c in lin_vals],
+            *[F.col(f"__nv_{c}") for c in lin_vals],
+            *[F.col(f"__nt_{c}") for c in lin_vals],
+            *[F.col(f"__locf_{c}") for c in locf_vals],
+            k_start.cast("bigint").alias("__ks"),
+            k_end.cast("bigint").alias("__ke"),
+        )
     ).withColumn("__g_us", F.col("__min_us") + F.col("__k") * F.lit(step_us))
 
     out_cols: list[Column] = []
