@@ -129,6 +129,77 @@ def test_resample_sparse_series_streams_giant_gap(spark):
     assert (agg[1], agg[2]) == (0.0, 300.0)
 
 
+def test_resample_property_matches_python_reference(spark):
+    """Property gate for the flagship operator, independent of the DuckDB
+    oracle (a bug mirrored into both engines' SQL would still hash-match):
+    a literal Python interpolator over random per-key series — random gaps,
+    random steps, ~20% null measurements and ~20% null statuses — must
+    reproduce resample() row for row. Reference semantics: the grid spans
+    [min t, max t] of ALL rows (a null cell still bounds the grid); per
+    column, prev = last non-null at t <= g, next = first non-null at t > g,
+    verbatim when prev sits exactly on g, NULL when either side is missing;
+    lerp in epoch-microsecond space with the same IEEE op order."""
+    import random
+
+    def reference(rows, step_s):
+        # rows: [(t_us, temp|None, status|None)] sorted, unique t
+        out = []
+        t0, t1 = rows[0][0], rows[-1][0]
+        step = step_s * 1_000_000
+        temps = [(t, v) for t, v, _ in rows if v is not None]
+        stats = [(t, s) for t, _, s in rows if s is not None]
+        for k in range((t1 - t0) // step + 1):
+            g = t0 + k * step
+            prev = next((p for p in reversed(temps) if p[0] <= g), None)
+            nxt = next((p for p in temps if p[0] > g), None)
+            if prev is not None and prev[0] == g:
+                temp = prev[1]
+            elif prev is None or nxt is None:
+                temp = None
+            else:
+                frac = (g - prev[0]) / (nxt[0] - prev[0])
+                temp = prev[1] + (nxt[1] - prev[1]) * frac
+            locf = next((s for t, s in reversed(stats) if t <= g), None)
+            out.append((g, temp, locf))
+        return out
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        step_s = rng.choice([1, 3, 7])
+        rows_by_key, df_rows = {}, []
+        for key in ("a", "b", "c"):
+            t, rows = 0, []
+            for _ in range(rng.randrange(20, 60)):
+                t += rng.randrange(1, 20) * 1_000_000
+                temp = None if rng.random() < 0.2 else float(rng.randrange(10, 200))
+                status = None if rng.random() < 0.2 else rng.choice(["OK", "WARN"])
+                rows.append((t, temp, status))
+                df_rows.append(
+                    (key, dt.datetime.utcfromtimestamp(t / 1e6), temp, status)
+                )
+            rows_by_key[key] = rows
+        df = spark.createDataFrame(
+            df_rows, "sensor_id string, time timestamp, temperature double, status string"
+        )
+        out = resample(
+            df,
+            ["sensor_id"],
+            step=f"INTERVAL {step_s} SECONDS",
+            linear={"temperature": "temperature"},
+            locf={"status": "status"},
+        )
+        got = sorted(
+            (r["sensor_id"], r["time"], r["temperature"], r["status"])
+            for r in out.collect()
+        )
+        want = sorted(
+            (key, dt.datetime.utcfromtimestamp(g / 1e6), temp, locf)
+            for key, rows in rows_by_key.items()
+            for g, temp, locf in reference(rows, step_s)
+        )
+        assert got == want, f"seed={seed} step={step_s}"
+
+
 def test_time_bin_floors_to_epoch_multiple(spark):
     df = spark.createDataFrame([(dt.datetime(2024, 1, 1, 0, 0, 37),)], "t timestamp")
     got = df.select(time_bin("t", "30 seconds").alias("b")).collect()[0]["b"]
