@@ -36,6 +36,7 @@ per Arrow batch row.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -104,12 +105,29 @@ def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int
     return out
 
 
-def _decode_table(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-by-bit decoder walk."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, symbols).items()
-    }
+def _decode_table(
+    bits: list[int], symbols: list[int]
+) -> tuple[dict[tuple[int, int], int], list[int]]:
+    """Decoder table in two forms: the ``(length, code) -> symbol`` dict
+    (bit-by-bit fallback near stream end) and a 65536-entry lookahead LUT —
+    ``lut[window16] = (code_length << 8) | symbol`` for the unique code
+    prefixing that 16-bit window, 0 where no code matches. One table lookup
+    replaces up to 16 ``read_bit`` calls in the entropy hot loop."""
+    return _decode_table_cached(tuple(bits), tuple(symbols))
+
+
+@lru_cache(maxsize=64)
+def _decode_table_cached(
+    bits: tuple[int, ...], symbols: tuple[int, ...]
+) -> tuple[dict[tuple[int, int], int], list[int]]:
+    codes = _canonical_codes(list(bits), list(symbols))
+    table = {(length, code): sym for sym, (code, length) in codes.items()}
+    lut = [0] * 65536
+    for sym, (code, length) in codes.items():
+        base = code << (16 - length)
+        entry = (length << 8) | sym
+        lut[base : base + (1 << (16 - length))] = [entry] * (1 << (16 - length))
+    return table, lut
 
 
 class _BitWriter:
@@ -146,11 +164,13 @@ class _BitReader:
         self.nbits = 0
         self.marker: int | None = None
 
-    def _fill(self) -> None:
-        if self.marker is not None:
-            raise ValueError("JPEG entropy data ended at marker")
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy data truncated")
+    def _fill_quiet(self) -> bool:
+        """Buffer one more entropy byte; False (no raise) at a marker or
+        the end of data. Maintains ``acc < 2**nbits`` — consumers trim
+        ``acc`` so it stays a machine int instead of accreting the whole
+        stream into one ever-growing bigint (whose shifts go quadratic)."""
+        if self.marker is not None or self.pos >= len(self.data):
+            return False
         byte = self.data[self.pos]
         self.pos += 1
         if byte == 0xFF:
@@ -160,24 +180,61 @@ class _BitReader:
             else:
                 self.marker = nxt if nxt is not None else 0xD9
                 self.pos += 1
-                raise ValueError("JPEG entropy data ended at marker")
+                return False
         self.acc = (self.acc << 8) | byte
         self.nbits += 8
+        return True
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG entropy data ended at marker")
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        if not self._fill_quiet():
+            raise ValueError("JPEG entropy data ended at marker")
 
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
+
+    def peek16(self) -> tuple[int, int]:
+        """Next up-to-16 bits, MSB-aligned and zero-padded, plus how many
+        of them are real. Never raises — buffers quietly toward 16 bits and
+        stops at a marker or the end of data."""
+        while self.nbits < 16 and self._fill_quiet():
+            pass
+        n = self.nbits
+        if n >= 16:
+            return (self.acc >> (n - 16)) & 0xFFFF, 16
+        return (self.acc << (16 - n)) & 0xFFFF, n
+
+    def consume(self, n: int) -> None:
+        """Drop ``n`` already-peeked bits (``n <= nbits``)."""
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def align_past_restart(self) -> None:
         """Consume a RSTn marker at an MCU boundary and realign."""
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            # peek16's quiet lookahead already stepped past the marker while
+            # decoding the interval's last symbol; the buffered leftover is
+            # the pre-marker padding — discard it and realign
+            self.acc = 0
+            self.nbits = 0
+            self.marker = None
+            return
         self.acc = 0
         self.nbits = 0
         self.marker = None
@@ -194,12 +251,25 @@ class _BitReader:
         raise ValueError("expected JPEG restart marker")
 
 
-def _read_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _read_huffman(
+    reader: _BitReader, table: tuple[dict[tuple[int, int], int], list[int]]
+) -> int:
+    by_code, lut = table
+    window, avail = reader.peek16()
+    if avail == 16:
+        entry = lut[window]
+        if entry:
+            reader.consume(entry >> 8)
+            return entry & 0xFF
+        raise ValueError("invalid JPEG Huffman code")
+    # stream tail (< 16 bits before a marker / EOF): replay bit by bit so a
+    # code completing within the real bits decodes, and a code that doesn't
+    # raises the same truncated/marker ValueError as the eager reader did
     code, length = 0, 0
     while length < 16:
         code = (code << 1) | reader.read_bit()
         length += 1
-        sym = table.get((length, code))
+        sym = by_code.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
