@@ -23,6 +23,7 @@ import pytest
 from time_series_and_data_lakes_spark.operators.jpeg import (
     jpeg_decode,
     jpeg_encode,
+    jpeg_encode_progressive,
 )
 from time_series_and_data_lakes_spark.operators.multimodal import (
     avi_decode,
@@ -55,6 +56,9 @@ CODECS = {
     "png": (png_encode, png_decode),
     "gif": (gif_encode, gif_decode),
     "jpeg": (jpeg_encode, jpeg_decode),
+    # progressive streams walk the coefficient-store engine: scan
+    # headers, EOB runs, and refinement bits all fuzz-exposed
+    "jpeg_prog": (jpeg_encode_progressive, jpeg_decode),
     # media containers share the identical contract; their encode side
     # takes different inputs, so adapt through the image
     "wav": (_wav_payload, wav_decode),

@@ -14,6 +14,7 @@ from time_series_and_data_lakes_spark.operators.jpeg import (
     STD_LUMA_QT,
     jpeg_decode,
     jpeg_encode,
+    jpeg_encode_progressive,
 )
 
 ONES = np.ones((8, 8), np.int32)
@@ -118,22 +119,24 @@ def test_decodes_hand_derived_annex_k_stream():
 
 
 def test_honest_raises():
-    # progressive (SOF2)
+    # progressive (SOF2) without any scan is corrupt STRUCTURE now that
+    # progressive itself decodes — same contract as the baseline case
     sof2 = (
         b"\xff\xd8"
         + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="without SOS"):
         jpeg_decode(sof2)
-    # arithmetic coding (SOF9)
-    sof9 = (
-        b"\xff\xd8"
-        + _seg(0xC9, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-        + b"\xff\xd9"
-    )
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        jpeg_decode(sof9)
+    # arithmetic coding (SOF9 sequential, SOF10 progressive)
+    for marker in (0xC9, 0xCA):
+        sofa = (
+            b"\xff\xd8"
+            + _seg(marker, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+            + b"\xff\xd9"
+        )
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            jpeg_decode(sofa)
     # header-only stream (the dims fixture shape): corrupt data, not a stub
     with pytest.raises(ValueError, match="without SOS"):
         jpeg_decode(b"\xff\xd8" + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])) + b"\xff\xd9")
@@ -197,19 +200,8 @@ def test_unsupported_layouts_raise_honestly():
     with pytest.raises(NotImplementedError, match="lossless"):
         jpeg_decode(sof3)
 
-    # multi-scan baseline (SOS lists fewer components than SOF)
-    multi = (
-        b"\xff\xd8"
-        + _seg(0xDB, bytes([0]) + bytes([16] * 64))
-        + _seg(0xC0, sof(3, [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0)]))
-        + _seg(0xC4, bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS))
-        + _seg(0xC4, bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS))
-        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        + bytes([0xE9, 0x2B])
-        + b"\xff\xd9"
-    )
-    with pytest.raises(NotImplementedError, match="multi-scan"):
-        jpeg_decode(multi)
+    # multi-scan sequential now DECODES through the coefficient-store
+    # engine — see test_sequential_multi_scan_stream.
 
 
 def test_single_component_scan_ignores_sampling_factors():
@@ -299,3 +291,212 @@ def test_undeclared_tables_and_truncated_segments_are_value_errors():
     # branch would otherwise misreport it as
     with pytest.raises(ValueError, match="SOS appears before any SOF"):
         jpeg_decode(jpg(_seg(0xDB, qt), _seg(0xDA, sos)))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) + multi-scan sequential coverage
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_decode():
+    # The progressive encoder entropy-codes the SAME quantized
+    # coefficients the sequential encoder produces, and the store-based
+    # decoder reconstructs with the same per-block IDCT arithmetic — so
+    # the two decode paths must agree BIT-FOR-BIT. This exercises DC
+    # first/refine, spectral-band AC first scans, two levels of AC
+    # refinement, EOB-run coding, and both MCU geometries.
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 256, (33, 61, 3), dtype=np.uint8)
+    for sub in (False, True):
+        for ri in (0, 3):
+            base = jpeg_decode(
+                jpeg_encode(arr, ONES, ONES, subsample=sub, restart_interval=ri)
+            )
+            prog = jpeg_decode(
+                jpeg_encode_progressive(
+                    arr, ONES, ONES, subsample=sub, restart_interval=ri
+                )
+            )
+            assert np.array_equal(base, prog), (sub, ri)
+    # real (lossy) Annex-K tables: same bit-for-bit agreement
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(arr)),
+        jpeg_decode(jpeg_encode_progressive(arr)),
+    )
+
+
+def test_progressive_custom_band_script_roundtrips():
+    # a finer spectral split with a deeper successive-approximation
+    # ladder (Al=3 start) still reconstructs exactly
+    scans = (
+        ((0, 1, 2), 0, 0, 0, 3),
+        ((0,), 1, 2, 0, 3),
+        ((0,), 3, 63, 0, 3),
+        ((1,), 1, 63, 0, 3),
+        ((2,), 1, 63, 0, 3),
+        ((0, 1, 2), 0, 0, 3, 2),
+        ((0,), 1, 63, 3, 2),
+        ((1,), 1, 63, 3, 2),
+        ((2,), 1, 63, 3, 2),
+        ((0, 1, 2), 0, 0, 2, 1),
+        ((0,), 1, 63, 2, 1),
+        ((1,), 1, 63, 2, 1),
+        ((2,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+    )
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(arr, ONES, ONES))
+    prog = jpeg_decode(jpeg_encode_progressive(arr, ONES, ONES, scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_hand_derived_stream():
+    """Independent-of-our-encoder gate, progressive edition: flat value
+    200, qt=16 → the block's only coefficient is DC = 36. Scan 1 (DC
+    first, Al=1) transmits 36>>1 = 18: K.3 DC category 5 = '110', five
+    magnitude bits '10010' → 0xD2. Scan 2 (AC first, Ss=1..63, Al=0)
+    sees an all-zero band: EOB0 = '1010', padded to 0xAF. Scan 3 (DC
+    refinement, Ah=1→Al=0) sends the held-back low bit, 36&1 = 0,
+    padded to 0x7F. A correct engine reassembles DC=36 → flat 200."""
+    qt = bytes([0]) + bytes([16] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS)
+    jpg = (
+        b"\xff\xd8"
+        + _seg(0xDB, qt)
+        + _seg(0xC2, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # DC first, Al=1
+        + bytes([0xD2])
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC first, full band
+        + bytes([0xAF])
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # DC refine, Ah=1
+        + bytes([0x7F])
+        + b"\xff\xd9"
+    )
+    out = jpeg_decode(jpg)
+    assert out.shape == (8, 8, 3)
+    assert (out == 200).all()
+
+
+def test_progressive_partial_stream_still_renders():
+    # the POINT of progressive JPEG: a prefix that ends cleanly after
+    # the DC scan renders a coarse image instead of failing. Flat input
+    # reconstructs exactly from its DC scan alone (Al=0 here).
+    arr = np.full((16, 16, 3), 77, np.uint8)
+    scans = (((0, 1, 2), 0, 0, 0, 0), ((0,), 1, 63, 0, 0),
+             ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0))
+    full = jpeg_encode_progressive(arr, ONES, ONES, scans=scans)
+    # cut right before the second SOS segment, keep the EOI
+    second_sos = full.find(b"\xff\xda", full.find(b"\xff\xda") + 2)
+    assert second_sos > 0
+    out = jpeg_decode(full[:second_sos] + b"\xff\xd9")
+    assert np.array_equal(out, arr)
+
+
+def test_sequential_multi_scan_stream():
+    """Non-interleaved SEQUENTIAL stream (SOF0 + one full scan per
+    component) through the same store engine, hand-derived: Y scan
+    carries DC 36 ('1110'+'100100'+EOB'1010' → 0xE9 0x2B), both chroma
+    scans carry DC 0 ('00'+EOB'1010' → 0x2B) — a flat gray 200."""
+    qt = bytes([0]) + bytes([16] * 64)
+    sof = (
+        bytes([8])
+        + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    dht_dc = bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS)
+    jpg = (
+        b"\xff\xd8"
+        + _seg(0xDB, qt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0xE9, 0x2B])
+        + _seg(0xDA, bytes([1, 2, 0x00, 0, 63, 0]))
+        + bytes([0x2B])
+        + _seg(0xDA, bytes([1, 3, 0x00, 0, 63, 0]))
+        + bytes([0x2B])
+        + b"\xff\xd9"
+    )
+    out = jpeg_decode(jpg)
+    assert out.shape == (8, 8, 3)
+    assert (out == 200).all()
+
+
+def test_progressive_scan_header_contracts():
+    # corrupt or out-of-spec scan headers are ValueError, never a
+    # desynced-garbage decode or an internal error
+    qt = bytes([0]) + bytes([16] * 64)
+    sof3c = (
+        bytes([8])
+        + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    dht_dc = bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS)
+    head = (
+        b"\xff\xd8"
+        + _seg(0xDB, qt)
+        + _seg(0xC2, sof3c)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+    )
+
+    def jpg(sos_body, entropy=b"\x00"):
+        return head + _seg(0xDA, sos_body) + entropy + b"\xff\xd9"
+
+    # AC scan listing more than one component
+    with pytest.raises(ValueError, match="single-component"):
+        jpeg_decode(jpg(bytes([3, 1, 0, 2, 0, 3, 0, 1, 63, 0])))
+    # DC scan with a nonzero Se
+    with pytest.raises(ValueError, match="Se=0"):
+        jpeg_decode(jpg(bytes([1, 1, 0, 0, 5, 0])))
+    # band end past 63
+    with pytest.raises(ValueError, match="out of range"):
+        jpeg_decode(jpg(bytes([1, 1, 0, 32, 64, 0])))
+    # successive-approximation shift out of range (Ah=14)
+    with pytest.raises(ValueError, match="Ah=14"):
+        jpeg_decode(jpg(bytes([1, 1, 0, 0, 0, 0xE0])))
+    # refinement scan decoding a magnitude category other than 1: K.3
+    # AC code '01' is symbol 0x02 (run 0, size 2) — illegal mid-refine
+    with pytest.raises(ValueError, match="magnitude"):
+        jpeg_decode(jpg(bytes([1, 1, 0x00, 1, 63, 0x10]), b"\x7f"))
+    # a second SOF after scans began is corrupt structure
+    with pytest.raises(ValueError, match="second SOF"):
+        jpeg_decode(
+            head
+            + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+            + bytes([0xD2])
+            + _seg(0xC2, sof3c)
+            + b"\xff\xd9"
+        )
+    # a scan whose tables were never declared
+    bare = b"\xff\xd8" + _seg(0xDB, qt) + _seg(0xC2, sof3c)
+    with pytest.raises(ValueError, match="undeclared DC Huffman"):
+        jpeg_decode(bare + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + b"\xff\xd9")
+    with pytest.raises(ValueError, match="undeclared AC Huffman"):
+        jpeg_decode(
+            bare
+            + _seg(0xC4, dht_dc)
+            + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+            + b"\xff\xd9"
+        )
+
+
+def test_progressive_encoder_rejects_malformed_scripts():
+    arr = np.full((8, 8, 3), 10, np.uint8)
+    with pytest.raises(ValueError, match="Se=0"):
+        jpeg_encode_progressive(arr, scans=(((0, 1, 2), 0, 5, 0, 0),))
+    with pytest.raises(ValueError, match="single-component"):
+        jpeg_encode_progressive(arr, scans=(((0, 1), 1, 63, 0, 0),))
+    with pytest.raises(ValueError, match="Ah=Al"):
+        jpeg_encode_progressive(arr, scans=(((0,), 1, 63, 2, 0),))

@@ -1,16 +1,23 @@
-"""Baseline JPEG codec (ITU T.81, sequential DCT) in pure numpy/stdlib.
+"""JPEG codec (ITU T.81, baseline + progressive DCT) in pure numpy/stdlib.
 
 JPEG's entropy coding is canonical Huffman over run-length-coded,
 zigzag-ordered, quantized 8x8 DCT blocks — all pure arithmetic, so like
 the PNG (zlib) and GIF (LZW) codecs no external library is required;
 what PIL would provide is speed, not capability. This module implements:
 
-- ``jpeg_decode``: baseline sequential decode — DQT (8/16-bit), DHT
-  (canonical table build), SOF0, DRI + restart markers, interleaved-MCU
-  scan with arbitrary sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0),
-  byte-destuffing bit reader, dequant → IDCT → level shift, nearest
-  chroma upsample, JFIF YCbCr→RGB. Progressive (SOF2) and arithmetic
-  coding raise ``NotImplementedError`` honestly.
+- ``jpeg_decode``: sequential AND progressive decode — DQT (8/16-bit),
+  DHT (canonical table build), SOF0/1/2, DRI + restart markers,
+  interleaved-MCU scan with arbitrary sampling factors up to 2x2
+  (4:4:4, 4:2:2, 4:2:0), byte-destuffing bit reader, dequant → IDCT →
+  level shift, nearest chroma upsample, JFIF YCbCr→RGB. Single-scan
+  sequential streams take a direct decode path; multi-scan sequential
+  and progressive (SOF2) streams run through a coefficient-store engine
+  (``_decode_multi``): each SOS — spectral-selection bands, successive-
+  approximation first/refinement passes for DC and AC, EOB-run coding
+  (T.81 §G.1.2) — accumulates into per-component stores, reconstructed
+  once at end-of-stream with the same per-block IDCT arithmetic as the
+  direct path. Arithmetic coding and lossless/hierarchical processes
+  raise ``NotImplementedError`` honestly.
 - ``jpeg_encode``: baseline sequential encode (4:4:4 or 4:2:0) with
   caller-suppliable quantization tables. The Huffman tables are a valid
   fixed-length canonical set (12 DC symbols at 4 bits, 162 AC symbols at
@@ -18,6 +25,12 @@ what PIL would provide is speed, not capability. This module implements:
   requires) rather than the Annex K defaults: any conforming decoder
   reads the tables from the DHT segments, so compression is traded for
   a table set that is trivially auditable.
+- ``jpeg_encode_progressive``: progressive (SOF2) encode over the same
+  quantized coefficients ``jpeg_encode`` produces, with a caller-
+  suppliable scan script (default: the conventional ten-scan
+  DC-first/spectral-band/successive-approximation schedule). The AC
+  table is a fixed-length canonical set extended with the EOBn symbols
+  progressive coding needs (176 symbols at 8 bits).
 
 Determinism: both directions use the same float64 DCT basis; encoder
 quantization rounds half AWAY FROM ZERO (symmetric for both signs) and
@@ -279,8 +292,49 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
 
 
+def _parse_dqt(body: bytes, qts: dict) -> None:
+    j = 0
+    while j < len(body):
+        precision, tid = body[j] >> 4, body[j] & 0x0F
+        j += 1
+        need = 128 if precision else 64
+        if j + need > len(body):
+            raise ValueError(
+                f"truncated JPEG DQT segment: table {tid} needs "
+                f"{need} bytes, {len(body) - j} remain"
+            )
+        if precision:
+            vals = np.frombuffer(body, ">u2", 64, offset=j)
+            j += 128
+        else:
+            vals = np.frombuffer(body, np.uint8, 64, offset=j)
+            j += 64
+        table = np.zeros(64, np.int32)
+        table[ZIGZAG] = vals
+        qts[tid] = table.reshape(8, 8)
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    j = 0
+    while j < len(body):
+        tclass, tid = body[j] >> 4, body[j] & 0x0F
+        if j + 17 > len(body):
+            raise ValueError("truncated JPEG DHT segment: bits list cut")
+        bits = list(body[j + 1 : j + 17])
+        count = sum(bits)
+        if j + 17 + count > len(body):
+            raise ValueError(
+                f"truncated JPEG DHT segment: table ({tclass},{tid}) "
+                f"declares {count} symbols, "
+                f"{len(body) - j - 17} remain"
+            )
+        symbols = list(body[j + 17 : j + 17 + count])
+        huff[(tclass, tid)] = _decode_table(bits, symbols)
+        j += 17 + count
+
+
 def jpeg_decode(payload: bytes) -> "np.ndarray":
-    """Baseline sequential JPEG → (h, w, 3) uint8 RGB (grayscale
+    """Sequential or progressive JPEG → (h, w, 3) uint8 RGB (grayscale
     replicated). See module docstring for supported surface."""
     b = bytes(payload)
     if b[:2] != b"\xff\xd8":
@@ -290,6 +344,7 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
     i = 2
     n = len(b)
     while i + 4 <= n:
@@ -302,54 +357,20 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
             continue
         if marker == 0xD9:
             break
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("progressive JPEG (SOF2+) not implemented")
-        if marker in (0xC9, 0xCB, 0xCD):
+        if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE):
             raise NotImplementedError("arithmetic-coded JPEG not implemented")
-        if marker in (0xC3, 0xC5, 0xC7, 0xCF):
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCF):
             raise NotImplementedError(
-                "lossless/differential JPEG (SOF3/5/7/15) not implemented"
+                "lossless/differential JPEG (SOF3/5/6/7/15) not implemented"
             )
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         body = b[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(body):
-                precision, tid = body[j] >> 4, body[j] & 0x0F
-                j += 1
-                need = 128 if precision else 64
-                if j + need > len(body):
-                    raise ValueError(
-                        f"truncated JPEG DQT segment: table {tid} needs "
-                        f"{need} bytes, {len(body) - j} remain"
-                    )
-                if precision:
-                    vals = np.frombuffer(body, ">u2", 64, offset=j)
-                    j += 128
-                else:
-                    vals = np.frombuffer(body, np.uint8, 64, offset=j)
-                    j += 64
-                table = np.zeros(64, np.int32)
-                table[ZIGZAG] = vals
-                qts[tid] = table.reshape(8, 8)
+            _parse_dqt(body, qts)
         elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(body):
-                tclass, tid = body[j] >> 4, body[j] & 0x0F
-                if j + 17 > len(body):
-                    raise ValueError("truncated JPEG DHT segment: bits list cut")
-                bits = list(body[j + 1 : j + 17])
-                count = sum(bits)
-                if j + 17 + count > len(body):
-                    raise ValueError(
-                        f"truncated JPEG DHT segment: table ({tclass},{tid}) "
-                        f"declares {count} symbols, "
-                        f"{len(body) - j - 17} remain"
-                    )
-                symbols = list(body[j + 17 : j + 17 + count])
-                huff[(tclass, tid)] = _decode_table(bits, symbols)
-                j += 17 + count
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            _parse_dht(body, huff)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 (seq/ext-seq/prog)
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF segment header")
             if body[0] != 8:
@@ -415,9 +436,13 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
                 # corrupt structure, not an unsupported layout: a legal
                 # stream always declares SOF before its first SOS
                 raise ValueError("JPEG SOS appears before any SOF segment")
-            if body[0] != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) baseline JPEG not implemented"
+            if progressive or body[0] != len(comps):
+                # progressive and multi-scan sequential streams both
+                # accumulate coefficients across scans — hand the whole
+                # remaining stream (from this SOS marker) to the
+                # store-based engine
+                return _decode_multi(
+                    b, i, w, h, comps, qts, huff, restart_interval, progressive
                 )
             for k in range(body[0]):
                 cid, tids = body[1 + 2 * k], body[2 + 2 * k]
@@ -511,6 +536,12 @@ def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_index += 1
+    return _finish_rgb(planes, comps, w, h, hmax, vmax)
+
+
+def _finish_rgb(planes, comps, w, h, hmax, vmax):
+    """Crop/upsample per-component sample planes and apply the JFIF
+    color transform — shared by the direct and store-based decoders."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci][: -(-h * c["v"] // vmax) or None, : -(-w * c["h"] // hmax) or None]
@@ -525,6 +556,300 @@ def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
     bl = y + 1.772 * cb
     rgb = np.stack([r, g, bl], axis=2)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _parse_sos_multi(body, comps, huff, progressive):
+    """Parse + validate one SOS header for the store-based engine.
+
+    Returns ``(scomps, ss, se, ah, al)`` where ``scomps`` is a list of
+    ``(component_index, dc_table_id, ac_table_id)`` in scan order. All
+    structural defects raise ValueError (corrupt-data contract)."""
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise ValueError("truncated JPEG SOS segment")
+    if not 1 <= ns <= len(comps):
+        raise ValueError(
+            f"JPEG SOS declares {ns} components, frame has {len(comps)}"
+        )
+    scomps = []
+    for k in range(ns):
+        cid, tids = body[1 + 2 * k], body[2 + 2 * k]
+        ci = next((j for j, c in enumerate(comps) if c["id"] == cid), None)
+        if ci is None:
+            raise ValueError("JPEG SOS references unknown component ids")
+        scomps.append((ci, tids >> 4, tids & 0x0F))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+    if not progressive:
+        # sequential scans carry fixed (0, 63, 0) band bytes; decode the
+        # full block regardless of what a sloppy encoder wrote there
+        ss, se, ah, al = 0, 63, 0, 0
+    if se > 63 or (ss > se):
+        raise ValueError(f"JPEG scan band Ss={ss}..Se={se} out of range")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError(
+                f"progressive JPEG DC scan must have Se=0 (got Se={se})"
+            )
+        if ss > 0 and ns != 1:
+            raise ValueError(
+                "progressive JPEG AC scan must be single-component "
+                f"(got {ns})"
+            )
+        if ah > 13 or al > 13:
+            # T.81 bounds the successive-approximation point transform;
+            # a corrupt byte otherwise drives unbounded coefficient shifts
+            raise ValueError(
+                f"JPEG successive approximation Ah={ah}/Al={al} out of range"
+            )
+    for ci, dcid, acid in scomps:
+        needs_dc = ss == 0 and (ah == 0 or not progressive)
+        needs_ac = se > 0
+        if needs_dc and (0, dcid) not in huff:
+            raise ValueError(
+                f"JPEG SOS references undeclared DC Huffman table {dcid}"
+            )
+        if needs_ac and (1, acid) not in huff:
+            raise ValueError(
+                f"JPEG SOS references undeclared AC Huffman table {acid}"
+            )
+    return scomps, ss, se, ah, al
+
+
+def _scan_units(scomps, comps, w, h, hmax, vmax, mcus_x, mcus_y):
+    """Yield one data-unit list per restart unit: the MCU's blocks for an
+    interleaved (Ns>1) scan, a single block for a non-interleaved scan
+    (T.81 §A.2: Ns=1 scans cover only the blocks that tile the
+    component's actual samples, not the MCU padding)."""
+    if len(scomps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for ci, dcid, acid in scomps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (ci, my * c["v"] + by, mx * c["h"] + bx,
+                                 dcid, acid)
+                            )
+                yield unit
+    else:
+        ci, dcid, acid = scomps[0]
+        c = comps[ci]
+        nbx = -(-(-(-w * c["h"] // hmax)) // 8)
+        nby = -(-(-(-h * c["v"] // vmax)) // 8)
+        for r in range(nby):
+            for cl in range(nbx):
+                yield [(ci, r, cl, dcid, acid)]
+
+
+def _decode_scan_into(
+    b, pos, store, scomps, comps, ss, se, ah, al,
+    w, h, hmax, vmax, mcus_x, mcus_y, huff, restart_interval, progressive,
+):
+    """Decode one entropy-coded scan into the coefficient stores and
+    return the stream index of the next marker (T.81 §G.1.2 for the
+    progressive DC/AC first/refinement passes and EOB-run coding)."""
+    reader = _BitReader(b, pos)
+    preds = {ci: 0 for ci, _d, _a in scomps}
+    eobrun = 0
+    p1 = 1 << al
+    if progressive:
+        mode = (
+            "dc_first" if ss == 0 and ah == 0
+            else "dc_refine" if ss == 0
+            else "ac_first" if ah == 0
+            else "ac_refine"
+        )
+    else:
+        mode = "seq"
+    ui = 0
+    for unit in _scan_units(scomps, comps, w, h, hmax, vmax, mcus_x, mcus_y):
+        if restart_interval and ui and ui % restart_interval == 0:
+            reader.align_past_restart()
+            preds = {ci: 0 for ci in preds}
+            eobrun = 0
+        for ci, r, cl, dcid, acid in unit:
+            blk = store[ci][r, cl]
+            if mode == "dc_refine":
+                blk[0] |= reader.read_bit() << al
+                continue
+            if mode in ("seq", "dc_first"):
+                size = _read_huffman(reader, huff[(0, dcid)])
+                if size > 11:
+                    raise ValueError(
+                        f"corrupt JPEG entropy stream: DC "
+                        f"category {size} out of range"
+                    )
+                preds[ci] += _extend(reader.read_bits(size), size)
+                blk[0] = preds[ci] << al
+                if mode == "dc_first":
+                    continue
+            if mode in ("seq", "ac_first"):
+                if mode == "ac_first" and eobrun:
+                    eobrun -= 1
+                    continue
+                ac_tab = huff[(1, acid)]
+                k = max(ss, 1)
+                while k <= se:
+                    sym = _read_huffman(reader, ac_tab)
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        if mode == "seq":  # EOB
+                            break
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += reader.read_bits(run)
+                        eobrun -= 1  # this block is the run's first
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    blk[k] = _extend(reader.read_bits(size), size) << al
+                    k += 1
+                continue
+            # ac_refine (T.81 §G.1.2.3): correction bits for history-
+            # nonzero coefficients, ±(1<<Al) for newly-significant ones
+            if eobrun:
+                for k in range(ss, se + 1):
+                    if blk[k] != 0 and reader.read_bit() and not (
+                        int(blk[k]) & p1
+                    ):
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                eobrun -= 1
+                continue
+            ac_tab = huff[(1, acid)]
+            k = ss
+            while k <= se:
+                sym = _read_huffman(reader, ac_tab)
+                run, size = sym >> 4, sym & 0x0F
+                newval = 0
+                if size == 0:
+                    if run < 15:  # EOBn: corrections for the band's rest
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += reader.read_bits(run)
+                        while k <= se:
+                            if blk[k] != 0 and reader.read_bit() and not (
+                                int(blk[k]) & p1
+                            ):
+                                blk[k] += p1 if blk[k] > 0 else -p1
+                            k += 1
+                        break
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ValueError(
+                            "corrupt JPEG refinement scan: magnitude "
+                            f"category {size} (must be 1)"
+                        )
+                    newval = p1 if reader.read_bit() else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and not (int(blk[k]) & p1):
+                            blk[k] += p1 if blk[k] > 0 else -p1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if k <= se and newval:
+                    blk[k] = newval
+                k += 1
+        ui += 1
+    # resume the marker walk at the next marker: either the one the
+    # reader already stopped at, or the first one past the final
+    # entropy byte (trailing pad bits are discarded with the buffer)
+    if reader.marker is not None:
+        return reader.pos - 2
+    p = reader.pos
+    n = len(b)
+    while p + 1 < n:
+        if b[p] == 0xFF and b[p + 1] != 0x00 and b[p + 1] != 0xFF:
+            return p
+        p += 1
+    return n
+
+
+def _decode_multi(b, i, w, h, comps, qts, huff, restart_interval, progressive):
+    """Store-based decode for progressive (SOF2) and multi-scan
+    sequential streams, entered at the first SOS marker: every scan
+    accumulates into per-component zigzag coefficient stores;
+    dequantization + IDCT happen once at end of stream, with the same
+    per-block arithmetic as the direct path."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    store = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+        for c in comps
+    ]
+    n = len(b)
+    while i + 2 <= n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray restart between segments
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        body = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            _parse_dqt(body, qts)
+        elif marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker in (0xC0, 0xC1, 0xC2):
+            raise ValueError("JPEG declares a second SOF segment")
+        elif marker == 0xDA:
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS segment")
+            scomps, ss, se, ah, al = _parse_sos_multi(
+                body, comps, huff, progressive
+            )
+            i = _decode_scan_into(
+                b, i + 2 + seg_len, store, scomps, comps, ss, se, ah, al,
+                w, h, hmax, vmax, mcus_x, mcus_y, huff, restart_interval,
+                progressive,
+            )
+            continue
+        i += 2 + seg_len
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["qt"] not in qts:
+            raise ValueError(
+                f"JPEG SOF references undeclared quantization "
+                f"table {c['qt']}"
+            )
+        qt = qts[c["qt"]].astype(np.float64)
+        rows, cols = store[ci].shape[:2]
+        plane = np.empty((rows * 8, cols * 8), np.float64)
+        block = np.zeros(64, np.float64)
+        for r in range(rows):
+            for cl in range(cols):
+                block[ZIGZAG] = store[ci][r, cl]
+                blk = block.reshape(8, 8) * qt
+                plane[r * 8 : r * 8 + 8, cl * 8 : cl * 8 + 8] = (
+                    _DCT_A.T @ blk @ _DCT_A + 128.0
+                )
+        planes.append(plane)
+    return _finish_rgb(planes, comps, w, h, hmax, vmax)
 
 
 def _encode_blocks(plane: "np.ndarray", qt: "np.ndarray") -> "np.ndarray":
@@ -550,18 +875,9 @@ def _bit_size(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def jpeg_encode(
-    arr: "np.ndarray",
-    luma_qt: "np.ndarray" = STD_LUMA_QT,
-    chroma_qt: "np.ndarray" = STD_CHROMA_QT,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline sequential JFIF bytes. 4:4:4 by
-    default; ``subsample=True`` emits 4:2:0 (2x2 mean chroma).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs. Pass all-ones tables for a near-lossless round-trip."""
-    h, w = arr.shape[:2]
+def _prepare_planes(arr, luma_qt, chroma_qt, subsample):
+    """RGB → padded YCbCr plane specs + quantized coefficient arrays —
+    the shared front half of the sequential and progressive encoders."""
     rgb = arr.astype(np.float64)
     y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
     cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
@@ -586,6 +902,23 @@ def jpeg_encode(
     coeffs = [
         _encode_blocks(p - 128.0, qts[qid]) for p, _hs, _vs, qid in plane_specs
     ]
+    return plane_specs, coeffs
+
+
+def jpeg_encode(
+    arr: "np.ndarray",
+    luma_qt: "np.ndarray" = STD_LUMA_QT,
+    chroma_qt: "np.ndarray" = STD_CHROMA_QT,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline sequential JFIF bytes. 4:4:4 by
+    default; ``subsample=True`` emits 4:2:0 (2x2 mean chroma).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. Pass all-ones tables for a near-lossless round-trip."""
+    h, w = arr.shape[:2]
+    plane_specs, coeffs = _prepare_planes(arr, luma_qt, chroma_qt, subsample)
+    qts = [luma_qt, chroma_qt]
 
     dc_codes = _canonical_codes(_ENC_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_ENC_AC_BITS, _AC_SYMBOLS)
@@ -670,5 +1003,238 @@ def jpeg_encode(
         out.extend(segment)
         if si < len(entropy_segments) - 1:
             out.extend(bytes([0xFF, 0xD0 + (si % 8)]))
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# Progressive AC alphabet: the (run, size) set plus ZRL plus the EOBn
+# symbols (n = 0..14) progressive EOB-run coding needs — 176 symbols at
+# 8 bits each (Kraft-feasible, all-ones code unused).
+_PROG_AC_SYMBOLS = (
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_ENC_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+
+# The conventional ten-scan schedule (DC first at Al=1; luma low band,
+# full chroma bands, luma high band; then one refinement pass per
+# band): each entry is (component_indices, Ss, Se, Ah, Al).
+_DEFAULT_PROG_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+)
+
+
+def jpeg_encode_progressive(
+    arr: "np.ndarray",
+    luma_qt: "np.ndarray" = STD_LUMA_QT,
+    chroma_qt: "np.ndarray" = STD_CHROMA_QT,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    scans: tuple = None,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes over the same
+    quantized coefficients :func:`jpeg_encode` produces (T.81 §G.1.2:
+    spectral selection + successive approximation, EOB-run coding,
+    refinement correction bits). ``scans`` overrides the default
+    schedule with ``(component_indices, Ss, Se, Ah, Al)`` tuples; every
+    refinement must step its band's Al down by exactly one."""
+    h, w = arr.shape[:2]
+    plane_specs, coeffs = _prepare_planes(arr, luma_qt, chroma_qt, subsample)
+    qts = [luma_qt, chroma_qt]
+    zz = [c[:, :, ZIGZAG] for c in coeffs]
+    if scans is None:
+        scans = _DEFAULT_PROG_SCANS
+    for ids, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(ids) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not (0 <= ss <= se <= 63) or not 0 <= al <= 13:
+            raise ValueError(f"scan band Ss={ss}..Se={se}/Al={al} out of range")
+        if ah and ah != al + 1:
+            # a refinement transmits exactly one magnitude bit per
+            # coefficient, which only reconstructs when Ah == Al + 1
+            raise ValueError(f"refinement scan must have Ah=Al+1 (got {ah}/{al})")
+    hmax = max(hs for _p, hs, _vs, _q in plane_specs)
+    vmax = max(vs for _p, _hs, vs, _q in plane_specs)
+    mcus_x = plane_specs[0][0].shape[1] // (8 * hmax)
+    mcus_y = plane_specs[0][0].shape[0] // (8 * vmax)
+    comps_geo = [{"h": hs, "v": vs} for _p, hs, vs, _q in plane_specs]
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS_PROG, _PROG_AC_SYMBOLS)
+
+    scan_payloads: list[bytes] = []
+    for ids, ss, se, ah, al in scans:
+        writer = _BitWriter()
+        preds = {ci: 0 for ci in ids}
+        eobrun = 0
+        pending: list[int] = []  # correction bits owed to the next EOBn
+        segments: list[bytes] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            n_ = eobrun.bit_length() - 1
+            code, ln = ac_codes[n_ << 4]
+            writer.write(code, ln)
+            if n_:
+                writer.write(eobrun - (1 << n_), n_)
+            for bit in pending:
+                writer.write(bit, 1)
+            pending.clear()
+            eobrun = 0
+
+        def ac_first(band):
+            nonlocal eobrun
+            tvals = [
+                (abs(v) >> al) * (1 if v > 0 else -1) for v in band
+            ]
+            nz = [i for i, v in enumerate(tvals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                return
+            flush_eob()
+            pos = 0
+            for i in nz:
+                run = i - pos
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                v = tvals[i]
+                size = _bit_size(v)
+                code, ln = ac_codes[(run << 4) | size]
+                writer.write(code, ln)
+                writer.write(v if v > 0 else v + (1 << size) - 1, size)
+                pos = i + 1
+            if pos < len(tvals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+
+        def ac_refine(band):
+            nonlocal eobrun
+            hist = [(abs(v) >> ah) != 0 for v in band]
+            corr = [(abs(v) >> al) & 1 for v in band]
+            news = [
+                i for i, v in enumerate(band)
+                if not hist[i] and (abs(v) >> al)
+            ]
+            L = len(band)
+            if not news:
+                eobrun += 1
+                pending.extend(corr[i] for i in range(L) if hist[i])
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                return
+            flush_eob()
+            pos = 0
+            for i in news:
+                zeros = sum(1 for j in range(pos, i) if not hist[j])
+                while zeros > 15:
+                    code, ln = ac_codes[0xF0]
+                    writer.write(code, ln)
+                    cnt = 0
+                    # the 16 skipped zero-history slots carry their
+                    # neighbours' correction bits inline, decoder-order
+                    while cnt < 16:
+                        if hist[pos]:
+                            writer.write(corr[pos], 1)
+                        else:
+                            cnt += 1
+                        pos += 1
+                    zeros -= 16
+                code, ln = ac_codes[(zeros << 4) | 1]
+                writer.write(code, ln)
+                writer.write(1 if band[i] > 0 else 0, 1)
+                for j in range(pos, i):
+                    if hist[j]:
+                        writer.write(corr[j], 1)
+                pos = i + 1
+            if pos < L:
+                eobrun += 1
+                pending.extend(corr[j] for j in range(pos, L) if hist[j])
+                if eobrun == 0x7FFF:
+                    flush_eob()
+
+        scomps = [(ci, 0, 0) for ci in ids]
+        ui = 0
+        for unit in _scan_units(
+            scomps, comps_geo, w, h, hmax, vmax, mcus_x, mcus_y
+        ):
+            if restart_interval and ui and ui % restart_interval == 0:
+                flush_eob()
+                segments.append(writer.flush())
+                writer = _BitWriter()
+                preds = {ci: 0 for ci in ids}
+            for ci, r, cl, _d, _a in unit:
+                blk = zz[ci][r, cl]
+                if ss == 0 and ah == 0:  # DC first
+                    v = int(blk[0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size = _bit_size(diff)
+                    code, ln = dc_codes[size]
+                    writer.write(code, ln)
+                    if size:
+                        writer.write(
+                            diff if diff > 0 else diff + (1 << size) - 1, size
+                        )
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    writer.write((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    ac_first([int(v) for v in blk[ss : se + 1]])
+                else:
+                    ac_refine([int(v) for v in blk[ss : se + 1]])
+            ui += 1
+        flush_eob()
+        segments.append(writer.flush())
+        payload = bytearray()
+        for si, segment in enumerate(segments):
+            payload.extend(segment)
+            if si < len(segments) - 1:
+                payload.extend(bytes([0xFF, 0xD0 + (si % 8)]))
+        scan_payloads.append(bytes(payload))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    for tid, qt in enumerate(qts):
+        zzq = np.asarray(qt).reshape(64)[ZIGZAG]
+        seg(0xDB, bytes([tid]) + bytes(int(v) for v in zzq))
+    samp = (0x22, 0x11, 0x11) if subsample else (0x11, 0x11, 0x11)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid in range(3):
+        sof += bytes([cid + 1, samp[cid], 0 if cid == 0 else 1])
+    seg(0xC2, sof)
+    for tclass, bits, symbols in (
+        (0, _ENC_DC_BITS, _DC_SYMBOLS),
+        (1, _ENC_AC_BITS_PROG, _PROG_AC_SYMBOLS),
+    ):
+        seg(0xC4, bytes([tclass << 4]) + bytes(bits) + bytes(symbols))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    for (ids, ss, se, ah, al), payload in zip(scans, scan_payloads):
+        sos = bytes([len(ids)])
+        for ci in ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        out.extend(payload)
     out.extend(b"\xff\xd9")
     return bytes(out)

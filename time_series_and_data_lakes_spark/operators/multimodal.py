@@ -24,13 +24,16 @@ The codec layer:
   would silently drop frames. Encode is single-frame, lossless for
   ≤256-color images (always true of decode→resize output); richer
   images raise rather than silently quantize.
-- ``jpeg``: REAL PIXEL codec as well (:mod:`.jpeg` — baseline sequential
-  Huffman+DCT in pure numpy: canonical DHT build, byte-destuffed bit
-  reader, restart markers, 4:4:4/4:2:2/4:2:0 sampling, JFIF color
-  transform; the decoder is validated against a hand-derived stream
-  using the standard's own Annex K tables). Decode is exact for the
-  payload; re-encode is lossy by format design. Progressive (SOF2) and
-  arithmetic coding raise.
+- ``jpeg``: REAL PIXEL codec as well (:mod:`.jpeg` — sequential AND
+  progressive Huffman+DCT in pure numpy: canonical DHT build,
+  byte-destuffed bit reader, restart markers, 4:4:4/4:2:2/4:2:0
+  sampling, JFIF color transform, and a coefficient-store engine for
+  multi-scan sequential + progressive SOF2 streams (spectral selection,
+  successive approximation, EOB runs); the decoder is validated against
+  hand-derived sequential AND progressive streams using the standard's
+  own Annex K tables). Decode is exact for the payload; re-encode is
+  lossy by format design. Arithmetic coding and lossless/hierarchical
+  processes raise.
 - ``wav``: REAL AUDIO codec (:func:`wav_encode` / :func:`wav_decode` —
   RIFF chunk-walking parser, 16-bit PCM, pure stdlib/numpy), with real
   DSP ops: :func:`audio_stats` (peak/RMS) and :func:`resample_audio`
@@ -1619,7 +1622,7 @@ def media_errors(df: DataFrame) -> DataFrame:
     """Corpus-hygiene audit: one row per payload whose CONTENT cannot be
     decoded at all. ``error_kind`` distinguishes ``corrupt`` (ValueError
     — bad bytes) from ``unsupported`` (NotImplementedError — an honest
-    feature boundary such as progressive JPEG or a compressed AV codec),
+    feature boundary such as arithmetic-coded JPEG or a compressed AV codec),
     so a pipeline can route the former to quarantine and the latter to a
     different decode path. A clean corpus returns zero rows.
 
