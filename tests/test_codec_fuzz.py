@@ -41,6 +41,38 @@ from time_series_and_data_lakes_spark.operators.multimodal import (
     wav_encode,
 )
 
+def _png_adam7_payload(img):
+    # interlaced PNG (filter-0 rows per Adam7 pass): walks the pass
+    # geometry, per-pass defilter, and scatter-assembly under fuzz
+    import binascii
+    import zlib
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body))
+            + t
+            + body
+            + struct.pack(">I", binascii.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    h, w = img.shape[:2]
+    raw = bytearray()
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = img[y0:h:dy, x0:w:dx]
+        if sub.shape[0] and sub.shape[1]:
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + sub[y].tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _wav_payload(_img):
     samples = np.random.RandomState(17).randint(-3000, 3000, (256, 2))
     return wav_encode(samples.astype(np.int16), 8000, 2)
@@ -54,6 +86,7 @@ CODECS = {
     "bmp": (bmp_encode, bmp_decode),
     "ppm": (ppm_encode, ppm_decode),
     "png": (png_encode, png_decode),
+    "png_adam7": (_png_adam7_payload, png_decode),
     "gif": (gif_encode, gif_decode),
     "jpeg": (jpeg_encode, jpeg_decode),
     # progressive streams walk the coefficient-store engine: scan

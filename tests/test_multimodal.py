@@ -754,10 +754,12 @@ def test_png_decode_color_types_and_honest_raises():
         ),
         pal[idx[:, :, 0]],
     )
-    # 16-bit depth and Adam7 interlace raise honestly
+    # illegal depth/color-type combinations and unknown interlace
+    # methods are corrupt DATA (every legal combination now decodes)
     for hdr in (
-        struct.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 0),
-        struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 1),
+        struct.pack(">IIBBBBB", 4, 5, 4, 2, 0, 0, 0),  # 4-bit truecolor
+        struct.pack(">IIBBBBB", 4, 5, 16, 3, 0, 0, 0),  # 16-bit palette
+        struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 2),  # interlace 2
     ):
         bad = (
             sig
@@ -765,8 +767,103 @@ def test_png_decode_color_types_and_honest_raises():
             + _png_chunk_raw(b"IDAT", zlib.compress(b""))
             + _png_chunk_raw(b"IEND", b"")
         )
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             png_decode(bad)
+
+
+def test_png_decode_all_depths_and_adam7():
+    """Every legal PNG bit depth and both interlace methods decode:
+    16-bit samples downscale to their high byte (the spec's sample-depth
+    rescaling), sub-byte grayscale rescales exactly (255 divides by 1, 3
+    and 15), sub-byte palette indexes directly, and Adam7 passes are
+    independently filtered sub-images scattered into place (spec §8.2,
+    verified against a straight slice of the source raster)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import png_decode
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    rng = np.random.default_rng(29)
+
+    def png(w, h, depth, ctype, raw, interlace=0, extra=b""):
+        return (
+            sig
+            + _png_chunk_raw(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+            )
+            + extra
+            + _png_chunk_raw(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk_raw(b"IEND", b"")
+        )
+
+    def pack_bits(vals, depth):
+        bits = "".join(format(int(v), f"0{depth}b") for v in vals)
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    h, w = 5, 4
+    # 16-bit truecolor → high bytes
+    hi = rng.integers(0, 256, (h, w, 3), dtype=np.uint16)
+    lo = rng.integers(0, 256, (h, w, 3), dtype=np.uint16)
+    samp = ((hi << 8) | lo).astype(">u2")
+    raw = b"".join(b"\x00" + samp[y].tobytes() for y in range(h))
+    assert np.array_equal(png_decode(png(w, h, 16, 2, raw)), hi.astype(np.uint8))
+    # 1/2/4-bit grayscale, exact rescale
+    for d in (1, 2, 4):
+        vals = rng.integers(0, 1 << d, (h, w), dtype=np.uint8)
+        raw = b"".join(b"\x00" + pack_bits(vals[y], d) for y in range(h))
+        want = np.repeat((vals * (255 // ((1 << d) - 1)))[:, :, None], 3, axis=2)
+        assert np.array_equal(png_decode(png(w, h, d, 0, raw)), want), d
+    # 4-bit palette
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    raw = b"".join(b"\x00" + pack_bits(idx[y], 4) for y in range(h))
+    assert np.array_equal(
+        png_decode(png(w, h, 4, 3, raw, extra=_png_chunk_raw(b"PLTE", pal.tobytes()))),
+        pal[idx],
+    )
+    # Adam7 at several shapes (odd, exact-multiple, single-pixel, wide)
+    adam7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    for hh, ww in [(13, 9), (8, 8), (1, 1), (3, 17)]:
+        img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in adam7:
+            sub = img[y0:hh:dy, x0:ww:dx]
+            if sub.shape[0] and sub.shape[1]:
+                for y in range(sub.shape[0]):
+                    raw += b"\x00" + sub[y].tobytes()
+        assert np.array_equal(
+            png_decode(png(ww, hh, 8, 2, raw, interlace=1)), img
+        ), (hh, ww)
+    # Adam7 with Up-filtered rows in every pass: each pass's filter
+    # context must RESET (first pass row sees a zero prior row), so a
+    # decoder reusing the previous pass's last scanline fails here
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in adam7:
+        sub = img[y0:13:dy, x0:9:dx].astype(np.int32)
+        if sub.shape[0] and sub.shape[1]:
+            prev = np.zeros_like(sub[0])
+            for y in range(sub.shape[0]):
+                raw += b"\x02" + ((sub[y] - prev) % 256).astype(np.uint8).tobytes()
+                prev = sub[y]
+    assert np.array_equal(png_decode(png(9, 13, 8, 2, raw, interlace=1)), img)
+    # Adam7 x 16-bit grayscale composes
+    img16 = rng.integers(0, 65536, (11, 6), dtype=np.uint16)
+    raw = bytearray()
+    for x0, y0, dx, dy in adam7:
+        sub = img16[y0:11:dy, x0:6:dx].astype(">u2")
+        if sub.shape[0] and sub.shape[1]:
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + sub[y].tobytes()
+    want = np.repeat((img16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert np.array_equal(png_decode(png(6, 11, 16, 0, raw, interlace=1)), want)
 
 
 def test_png_resize_pipeline_end_to_end(spark):

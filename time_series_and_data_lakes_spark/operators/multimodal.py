@@ -8,12 +8,13 @@ The codec layer:
 - ``bmp`` / ``ppm`` / ``png``: REAL PIXEL codecs (:func:`bmp_decode` /
   :func:`bmp_encode` / :func:`ppm_decode` / :func:`ppm_encode` — 24-bpp
   BI_RGB Windows BMP and binary P6 PPM, pure numpy/struct — and
-  :func:`png_decode` / :func:`png_encode`, a full 8-bit PNG codec: PNG's
+  :func:`png_decode` / :func:`png_encode`, a full PNG codec: PNG's
   entropy coding is zlib, which IS stdlib, so chunk walk + inflate + all
-  five defilters need no external library). :func:`resize_media` performs
-  an actual pixel transcode (:func:`nn_resize`, integer nearest-neighbor)
-  for every registered pixel codec. PNG 16-bit depth and Adam7 interlace
-  raise.
+  five defilters need no external library; decode covers every legal
+  bit depth (1/2/4/8/16) and both interlace methods (Adam7), encode
+  emits 8-bit non-interlaced). :func:`resize_media` performs an actual
+  pixel transcode (:func:`nn_resize`, integer nearest-neighbor) for
+  every registered pixel codec.
 - ``gif``: REAL PIXEL codec too (:func:`gif_decode` / :func:`gif_encode`
   — GIF's entropy coding is 12-bit variable-width LZW, implemented here
   both ways and validated against a published foreign-encoder stream).
@@ -654,21 +655,136 @@ def png_encode(arr: "np.ndarray") -> bytes:
     )
 
 
-def png_decode(payload: bytes) -> "np.ndarray":
-    """REAL PNG pixel decode → (h, w, 3) uint8 RGB, pure stdlib+numpy:
-    chunk walk, concatenated-IDAT zlib inflate, and full defiltering (all
-    five PNG filters — None/Sub/Up/Average/Paeth, spec §9). Supports every
-    8-bit color type: truecolor (2), truecolor+alpha (6, alpha dropped),
-    grayscale (0) and grayscale+alpha (4, replicated to RGB), and palette
-    (3, PLTE lookup — indices are validated against the table size; a
-    tRNS palette-transparency chunk is IGNORED, consistent with alpha
-    being dropped for color types 4/6). 16-bit depth and Adam7 interlace
-    raise honestly.
-    Sub/Up defilter vectorized (per-channel cumsum / row add mod 256);
+# Adam7 interlace pass geometry (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+# legal bit depths per color type (spec §11.2.2); anything else is
+# corrupt data, not an unimplemented feature — every legal combination
+# decodes
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_defilter(raw, pos, ph, stride, bpp):
+    """Defilter ``ph`` scanlines of ``stride`` bytes starting at ``pos``
+    (all five PNG filters, spec §9) → ((ph, stride) uint8, next pos).
+    ``bpp`` is the filter's byte offset to the pixel to the left.
+    Sub/Up are vectorized (per-channel cumsum / row add mod 256);
     Average/Paeth are sequentially data-dependent and run as plain-int
     row loops — libpng's adaptive filtering picks them on most rows of
     real-world PNGs, so they are the decode hot path and use list/int
     arithmetic rather than per-element numpy indexing."""
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(ph):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        if f == 0:  # None
+            recon = line
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] — per-channel
+            # chains are independent, so a cumsum over the pixel axis mod
+            # 256 reconstructs the whole row vectorized
+            recon = (
+                np.cumsum(line.reshape(-1, bpp), axis=0).reshape(stride) % 256
+            )
+        elif f == 2:  # Up
+            recon = (line + prev) % 256
+        elif f == 3:  # Average
+            ll = line.tolist()
+            pp = prev.tolist() if hasattr(prev, "tolist") else list(prev)
+            rr = [0] * stride
+            for x in range(stride):
+                a = rr[x - bpp] if x >= bpp else 0
+                rr[x] = (ll[x] + ((a + pp[x]) >> 1)) & 0xFF
+            recon = np.asarray(rr, np.int32)
+        elif f == 4:  # Paeth
+            ll = line.tolist()
+            pp = prev.tolist() if hasattr(prev, "tolist") else list(prev)
+            rr = [0] * stride
+            for x in range(stride):
+                a = rr[x - bpp] if x >= bpp else 0
+                up = pp[x]
+                c = pp[x - bpp] if x >= bpp else 0
+                p = a + up - c
+                pa = p - a if p >= a else a - p
+                pb = p - up if p >= up else up - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rr[x] = (ll[x] + pred) & 0xFF
+            recon = np.asarray(rr, np.int32)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        prev = recon
+        out[y] = recon.astype(np.uint8)
+    return out, pos
+
+
+def _png_region_rgb(region, pw, channels, depth, color_type, plte):
+    """Defiltered scanline bytes of one (sub-)image → (ph, pw, 3) uint8
+    RGB: sample unpacking per bit depth (sub-byte MSB-first, 16-bit
+    downscaled to its high byte — the spec's sample-depth rescaling),
+    then the color-type mapping. Alpha is dropped for types 4/6 and a
+    tRNS chunk is ignored, as documented on :func:`png_decode`."""
+    ph = region.shape[0]
+    if depth == 16:
+        px = region.reshape(ph, pw, channels, 2)[:, :, :, 0]
+    elif depth == 8:
+        px = region.reshape(ph, pw, channels)
+    else:  # 1/2/4-bit: color types 0 and 3 only (channels == 1)
+        bits = np.unpackbits(region, axis=1)[:, : pw * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        px = bits.reshape(ph, pw, depth).dot(weights).astype(np.uint8)
+        px = px.reshape(ph, pw, 1)
+    if color_type == 2:
+        return px
+    if color_type == 6:
+        return px[:, :, :3]
+    if color_type == 0:
+        if depth < 8:
+            # exact 8-bit rescale: 255 is divisible by 1, 3, and 15
+            px = (px.astype(np.int32) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    if len(plte) % 3:
+        raise ValueError(f"PNG PLTE length {len(plte)} not a multiple of 3")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    top = int(idx.max()) if idx.size else -1
+    if top >= len(pal):
+        # same corrupt-data contract as gif_decode_frames: an index past
+        # the palette is a descriptive ValueError, never a numpy
+        # IndexError surfacing from the lookup below
+        raise ValueError(
+            f"PNG palette index {top} out of range for "
+            f"{len(pal)}-entry PLTE"
+        )
+    return pal[idx]
+
+
+def png_decode(payload: bytes) -> "np.ndarray":
+    """REAL PNG pixel decode → (h, w, 3) uint8 RGB, pure stdlib+numpy:
+    chunk walk, concatenated-IDAT zlib inflate, full defiltering (all
+    five PNG filters — None/Sub/Up/Average/Paeth, spec §9), every legal
+    bit depth (1/2/4/8 for grayscale and palette, 8/16 for the color
+    types — 16-bit samples downscale to their high byte), and both
+    interlace methods (Adam7 passes are defiltered independently and
+    scattered into place, spec §8.2). Color types: truecolor (2),
+    truecolor+alpha (6, alpha dropped), grayscale (0, sub-byte depths
+    rescaled exactly) and grayscale+alpha (4, replicated to RGB), and
+    palette (3, PLTE lookup — indices are validated against the table
+    size; a tRNS palette-transparency chunk is IGNORED, consistent with
+    alpha being dropped for color types 4/6)."""
     import zlib
 
     b = bytes(payload)
@@ -697,96 +813,44 @@ def png_decode(payload: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit non-interlaced PNG implemented (depth={depth}, "
-            f"interlace={interlace})"
-        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"illegal PNG bit depth {depth} for color type {color_type}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         # bit-flipped or truncated IDAT surfaces as zlib.error; route it
         # through the corrupt-data contract (fuzz-found)
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (1 + stride):
+
+    def rstride(pw: int) -> int:
+        return -(-pw * channels * depth // 8)
+
+    if interlace == 0:
+        regions = [(0, 0, 1, 1, w, h)]
+    else:
+        regions = [
+            (x0, y0, dx, dy, -(-(w - x0) // dx), -(-(h - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    regions = [r for r in regions if r[4] > 0 and r[5] > 0]
+    if len(raw) != sum(ph * (1 + rstride(pw)) for *_g, pw, ph in regions):
         raise ValueError("PNG pixel data length mismatch")
-    bpp = channels  # bytes per pixel at 8-bit depth
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = raw[y * (1 + stride)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, offset=y * (1 + stride) + 1
-        ).astype(np.int32)
-        if f == 0:  # None
-            recon = line
-        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] — per-channel
-            # chains are independent, so a cumsum over the pixel axis mod
-            # 256 reconstructs the whole row vectorized
-            recon = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
-        elif f == 2:  # Up
-            recon = (line + prev) % 256
-        elif f == 3:  # Average — sequential recurrence along x. Plain-int
-            # list arithmetic: per-element numpy indexing in a Python loop
-            # costs ~20x more than int ops, and libpng's adaptive filtering
-            # uses Average/Paeth on MOST rows of real-world PNGs, so this
-            # is the decode hot path, not a rarity.
-            ll = line.tolist()
-            pp = prev.tolist() if hasattr(prev, "tolist") else list(prev)
-            rr = [0] * stride
-            for x in range(stride):
-                a = rr[x - bpp] if x >= bpp else 0
-                rr[x] = (ll[x] + ((a + pp[x]) >> 1)) & 0xFF
-            recon = np.asarray(rr, np.int32)
-        elif f == 4:  # Paeth — sequential recurrence along x (same note)
-            ll = line.tolist()
-            pp = prev.tolist() if hasattr(prev, "tolist") else list(prev)
-            rr = [0] * stride
-            for x in range(stride):
-                a = rr[x - bpp] if x >= bpp else 0
-                up = pp[x]
-                c = pp[x - bpp] if x >= bpp else 0
-                p = a + up - c
-                pa = p - a if p >= a else a - p
-                pb = p - up if p >= up else up - p
-                pc = p - c if p >= c else c - p
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rr[x] = (ll[x] + pred) & 0xFF
-            recon = np.asarray(rr, np.int32)
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        prev = recon
-        out[y] = recon.astype(np.uint8)
-    px = out.reshape(h, w, channels)
-    if color_type == 2:
-        return np.ascontiguousarray(px)
-    if color_type == 6:
-        return np.ascontiguousarray(px[:, :, :3])
-    if color_type == 0:
-        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
-    if color_type == 4:
-        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
-    # palette
-    if plte is None:
-        raise ValueError("palette PNG without PLTE")
-    if len(plte) % 3:
-        raise ValueError(f"PNG PLTE length {len(plte)} not a multiple of 3")
-    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-    idx = px[:, :, 0]
-    top = int(idx.max()) if idx.size else -1
-    if top >= len(pal):
-        # same corrupt-data contract as gif_decode_frames: an index past
-        # the palette is a descriptive ValueError, never a numpy
-        # IndexError surfacing from the lookup below
-        raise ValueError(
-            f"PNG palette index {top} out of range for "
-            f"{len(pal)}-entry PLTE"
+    bpp = max(1, channels * depth // 8)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in regions:
+        region, pos = _png_defilter(raw, pos, ph, rstride(pw), bpp)
+        out[y0:h:dy, x0:w:dx] = _png_region_rgb(
+            region, pw, channels, depth, color_type, plte
         )
-    return np.ascontiguousarray(pal[idx])
+    return np.ascontiguousarray(out)
 
 
 def _jpeg_decode(payload: bytes) -> "np.ndarray":
@@ -847,8 +911,8 @@ def _native_codecs() -> dict:
     grayscale replicated) and keep the repo's error taxonomy: PIL's own
     failures (UnidentifiedImageError/OSError/...) re-raise as ValueError
     = corrupt stream. The native DECODE surface is a superset of the pure
-    codecs' (e.g. 16-bit or interlaced PNG decodes here, downscaled to
-    8-bit by PIL, instead of raising NotImplementedError); the
+    codecs' (e.g. progressive-arithmetic JPEG decodes here instead of
+    raising NotImplementedError); the
     cross-validation test pins bit-agreement on the common surface. GIF
     keeps the pure contract exactly: decode guards animations behind the
     same NotImplementedError :func:`gif_decode` raises (PIL would
