@@ -377,12 +377,15 @@ def simhash_col(text: Column, n_bits: int = 32) -> Column:
     @F.pandas_udf("bigint")
     def pack(texts: pd.Series) -> pd.Series:
         bits = np.arange(n_bits, dtype=np.int64)
-        out: list = [None] * len(texts)
+        out = np.zeros(len(texts), dtype=np.int64)
+        isnull = np.zeros(len(texts), dtype=bool)
         for i, text in enumerate(texts):
             if text is None:
-                continue  # null text -> null simhash (null-propagating,
-                # like every JVM expression; .split on None otherwise
-                # kills the task on a corpus with null documents)
+                # null text -> null simhash (null-propagating, like every
+                # JVM expression; .split on None otherwise kills the task
+                # on a corpus with null documents)
+                isnull[i] = True
+                continue
             toks = text.split(" ")
             a = np.fromiter(
                 (
@@ -394,7 +397,9 @@ def simhash_col(text: Column, n_bits: int = 32) -> Column:
             )
             votes = (((a[:, None] >> bits) & 1) * 2 - 1).sum(axis=0)
             out[i] = int(((votes >= 0).astype(np.int64) << bits).sum())
-        return pd.Series(out, dtype="object")
+        # masked int64 extension array: stays a zero-copy Arrow transfer
+        # (an object series would box every value)
+        return pd.Series(pd.arrays.IntegerArray(out, isnull))
 
     return pack(text)
 
