@@ -78,6 +78,19 @@ def _wav_payload(_img):
     return wav_encode(samples.astype(np.int16), 8000, 2)
 
 
+def _wav_float_payload(_img):
+    # float32 WAV in a WAVE_FORMAT_EXTENSIBLE wrapper: fuzzes the
+    # SubFormat unwrap, the float decode path, and the length checks
+    vals = np.linspace(-1.2, 1.2, 200, dtype="<f4").tobytes()
+    body = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
+    body += struct.pack("<HIH", 22, 32, 1) + struct.pack("<H", 3) + b"\x00" * 14
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + len(vals))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", len(vals)) + vals
+    )
+
+
 def _avi_payload(img):
     return avi_encode(np.stack([img, 255 - img, img]), 5)
 
@@ -95,6 +108,7 @@ CODECS = {
     # media containers share the identical contract; their encode side
     # takes different inputs, so adapt through the image
     "wav": (_wav_payload, wav_decode),
+    "wav_float": (_wav_float_payload, wav_decode),
     "avi": (_avi_payload, avi_decode),
     "gif_frames": (gif_encode, gif_decode_frames),
 }

@@ -472,12 +472,103 @@ def test_wav_roundtrip_and_chunk_walk():
     rate2, _ch2, got2 = wav_decode(exotic)
     assert rate2 == 8000 and np.array_equal(got2, samples)
 
-    # non-PCM (format tag 3 = IEEE float) raises honestly
+    # a nonsensical encoding (float at 16 bits) raises honestly — the
+    # real float widths (32/64) decode, see test_wav_decode_all_encodings
     import pytest as _pytest
 
     bad_fmt = payload[:20] + struct.pack("<H", 3) + payload[22:]
     with _pytest.raises(NotImplementedError):
         wav_decode(bad_fmt)
+
+
+def test_wav_decode_all_encodings():
+    """Every uncompressed WAV encoding decodes, normalized to int16
+    (like the image codecs normalize to 8-bit): 8/24/32-bit PCM keep
+    their top 16 bits, float clips to ±1 and scales, G.711 a-law/µ-law
+    expand via the Sun formulas (validated bit-exactly against stdlib
+    ``audioop`` when present — removed in Python 3.13, hence the gate),
+    and WAVE_FORMAT_EXTENSIBLE unwraps to its SubFormat. Compressed
+    encodings (ADPCM etc.) still raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _mulaw_to_linear,
+        wav_decode,
+    )
+
+    def wav(fmt, bits, data, ext=False):
+        if ext:
+            body = struct.pack(
+                "<HHIIHH", 0xFFFE, 1, 8000, 8000 * (bits // 8), bits // 8, bits
+            )
+            body += (
+                struct.pack("<HIH", 22, bits, 1)
+                + struct.pack("<H", fmt)
+                + b"\x00" * 14
+            )
+        else:
+            body = struct.pack(
+                "<HHIIHH", fmt, 1, 8000, 8000 * (bits // 8), bits // 8, bits
+            )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(body)) + body
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # 8-bit unsigned PCM recenters at 0
+    assert wav_decode(wav(1, 8, bytes([0, 128, 255])))[2].tolist() == [
+        -32768, 0, 32512,
+    ]
+    # 24/32-bit PCM keep the top 16 bits, sign intact
+    v = 0x123456
+    d = v.to_bytes(3, "little", signed=True) + (-v).to_bytes(3, "little", signed=True)
+    assert wav_decode(wav(1, 24, d))[2].tolist() == [v >> 8, -v >> 8]
+    d = struct.pack("<ii", 0x12345678, -0x12345678)
+    assert wav_decode(wav(1, 32, d))[2].tolist() == [0x1234, (-0x12345678) >> 16]
+    # IEEE float32/float64: clip to +-1, scale to +-32767
+    d = struct.pack("<4f", 0.5, -1.0, 2.0, 0.0)
+    assert wav_decode(wav(3, 32, d))[2].tolist() == [16384, -32767, 32767, 0]
+    d = struct.pack("<2d", 0.25, -0.5)
+    assert wav_decode(wav(3, 64, d))[2].tolist() == [8192, -16384]
+    # EXTENSIBLE wrapper resolves its SubFormat
+    d = struct.pack("<2f", 1.0, -1.0)
+    assert wav_decode(wav(3, 32, d, ext=True))[2].tolist() == [32767, -32767]
+    # G.711 through the container; the expansion formulas themselves are
+    # pinned against the stdlib reference when it exists
+    codes = np.arange(256, dtype=np.uint8)
+    got_u = wav_decode(wav(7, 8, bytes(codes)))[2]
+    got_a = wav_decode(wav(6, 8, bytes(codes)))[2]
+    assert np.array_equal(got_u, _mulaw_to_linear(codes))
+    assert np.array_equal(got_a, _alaw_to_linear(codes))
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            # stdlib until 3.12; deprecation noise is not the test's problem
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        pass
+    else:
+        assert np.array_equal(
+            got_u, np.frombuffer(audioop.ulaw2lin(bytes(codes), 2), "<i2")
+        )
+        assert np.array_equal(
+            got_a, np.frombuffer(audioop.alaw2lin(bytes(codes), 2), "<i2")
+        )
+    # sign symmetry + monotone segment growth hold regardless of the
+    # oracle being available
+    assert np.array_equal(_mulaw_to_linear(codes[128:]), -_mulaw_to_linear(codes[:128]))
+    # compressed encodings raise; short data is corrupt
+    with _pytest.raises(NotImplementedError, match="format=2"):
+        wav_decode(wav(2, 4, b"\x00\x00"))
+    with _pytest.raises(ValueError, match="not a multiple"):
+        wav_decode(wav(1, 32, b"\x00\x00\x00"))
 
 
 def test_audio_resample_decimates_real_payloads(spark):

@@ -36,9 +36,12 @@ The codec layer:
   lossy by format design. Arithmetic coding and lossless/hierarchical
   processes raise.
 - ``wav``: REAL AUDIO codec (:func:`wav_encode` / :func:`wav_decode` —
-  RIFF chunk-walking parser, 16-bit PCM, pure stdlib/numpy), with real
-  DSP ops: :func:`audio_stats` (peak/RMS) and :func:`resample_audio`
-  (integer decimation). Compressed audio (mp3/aac/...) raises.
+  RIFF chunk-walking parser, pure stdlib/numpy; decode covers 8/16/24/
+  32-bit PCM, IEEE float32/float64, G.711 a-law/µ-law, and
+  WAVE_FORMAT_EXTENSIBLE, all normalized to int16; encode emits 16-bit
+  PCM), with real DSP ops: :func:`audio_stats` (peak/RMS) and
+  :func:`resample_audio` (integer decimation). Compressed audio
+  (ADPCM/mp3/aac/...) raises.
 - ``tsdl-fake``: deterministic fake header layout for oracle-gated tests.
 - anything else (compressed audio / video codecs): explicit
   ``NotImplementedError``.
@@ -1332,7 +1335,8 @@ def frame_sample(df: DataFrame, every_n: int = 2, on_error: str = "fail") -> Dat
 
 
 # ---------------------------------------------------------------------------
-# Audio: REAL WAV/PCM codec (RIFF container + 16-bit PCM, pure stdlib/numpy)
+# Audio: REAL WAV codec (RIFF container; PCM/float/G.711 decode → int16,
+# 16-bit PCM encode, pure stdlib/numpy)
 # ---------------------------------------------------------------------------
 
 AUDIO_STATS_SCHEMA = T.StructType(
@@ -1379,12 +1383,39 @@ def wav_encode(samples: "np.ndarray", sample_rate: int, channels: int = 1) -> by
     return hdr + pcm
 
 
+def _mulaw_to_linear(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 µ-law bytes → int16 samples (the classic Sun ulaw2linear
+    formula, vectorized; validated against stdlib ``audioop`` where
+    present). Pure arithmetic — segment = biased exponent, 4-bit
+    mantissa, 0x84 bias."""
+    import numpy as np
+
+    u = (~codes.astype(np.int32)) & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_to_linear(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 a-law bytes → int16 samples (Sun alaw2linear, vectorized)."""
+    import numpy as np
+
+    a = codes.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
 def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """RIFF/WAVE bytes → (sample_rate, n_channels, int16 sample array).
     Walks the chunk list (fmt/data may be preceded by LIST/fact chunks in
-    the wild), so this is a real parser, not a fixed-offset slice. Only
-    uncompressed 16-bit PCM is supported — anything else raises, honestly,
-    like the image codecs."""
+    the wild), so this is a real parser, not a fixed-offset slice.
+    Decodes every uncompressed encoding seen in real corpora, normalized
+    to int16 like the image codecs normalize to 8-bit: PCM at 8 (unsigned,
+    recentered), 16, 24 and 32 bits (deeper samples keep their top 16
+    bits), IEEE float32/float64 (clipped to ±1, scaled to ±32767), G.711
+    a-law/µ-law, and WAVE_FORMAT_EXTENSIBLE wrappers of any of those.
+    Genuinely compressed encodings (ADPCM/mp3/...) raise, honestly."""
     import numpy as np
 
     b = bytes(payload)
@@ -1405,16 +1436,52 @@ def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
                 )
             fmt, channels, rate = struct.unpack("<HHI", body[0:8])
             bits = struct.unpack("<H", body[14:16])[0]
+            if fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real format sits
+                # in the SubFormat GUID's first two bytes
+                if len(body) < 26:
+                    raise ValueError(
+                        f"truncated WAVE_FORMAT_EXTENSIBLE fmt chunk "
+                        f"({len(body)} of 26 bytes)"
+                    )
+                fmt = struct.unpack("<H", body[24:26])[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if fmt != 1 or bits != 16:
+    decoders = {
+        (1, 8): lambda d: (
+            (np.frombuffer(d, np.uint8).astype(np.int16) - 128) * 256
+        ),
+        (1, 16): lambda d: np.frombuffer(d, "<i2"),
+        (1, 24): lambda d: (
+            np.frombuffer(d, np.uint8).reshape(-1, 3)[:, 2].astype(np.int8)
+            .astype(np.int16)
+            * 256
+            | np.frombuffer(d, np.uint8).reshape(-1, 3)[:, 1]
+        ),
+        (1, 32): lambda d: (np.frombuffer(d, "<i4") >> 16).astype(np.int16),
+        (3, 32): lambda d: np.round(
+            np.clip(np.nan_to_num(np.frombuffer(d, "<f4")), -1.0, 1.0) * 32767
+        ).astype(np.int16),
+        (3, 64): lambda d: np.round(
+            np.clip(np.nan_to_num(np.frombuffer(d, "<f8")), -1.0, 1.0) * 32767
+        ).astype(np.int16),
+        (6, 8): lambda d: _alaw_to_linear(np.frombuffer(d, np.uint8)),
+        (7, 8): lambda d: _mulaw_to_linear(np.frombuffer(d, np.uint8)),
+    }
+    dec = decoders.get((fmt, bits))
+    if dec is None:
         raise NotImplementedError(
-            f"only 16-bit PCM is implemented (got format={fmt}, bits={bits})"
+            f"unsupported WAV encoding (format={fmt}, bits={bits}); "
+            f"uncompressed PCM/float/G.711 decode, compressed codecs raise"
         )
-    return rate, channels, np.frombuffer(data, dtype="<i2")
+    if len(data) % max(1, bits // 8):
+        raise ValueError(
+            f"WAV data chunk length {len(data)} is not a multiple of the "
+            f"{bits // 8}-byte sample size"
+        )
+    return rate, channels, dec(data)
 
 
 def audio_stats(df: DataFrame, on_error: str = "fail") -> DataFrame:
