@@ -447,6 +447,40 @@ def test_media_features_compose_with_ann_search(spark):
     assert got[(2, 1)] == 9
 
 
+def test_gif_encode_median_cut_quantization():
+    """Rich images (>256 colors) raise by default and quantize on
+    request: deterministic bytes, a ≤256-color palette, bounded error
+    on a smooth gradient, and images already inside the palette budget
+    stay LOSSLESS even with quantize=True (median cut never splits
+    past the unique colors, so every box is exact)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        gif_decode,
+        gif_encode,
+    )
+
+    ys, xs = np.mgrid[0:64, 0:64]
+    arr = np.stack(
+        [ys * 255 // 63, xs * 255 // 63, (ys + xs) * 255 // 126], axis=2
+    ).astype(np.uint8)
+    assert len(np.unique(arr.reshape(-1, 3), axis=0)) > 256
+    with _pytest.raises(NotImplementedError, match="quantize=True"):
+        gif_encode(arr)
+    p = gif_encode(arr, quantize=True)
+    assert p == gif_encode(arr, quantize=True)  # deterministic
+    back = gif_decode(p)
+    assert len(np.unique(back.reshape(-1, 3), axis=0)) <= 256
+    err = np.abs(back.astype(int) - arr.astype(int))
+    assert float(err.mean()) <= 5.0 and int(err.max()) <= 24
+    # palette-sized image: byte determinism AND pixel losslessness hold
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (5, 6, 3)).astype(np.uint8)
+    small = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(small, quantize=True)), small)
+
+
 def test_wav_roundtrip_and_chunk_walk():
     import struct
 

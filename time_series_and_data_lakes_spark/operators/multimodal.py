@@ -474,21 +474,80 @@ def gif_decode(payload: bytes) -> "np.ndarray":
     return gif_decode_frames(b)[0]
 
 
-def gif_encode(arr: "np.ndarray") -> bytes:
+def _median_cut_quantize(
+    flat: "np.ndarray", k: int = 256
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Deterministic median-cut palette quantization (Heckbert 1982):
+    (n, 3) uint8 pixels → (palette ≤k×3 uint8, per-pixel palette index).
+    Boxes split at the count-weighted median of their widest channel;
+    palette entries are the count-weighted box means (floor(x+0.5)
+    rounding, the repo's half-up policy); pixels map to their exact
+    nearest palette entry (squared-distance argmin over UNIQUE colors,
+    chunked so memory stays bounded). Fully deterministic: np.unique
+    sorts colors, splits use stable sorts, and ties in the argmin go to
+    the lowest palette index."""
+    colors, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True
+    )
+    if len(colors) <= k:
+        return colors, inverse
+    c = colors.astype(np.int64)
+    boxes = [np.arange(len(c))]
+    while len(boxes) < k:
+        best, bch, bspan = -1, 0, 0
+        for bi, idx in enumerate(boxes):
+            if len(idx) < 2:
+                continue
+            spans = c[idx].max(axis=0) - c[idx].min(axis=0)
+            ch = int(np.argmax(spans))
+            if spans[ch] > bspan:
+                best, bch, bspan = bi, ch, int(spans[ch])
+        if best < 0:  # nothing splittable left
+            break
+        idx = boxes[best]
+        order = idx[np.argsort(c[idx, bch], kind="stable")]
+        cum = np.cumsum(counts[order])
+        cut = int(np.searchsorted(cum, cum[-1] / 2)) + 1
+        cut = min(max(cut, 1), len(order) - 1)
+        boxes[best] = order[:cut]
+        boxes.append(order[cut:])
+    pal = np.stack(
+        [
+            np.floor(
+                (c[idx] * counts[idx, None]).sum(axis=0) / counts[idx].sum()
+                + 0.5
+            )
+            for idx in boxes
+        ]
+    ).astype(np.uint8)
+    assign = np.empty(len(c), dtype=np.int64)
+    p = pal.astype(np.int64)
+    for j in range(0, len(c), 4096):
+        chunk = c[j : j + 4096]
+        d = ((chunk[:, None, :] - p[None, :, :]) ** 2).sum(axis=2)
+        assign[j : j + 4096] = np.argmin(d, axis=1)
+    return pal, assign[inverse]
+
+
+def gif_encode(arr: "np.ndarray", quantize: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB → REAL single-frame GIF89a with a genuine LZW
     stream. GIF is palette-indexed, so encode is LOSSLESS exactly when the
     image has ≤256 distinct colors (always true for anything that came out
     of :func:`gif_decode` or :func:`nn_resize` of it — nearest-neighbor
-    creates no new colors); richer images raise rather than silently
-    quantize."""
+    creates no new colors); richer images raise by default rather than
+    silently quantize, or reduce to a 256-color median-cut palette when
+    the caller opts in with ``quantize=True`` (lossy by format design,
+    deterministic — see :func:`_median_cut_quantize`)."""
     h, w = arr.shape[:2]
     flat = arr.reshape(-1, 3)
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
-        raise NotImplementedError(
-            f"GIF encode needs <=256 distinct colors (got {len(colors)}); "
-            "palette quantization is not implemented"
-        )
+        if not quantize:
+            raise NotImplementedError(
+                f"GIF encode needs <=256 distinct colors (got {len(colors)}); "
+                "pass quantize=True for a median-cut palette reduction"
+            )
+        colors, inverse = _median_cut_quantize(flat)
     depth = max(1, int(len(colors) - 1).bit_length())  # 2^depth palette slots
     pal = np.zeros((2**depth, 3), dtype=np.uint8)
     pal[: len(colors)] = colors
