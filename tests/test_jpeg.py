@@ -224,13 +224,54 @@ def test_single_component_scan_ignores_sampling_factors():
     assert out.shape == (8, 8, 3) and (out == 200).all()
 
 
-def test_12bit_precision_raises_honestly():
-    # Round-6 advice: SOF1 legally carries 12-bit samples; decoding them
-    # through the 8-bit level-shift/clip path would return garbage.
+def test_12bit_extended_sequential_decodes():
+    """Round-6 advice flagged 12-bit SOF1 streams decoding as garbage
+    through the 8-bit level shift; they now decode for real, by hand
+    derivation: flat 12-bit value 3210, qt=16 → DC = round(8*(3210-2048)
+    /16) = 581, category 10 (K.3 code '11111110') + ten magnitude bits
+    '1001000101' + EOB '1010' + two pad bits → FE 91 6B. The 12-bit
+    reconstruction (level shift 2048, clip to 4095) is exact for a flat
+    block, and the 8-bit downscale keeps the top byte: 3210>>4 = 200."""
+    qt = bytes([0]) + bytes([16] * 64)
     sof12 = bytes([12]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-    jpg = b"\xff\xd8" + _seg(0xC1, sof12) + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="12-bit"):
-        jpeg_decode(jpg)
+    jpg = (
+        b"\xff\xd8"
+        + _seg(0xDB, qt)
+        + _seg(0xC1, sof12)
+        + _seg(0xC4, bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0xFE, 0x91, 0x6B])
+        + b"\xff\xd9"
+    )
+    out = jpeg_decode(jpg)
+    assert out.shape == (8, 8, 3)
+    assert (out == 200).all()
+    # the store engine honors 12-bit too: same image as a progressive
+    # stream — DC first at Al=1 sends 581>>1 = 290 (category 9 =
+    # '1111110' + '100100010' → FD 22), AC first sees a zero band
+    # (EOB '1010' → AF), the DC refinement bit is 581&1 = 1 (a padded
+    # 0xFF byte, stuffed to FF 00)
+    prog = (
+        b"\xff\xd8"
+        + _seg(0xDB, qt)
+        + _seg(0xC2, bytes([12]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + _seg(0xC4, bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + bytes([0xFD, 0x22])
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + bytes([0xAF])
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + bytes([0xFF, 0x00])
+        + b"\xff\xd9"
+    )
+    out = jpeg_decode(prog)
+    assert (out == 200).all()
+    # other precisions are corrupt headers, not unimplemented features
+    sof10 = bytes([10]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    with pytest.raises(ValueError, match="precision 10"):
+        jpeg_decode(b"\xff\xd8" + _seg(0xC1, sof10) + b"\xff\xd9")
 
 
 def test_undeclared_tables_and_truncated_segments_are_value_errors():

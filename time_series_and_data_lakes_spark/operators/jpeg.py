@@ -6,7 +6,9 @@ the PNG (zlib) and GIF (LZW) codecs no external library is required;
 what PIL would provide is speed, not capability. This module implements:
 
 - ``jpeg_decode``: sequential AND progressive decode — DQT (8/16-bit),
-  DHT (canonical table build), SOF0/1/2, DRI + restart markers,
+  DHT (canonical table build), SOF0/1/2 at 8- OR 12-bit sample
+  precision (12-bit reconstructs at full depth, then keeps the top
+  byte — the PNG 16→8 convention), DRI + restart markers,
   interleaved-MCU scan with arbitrary sampling factors up to 2x2
   (4:4:4, 4:2:2, 4:2:0), byte-destuffing bit reader, dequant → IDCT →
   level shift, nearest chroma upsample, JFIF YCbCr→RGB. Single-scan
@@ -345,6 +347,7 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
     w = h = 0
     restart_interval = 0
     progressive = False
+    precision = 8
     i = 2
     n = len(b)
     while i + 4 <= n:
@@ -373,15 +376,13 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
             progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF segment header")
-            if body[0] != 8:
-                # SOF1 legally carries 12-bit samples; decoding them
-                # through the 8-bit level-shift/clip path would return
-                # garbage pixels — raise honestly like the other
-                # unsupported-layout guards.
-                raise NotImplementedError(
-                    f"only 8-bit sample precision implemented "
-                    f"(SOF declares {body[0]}-bit)"
+            if body[0] not in (8, 12):
+                # DCT processes carry 8- or 12-bit samples only
+                # (T.81 table B.2); anything else is a corrupt header
+                raise ValueError(
+                    f"illegal JPEG DCT sample precision {body[0]}"
                 )
+            precision = body[0]
             h, w = struct.unpack(">HH", body[1:5])
             if len(body) < 6 + 3 * body[5]:
                 raise ValueError(
@@ -442,7 +443,8 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
                 # remaining stream (from this SOS marker) to the
                 # store-based engine
                 return _decode_multi(
-                    b, i, w, h, comps, qts, huff, restart_interval, progressive
+                    b, i, w, h, comps, qts, huff, restart_interval,
+                    progressive, precision,
                 )
             for k in range(body[0]):
                 cid, tids = body[1 + 2 * k], body[2 + 2 * k]
@@ -471,12 +473,14 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
                         f"table {c['qt']}"
                     )
             i = i + 2 + seg_len
-            return _decode_scan(b, i, w, h, comps, qts, huff, restart_interval)
+            return _decode_scan(
+                b, i, w, h, comps, qts, huff, restart_interval, precision
+            )
         i += 2 + seg_len
     raise ValueError("JPEG without SOS scan")
 
 
-def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
+def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval, precision=8):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -485,6 +489,8 @@ def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
         np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64)
         for c in comps
     ]
+    center = float(1 << (precision - 1))  # level shift: 128 or 2048
+    max_cat = 11 if precision == 8 else 15
     reader = _BitReader(b, pos)
     preds = [0] * len(comps)
     mcu_index = 0
@@ -501,12 +507,12 @@ def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
                     for bx in range(c["h"]):
                         coeffs = np.zeros(64, np.int64)
                         size = _read_huffman(reader, dc_tab)
-                        if size > 11:
-                            # legal DC categories are 0..11 at 8-bit
-                            # precision (T.81 F.1.2.1.2); a corrupt
-                            # entropy stream can decode a symbol up to
-                            # 255, whose 1<<size difference overflows the
-                            # coefficient store (fuzz-found)
+                        if size > max_cat:
+                            # legal DC categories are 0..11 at 8-bit /
+                            # 0..15 at 12-bit precision (T.81 F.1.2.1.2);
+                            # a corrupt entropy stream can decode a symbol
+                            # up to 255, whose 1<<size difference overflows
+                            # the coefficient store (fuzz-found)
                             raise ValueError(
                                 f"corrupt JPEG entropy stream: DC "
                                 f"category {size} out of range"
@@ -531,12 +537,23 @@ def _decode_scan(b, pos, w, h, comps, qts, huff, restart_interval):
                         block = np.zeros(64, np.float64)
                         block[ZIGZAG] = coeffs
                         block = block.reshape(8, 8) * qt
-                        px = _DCT_A.T @ block @ _DCT_A + 128.0
+                        px = _DCT_A.T @ block @ _DCT_A + center
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_index += 1
+    if precision == 12:
+        planes = [_downscale_12bit(p) for p in planes]
     return _finish_rgb(planes, comps, w, h, hmax, vmax)
+
+
+def _downscale_12bit(plane: "np.ndarray") -> "np.ndarray":
+    """12-bit sample plane → 8-bit scale: half-up round, clip to the
+    12-bit range, keep the top 8 bits (floor(v/16)) — the same
+    sample-depth convention the PNG 16→8 path uses. Returned as float64
+    integers so :func:`_finish_rgb`'s 8-bit rounding is an identity on
+    grayscale and applies only to the color-transform fractions."""
+    return np.floor(np.clip(np.floor(plane + 0.5), 0.0, 4095.0) / 16.0)
 
 
 def _finish_rgb(planes, comps, w, h, hmax, vmax):
@@ -647,6 +664,7 @@ def _scan_units(scomps, comps, w, h, hmax, vmax, mcus_x, mcus_y):
 def _decode_scan_into(
     b, pos, store, scomps, comps, ss, se, ah, al,
     w, h, hmax, vmax, mcus_x, mcus_y, huff, restart_interval, progressive,
+    precision=8,
 ):
     """Decode one entropy-coded scan into the coefficient stores and
     return the stream index of the next marker (T.81 §G.1.2 for the
@@ -677,7 +695,7 @@ def _decode_scan_into(
                 continue
             if mode in ("seq", "dc_first"):
                 size = _read_huffman(reader, huff[(0, dcid)])
-                if size > 11:
+                if size > (11 if precision == 8 else 15):
                     raise ValueError(
                         f"corrupt JPEG entropy stream: DC "
                         f"category {size} out of range"
@@ -775,7 +793,9 @@ def _decode_scan_into(
     return n
 
 
-def _decode_multi(b, i, w, h, comps, qts, huff, restart_interval, progressive):
+def _decode_multi(
+    b, i, w, h, comps, qts, huff, restart_interval, progressive, precision=8
+):
     """Store-based decode for progressive (SOF2) and multi-scan
     sequential streams, entered at the first SOS marker: every scan
     accumulates into per-component zigzag coefficient stores;
@@ -826,7 +846,7 @@ def _decode_multi(b, i, w, h, comps, qts, huff, restart_interval, progressive):
             i = _decode_scan_into(
                 b, i + 2 + seg_len, store, scomps, comps, ss, se, ah, al,
                 w, h, hmax, vmax, mcus_x, mcus_y, huff, restart_interval,
-                progressive,
+                progressive, precision,
             )
             continue
         i += 2 + seg_len
@@ -839,6 +859,7 @@ def _decode_multi(b, i, w, h, comps, qts, huff, restart_interval, progressive):
             )
         qt = qts[c["qt"]].astype(np.float64)
         rows, cols = store[ci].shape[:2]
+        center = float(1 << (precision - 1))
         plane = np.empty((rows * 8, cols * 8), np.float64)
         block = np.zeros(64, np.float64)
         for r in range(rows):
@@ -846,8 +867,10 @@ def _decode_multi(b, i, w, h, comps, qts, huff, restart_interval, progressive):
                 block[ZIGZAG] = store[ci][r, cl]
                 blk = block.reshape(8, 8) * qt
                 plane[r * 8 : r * 8 + 8, cl * 8 : cl * 8 + 8] = (
-                    _DCT_A.T @ blk @ _DCT_A + 128.0
+                    _DCT_A.T @ blk @ _DCT_A + center
                 )
+        if precision == 12:
+            plane = _downscale_12bit(plane)
         planes.append(plane)
     return _finish_rgb(planes, comps, w, h, hmax, vmax)
 
