@@ -85,7 +85,11 @@ NOISE_NOTE = (
     "adjudication rule: timing moved but plan_hash unchanged vs prior round "
     "=> shared-host noise (re-measure standalone); plan_hash changed => real "
     "plan change, audit it. Precedents: f2/g2 r3->r4 and q17/q21 r4->r5 both "
-    "adjudicated noise (plans bit-identical, standalone re-measures in line)"
+    "adjudicated noise (plans bit-identical, standalone re-measures in line); "
+    "round-6 session: host load 4-9 all day, two local bench runs hours "
+    "apart had ZERO hash drift while Python-worker-heavy queries "
+    "(simhash/decode_stats/resize_pixels) swung 2-10x and q17 returned to "
+    "0.48s — the r5 q17/q21 numbers confirmed as stalls"
 )
 
 # Per-query timing aggregation: this VM shares a host and random multi-second
