@@ -157,6 +157,11 @@ class _BitWriter:
         while self.nbits >= 8:
             byte = (self.acc >> (self.nbits - 8)) & 0xFF
             self.nbits -= 8
+            # trim emitted bits so acc stays a machine int — an untrimmed
+            # accumulator grows with the whole stream and its shifts go
+            # quadratic (same hardening as _BitReader._fill_quiet;
+            # measured 3.7s of a 4.5s 720p encode before the trim)
+            self.acc &= (1 << self.nbits) - 1
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing (§B.1.1.5)
                 self.out.append(0x00)
