@@ -44,8 +44,10 @@ the DCT round-trip's rounding — bounded by a few counts per sample
 JPEG is inherently lossy at useful table settings: re-encoding a
 resized image produces approximate pixels by design. The per-symbol
 Huffman loops run interpreted; like the PNG defilter path this is the
-honest cost of stdlib-only decode (~1-2 s for a 720p image), bounded
-per Arrow batch row.
+honest cost of stdlib-only decode — ~0.26 s/720p sequential decode and
+~0.7 s encode after the 16-bit lookahead LUT, the batched IDCT, and
+the trimmed writer accumulator (progressive costs ~2-3x the entropy
+passes by design), bounded per Arrow batch row.
 """
 
 from __future__ import annotations

@@ -951,7 +951,7 @@ _PIXEL_CODECS = {
 # Optional accelerated backend (round-5 verdict item 5): the pure
 # numpy/stdlib codecs above are the REFERENCE implementation — complete,
 # deterministic, and what every oracle-gated query pins. Their honest cost
-# is throughput (~1-2 s/720p JPEG interpreted); at 100 TB a native decoder
+# is throughput (~0.3-0.7 s/720p JPEG interpreted); at 100 TB a native decoder
 # is the difference between feasible and not. When PIL is installed, the
 # same (decode, encode) API can be served by it:
 #
