@@ -420,13 +420,17 @@ def simhash_dedup(
     mask = (1 << bits_per_band) - 1
     base = (
         spread_small(df)
+        # null text -> null simhash -> not a near-dup candidate (matches
+        # the minhash path, where null text yields no bands). Filter the
+        # TEXT, before the UDF: sim is null iff text is null, and a
+        # sim-level isNotNull gets predicate-pushed below the projection,
+        # DUPLICATING the Arrow eval (two stacked ArrowEvalPython nodes =
+        # every signature computed twice — measured 2x on the bench).
+        .filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
             simhash_col(F.col(text_col), n_bits).alias("sim"),
         )
-        # null text -> null simhash -> not a near-dup candidate (matches
-        # the minhash path, where null text yields no bands)
-        .filter(F.col("sim").isNotNull())
         .persist()
     )
     bands = base.select(
