@@ -533,6 +533,57 @@ def test_progressive_scan_header_contracts():
         )
 
 
+def test_progressive_random_scan_scripts_reconstruct_exactly():
+    """Property gate over the scan-script space: ANY spectral partition
+    of 1..63 with ANY per-band successive-approximation ladder (each
+    refinement stepping Al down by one to zero) must reconstruct the
+    SAME coefficients the sequential stream carries — decode equality is
+    bit-for-bit. Randomized bands exercise EOB runs that straddle
+    blocks, ZRL-in-refinement, and correction-bit buffering at band
+    boundaries the fixed scripts never hit."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        cuts=st.sets(st.integers(2, 63), max_size=4),
+        dc_al=st.integers(0, 2),
+        band_al_seed=st.integers(0, 2**31 - 1),
+        sub=st.booleans(),
+    )
+    def check(seed, cuts, dc_al, band_al_seed, sub):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (17, 22, 3), dtype=np.uint8)
+        bounds = [1] + sorted(cuts) + [64]
+        bands = [
+            (bounds[i], bounds[i + 1] - 1)
+            for i in range(len(bounds) - 1)
+            if bounds[i] <= bounds[i + 1] - 1
+        ]
+        al_rng = np.random.default_rng(band_al_seed)
+        band_als = [int(al_rng.integers(0, 3)) for _ in bands]
+        scans = [((0, 1, 2), 0, 0, 0, dc_al)]
+        for comp in (0, 1, 2):
+            for (lo, hi), al0 in zip(bands, band_als):
+                scans.append(((comp,), lo, hi, 0, al0))
+        for al in range(max([dc_al] + band_als) - 1, -1, -1):
+            if al < dc_al:
+                scans.append(((0, 1, 2), 0, 0, al + 1, al))
+            for comp in (0, 1, 2):
+                for (lo, hi), al0 in zip(bands, band_als):
+                    if al < al0:
+                        scans.append(((comp,), lo, hi, al + 1, al))
+        base = jpeg_decode(jpeg_encode(arr, ONES, ONES, subsample=sub))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(
+                arr, ONES, ONES, subsample=sub, scans=tuple(scans)
+            )
+        )
+        assert np.array_equal(base, prog)
+
+    check()
+
+
 def test_progressive_encoder_rejects_malformed_scripts():
     arr = np.full((8, 8, 3), 10, np.uint8)
     with pytest.raises(ValueError, match="Se=0"):
