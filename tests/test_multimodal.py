@@ -662,6 +662,84 @@ def test_audio_stats_multichannel_interleaved_contract(spark):
     assert kept.tolist() == [100, 200]
 
 
+def test_png_random_filters_per_adam7_pass_reconstruct_exactly():
+    """Property gate: ANY per-row filter choice (all five PNG filters)
+    inside ANY Adam7 pass must defilter back to the exact source pixels
+    — the filter context (left/up neighbors at the pass's own geometry,
+    fresh at each pass start) composes with interlace scatter in ways
+    the fixed-filter tests never sweep."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from time_series_and_data_lakes_spark.operators.multimodal import png_decode
+
+    adam7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def filter_row(f, row, prev, bpp):
+        # reference (forward) filter, spec 9: independent of the decoder
+        n = len(row)
+        out = np.empty(n, np.int32)
+        for x in range(n):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(row[x]) - pred) % 256
+        return out.astype(np.uint8)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        hh=st.integers(1, 14),
+        ww=st.integers(1, 14),
+        interlace=st.booleans(),
+    )
+    def check(seed, hh, ww, interlace):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        passes = adam7 if interlace else ((0, 0, 1, 1),)
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img[y0:hh:dy, x0:ww:dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            prev = np.zeros(sub.shape[1] * 3, np.uint8)
+            for y in range(sub.shape[0]):
+                row = sub[y].reshape(-1)
+                f = int(rng.integers(0, 5))
+                raw += bytes([f]) + filter_row(f, row, prev, 3).tobytes()
+                prev = row
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk_raw(
+                b"IHDR",
+                struct.pack(">IIBBBBB", ww, hh, 8, 2, 0, 0, int(interlace)),
+            )
+            + _png_chunk_raw(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk_raw(b"IEND", b"")
+        )
+        assert np.array_equal(png_decode(payload), img)
+
+    check()
+
+
 def test_avi_roundtrip_extract_and_compressed_raises(spark):
     import struct
 
