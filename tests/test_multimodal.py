@@ -740,6 +740,72 @@ def test_png_random_filters_per_adam7_pass_reconstruct_exactly():
     check()
 
 
+def test_area_resize_exact_means_and_reference_parity():
+    """The box-filter resampler is exact: integer shrink factors give
+    half-up-rounded box means, and arbitrary rational factors match an
+    INDEPENDENT Fraction-arithmetic reference pixel for pixel."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import area_resize
+
+    rng = np.random.default_rng(31)
+    # integer factor: every output pixel is the half-up mean of its box
+    arr = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    got = area_resize(arr, 4, 3)
+    boxes = arr.reshape(3, 2, 4, 2, 3).swapaxes(1, 2).reshape(3, 4, 4, 3)
+    want = ((2 * boxes.astype(np.int64).sum(axis=2) + 4) // 8).astype(np.uint8)
+    assert np.array_equal(got, want)
+    # identity
+    assert np.array_equal(area_resize(arr, 8, 6), arr)
+    # rational factors vs a Fraction reference (independent arithmetic)
+    arr = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    nw, nh = 3, 4
+    got = area_resize(arr, nw, nh)
+    h, w = 5, 7
+    for y in range(nh):
+        for x in range(nw):
+            for ch in range(3):
+                total = Fraction(0)
+                y0, y1 = Fraction(y * h, nh), Fraction((y + 1) * h, nh)
+                x0, x1 = Fraction(x * w, nw), Fraction((x + 1) * w, nw)
+                for sy in range(h):
+                    oy = min(y1, sy + 1) - max(y0, Fraction(sy))
+                    if oy <= 0:
+                        continue
+                    for sx in range(w):
+                        ox = min(x1, sx + 1) - max(x0, Fraction(sx))
+                        if ox > 0:
+                            total += oy * ox * int(arr[sy, sx, ch])
+                mean = total / ((y1 - y0) * (x1 - x0))
+                want_px = int(mean + Fraction(1, 2))  # floor(v + 1/2)
+                assert got[y, x, ch] == want_px, (y, x, ch)
+
+
+def test_resize_media_area_method(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        area_resize,
+        bmp_decode,
+        bmp_encode,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(33)
+    arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(7, "image", bmp_encode(arr), ("s3", "bmp"))], MEDIA_SCHEMA
+    )
+    (row,) = resize_media(df, max_width=64, max_height=64, method="area").collect()
+    assert np.array_equal(bmp_decode(bytes(row["payload"])), area_resize(arr, 64, 48))
+    with _pytest.raises(ValueError, match="unknown resize method"):
+        resize_media(df, method="bicubic")
+
+
 def test_avi_roundtrip_extract_and_compressed_raises(spark):
     import struct
 

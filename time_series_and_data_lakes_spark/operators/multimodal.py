@@ -13,8 +13,10 @@ The codec layer:
   five defilters need no external library; decode covers every legal
   bit depth (1/2/4/8/16) and both interlace methods (Adam7), encode
   emits 8-bit non-interlaced). :func:`resize_media` performs an actual
-  pixel transcode (:func:`nn_resize`, integer nearest-neighbor) for
-  every registered pixel codec.
+  pixel transcode for every registered pixel codec, with two exact
+  integer resamplers: :func:`nn_resize` (nearest-neighbor, default)
+  and :func:`area_resize` (box filter — the anti-aliased downscale for
+  training corpora, exact rational coverage weights).
 - ``gif``: REAL PIXEL codec too (:func:`gif_decode` / :func:`gif_encode`
   — GIF's entropy coding is 12-bit variable-width LZW, implemented here
   both ways and validated against a published foreign-encoder stream).
@@ -688,6 +690,39 @@ def nn_resize(arr: "np.ndarray", new_w: int, new_h: int) -> "np.ndarray":
     return np.ascontiguousarray(arr[ys][:, xs])
 
 
+def _area_weights(old: int, new: int) -> "np.ndarray":
+    """(new, old) int64 coverage weights on the common grid of old*new
+    units: output cell x spans [x*old, (x+1)*old), source cell j spans
+    [j*new, (j+1)*new); each row sums to exactly ``old``."""
+    j = np.arange(old, dtype=np.int64)
+    x = np.arange(new, dtype=np.int64)
+    lo = np.maximum(x[:, None] * old, j[None, :] * new)
+    hi = np.minimum((x[:, None] + 1) * old, (j[None, :] + 1) * new)
+    return np.maximum(hi - lo, 0)
+
+
+def area_resize(arr: "np.ndarray", new_w: int, new_h: int) -> "np.ndarray":
+    """Pixel-area (box-filter) resample — the anti-aliased downscale a
+    training-data pipeline wants where nearest-neighbor drops whole
+    source rows. EXACT integer arithmetic end-to-end: separable rational
+    coverage weights (:func:`_area_weights`), one int64 accumulation per
+    axis, one half-up division at the end — deterministic across
+    platforms, no float accumulation. For integer shrink factors each
+    output pixel is exactly the half-up-rounded mean of its source box;
+    identity when the target equals the source shape."""
+    h, w = arr.shape[:2]
+    if (new_w, new_h) == (w, h):
+        return np.ascontiguousarray(arr)
+    wy = _area_weights(h, new_h)
+    wx = _area_weights(w, new_w)
+    a = arr.astype(np.int64)
+    tmp = np.tensordot(wy, a, axes=(1, 0))  # (new_h, w, ch)
+    acc = np.tensordot(tmp, wx, axes=(1, 1))  # (new_h, ch, new_w)
+    acc = np.moveaxis(acc, 1, 2)
+    denom = h * w  # per-output coverage: h units (rows) x w units (cols)
+    return ((2 * acc + denom) // (2 * denom)).astype(np.uint8)
+
+
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     import zlib
 
@@ -1218,12 +1253,16 @@ def _resize_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
     return max_w, (h * max_w) // w
 
 
+_RESAMPLERS = {"nearest": nn_resize, "area": area_resize}
+
+
 def _transcode_resize(
     payload: bytes,
     codec: str,
     max_width: int,
     max_height: int,
     codecs: dict | None = None,
+    method: str = "nearest",
 ) -> bytes:
     """One payload through the aspect-fit resize. ``bmp``/``ppm``/``png``
     get a REAL pixel transcode (decode -> :func:`nn_resize` -> re-encode,
@@ -1241,7 +1280,7 @@ def _transcode_resize(
         nw, nh = _resize_dims(w, h, max_width, max_height)
         if (nw, nh) == (w, h):
             return bytes(payload)
-        return encode(nn_resize(arr, nw, nh))
+        return encode(_RESAMPLERS[method](arr, nw, nh))
     if codec == "tsdl-fake":
         w, h, f = _decode_payload(payload, codec)
         nw, nh = _resize_dims(w, h, max_width, max_height)
@@ -1256,17 +1295,25 @@ def resize_media(
     max_width: int = 640,
     max_height: int = 480,
     on_error: str = "fail",
+    method: str = "nearest",
 ) -> DataFrame:
     """Aspect-fit resize over the media schema. For every registered
     pixel codec (``_PIXEL_CODECS``: bmp/ppm/png/gif/jpeg) this is a real
-    transcode — pixels are decoded, resampled with integer
-    nearest-neighbor, and re-encoded (losslessly except for JPEG, whose
-    re-encode is lossy by format design); for ``tsdl-fake`` only the
-    header is rewritten (body bytes pass through). Output is the same
-    media schema, so resizes chain with decode/feature/frame ops.
-    ``on_error='skip'`` drops untranscodable rows (see
-    :func:`_row_attempt`)."""
+    transcode — pixels are decoded, resampled, and re-encoded
+    (losslessly except for JPEG, whose re-encode is lossy by format
+    design); for ``tsdl-fake`` only the header is rewritten (body bytes
+    pass through). ``method`` picks the resampler: ``'nearest'``
+    (default — integer index mapping, oracle-reproducible) or ``'area'``
+    (exact-integer box filter, the anti-aliased downscale for training
+    corpora — :func:`area_resize`). Output is the same media schema, so
+    resizes chain with decode/feature/frame ops. ``on_error='skip'``
+    drops untranscodable rows (see :func:`_row_attempt`)."""
     _check_on_error(on_error)
+    if method not in _RESAMPLERS:
+        raise ValueError(
+            f"unknown resize method {method!r} (choose from "
+            f"{sorted(_RESAMPLERS)})"
+        )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codecs = active_pixel_codecs()  # loop-invariant: once per task
@@ -1276,7 +1323,7 @@ def resize_media(
                 on_error,
                 _transcode_resize,
                 (
-                    (p, c, max_width, max_height, codecs)
+                    (p, c, max_width, max_height, codecs, method)
                     for p, c in zip(
                         pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
                     )
