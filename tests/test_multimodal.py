@@ -1123,6 +1123,22 @@ def test_png_decode_all_depths_and_adam7():
                 raw += b"\x02" + ((sub[y] - prev) % 256).astype(np.uint8).tobytes()
                 prev = sub[y]
     assert np.array_equal(png_decode(png(9, 13, 8, 2, raw, interlace=1)), img)
+    # Adam7 x sub-byte depths compose too (pass strides re-derived per
+    # pass at ceil(pw*depth/8), bit unpacking per sub-image)
+    for d in (1, 2, 4):
+        vals = rng.integers(0, 1 << d, (13, 11), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in adam7:
+            sub = vals[y0:13:dy, x0:11:dx]
+            if sub.shape[0] and sub.shape[1]:
+                for y in range(sub.shape[0]):
+                    raw += b"\x00" + pack_bits(sub[y], d)
+        want = np.repeat(
+            (vals * (255 // ((1 << d) - 1)))[:, :, None], 3, axis=2
+        )
+        assert np.array_equal(
+            png_decode(png(11, 13, d, 0, raw, interlace=1)), want
+        ), d
     # Adam7 x 16-bit grayscale composes
     img16 = rng.integers(0, 65536, (11, 6), dtype=np.uint16)
     raw = bytearray()
