@@ -1,0 +1,17 @@
+# Round-7 verdict item 5: one invocation that runs EVERYTHING the round's
+# final handoff must have run — the full suite plus the three env-gated
+# sweeps (108-query dirty-input sweep, 108-query empty-table sweep, 10x
+# scale smoke) — so "the sweeps ran on the final commit" is a single
+# `make verify` away instead of three remembered env vars.
+
+.PHONY: test verify bench
+
+test:
+	python3 -m pytest tests/ -x -q
+
+verify:
+	TSDL_DIRTY_SWEEP=1 TSDL_EMPTY_SWEEP=1 TSDL_SCALE_SMOKE=1 \
+		python3 -m pytest tests/ -q
+
+bench:
+	python3 bench.py

@@ -160,20 +160,32 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "agg": AGG,
-                "queries": timings,
-                "plan_hashes": plans,
-                "sf": sf,
-                "notes": NOISE_NOTE,
-            }
-        )
-    )
+    # The driver captures only the ~2 KB stdout TAIL: round 6's line carried
+    # plan_hashes + the full notes string (~3.5 KB), the front fell off, and
+    # the round's official timings were lost ("parsed": null). stdout now
+    # gets ONE compact line (timings only, ~1.3 KB); the full record —
+    # plan hashes + the adjudication note — goes to BENCH_PLANS.json at the
+    # repo root, committed each round so bench adjudication stays mechanical.
+    compact = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "agg": AGG,
+        "queries": timings,
+        "sf": sf,
+        "notes": "plan hashes + adjudication note: BENCH_PLANS.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # stay under the driver's tail-capture window
+        compact.pop("notes", None)
+        line = json.dumps(compact)
+    full = dict(compact, plan_hashes=plans, notes=NOISE_NOTE)
+    plans_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_PLANS.json")
+    with open(plans_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(line)
     spark.stop()
 
 

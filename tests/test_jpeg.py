@@ -592,3 +592,22 @@ def test_progressive_encoder_rejects_malformed_scripts():
         jpeg_encode_progressive(arr, scans=(((0, 1), 1, 63, 0, 0),))
     with pytest.raises(ValueError, match="Ah=Al"):
         jpeg_encode_progressive(arr, scans=(((0,), 1, 63, 2, 0),))
+    # component ids outside 0..2 (or repeated) get a descriptive
+    # ValueError, not a bare IndexError from comps_geo/zz indexing
+    with pytest.raises(ValueError, match="component ids"):
+        jpeg_encode_progressive(arr, scans=(((3,), 1, 63, 0, 0),))
+    with pytest.raises(ValueError, match="component ids"):
+        jpeg_encode_progressive(arr, scans=(((-1,), 1, 63, 0, 0),))
+    with pytest.raises(ValueError, match="component ids"):
+        jpeg_encode_progressive(arr, scans=(((0, 0, 1), 0, 0, 0, 0),))
+    # a coefficient band may be FIRST-coded (Ah=0) only once per component;
+    # overlapping first passes would emit a corrupt stream
+    with pytest.raises(ValueError, match="first-coded by two"):
+        jpeg_encode_progressive(
+            arr,
+            scans=(
+                ((0, 1, 2), 0, 0, 0, 0),
+                ((0,), 1, 10, 0, 0),
+                ((0,), 5, 20, 0, 0),
+            ),
+        )

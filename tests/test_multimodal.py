@@ -564,11 +564,17 @@ def test_wav_decode_all_encodings():
     assert wav_decode(wav(1, 24, d))[2].tolist() == [v >> 8, -v >> 8]
     d = struct.pack("<ii", 0x12345678, -0x12345678)
     assert wav_decode(wav(1, 32, d))[2].tolist() == [0x1234, (-0x12345678) >> 16]
-    # IEEE float32/float64: clip to +-1, scale to +-32767
+    # IEEE float32/float64: clip to +-1, scale to +-32767 with the
+    # repo-wide half-up rounding floor(x + 0.5) — exact .5-LSB samples go
+    # toward +inf (np.round's banker's rounding would give -16384 below)
     d = struct.pack("<4f", 0.5, -1.0, 2.0, 0.0)
     assert wav_decode(wav(3, 32, d))[2].tolist() == [16384, -32767, 32767, 0]
     d = struct.pack("<2d", 0.25, -0.5)
-    assert wav_decode(wav(3, 64, d))[2].tolist() == [8192, -16384]
+    assert wav_decode(wav(3, 64, d))[2].tolist() == [8192, -16383]
+    # half-up vs half-even where they differ in the positive range:
+    # 2.5/32767 scales back to exactly 2.5 -> 3 (banker's would pick 2)
+    d = struct.pack("<2f", 2.5 / 32767.0, 4.5 / 32767.0)
+    assert wav_decode(wav(3, 32, d))[2].tolist() == [3, 5]
     # EXTENSIBLE wrapper resolves its SubFormat
     d = struct.pack("<2f", 1.0, -1.0)
     assert wav_decode(wav(3, 32, d, ext=True))[2].tolist() == [32767, -32767]
@@ -795,6 +801,11 @@ def test_resize_media_area_method(spark):
         resize_media,
     )
 
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        gif_decode,
+        gif_encode,
+    )
+
     rng = np.random.default_rng(33)
     arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
     df = spark.createDataFrame(
@@ -804,6 +815,34 @@ def test_resize_media_area_method(spark):
     assert np.array_equal(bmp_decode(bytes(row["payload"])), area_resize(arr, 64, 48))
     with _pytest.raises(ValueError, match="unknown resize method"):
         resize_media(df, method="bicubic")
+
+    # GIF + area: averaging creates colors the source palette lacked, so the
+    # re-encode opts in to median-cut quantization instead of raising the
+    # <=256-color NotImplementedError (ADVICE round-6 finding). A payload
+    # whose blend stays <=256 colors stays lossless.
+    palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    rich = palette[rng.integers(0, 256, (96, 128))]
+    flat = np.full((96, 128, 3), 77, np.uint8)
+    gdf = spark.createDataFrame(
+        [
+            (1, "image", gif_encode(rich), ("s3", "gif")),
+            (2, "image", gif_encode(flat), ("s3", "gif")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: gif_decode(bytes(r["payload"]))
+        for r in resize_media(
+            gdf, max_width=64, max_height=64, method="area"
+        ).collect()
+    }
+    expect_rich = area_resize(rich, 64, 48)
+    assert len(np.unique(expect_rich.reshape(-1, 3), axis=0)) > 256  # quantized path
+    assert rows[1].shape == (48, 64, 3)
+    # median-cut keeps every channel within a loose but real error budget
+    err = np.abs(rows[1].astype(int) - expect_rich.astype(int))
+    assert float(err.mean()) < 16.0
+    assert np.array_equal(rows[2], area_resize(flat, 64, 48))  # lossless path
 
 
 def test_avi_roundtrip_extract_and_compressed_raises(spark):

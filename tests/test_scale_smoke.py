@@ -3,9 +3,10 @@ claims are plan-verified everywhere; this adds ONE empirical datapoint.
 
 Generates a synthetic ~sf1 slice (10x the bench scale) of the three
 tables the headline scale paths read — events, documents, embeddings —
-then runs the flagship resample, MinHash-LSH dedup, and IVF top-k
-end-to-end at sf0.1 AND at 10x, asserting completion (no task OOM) and
-roughly-linear wall time.
+then runs the flagship resample, MinHash-LSH dedup, IVF top-k, and the
+real-pixel transcode chain (multimodal_resize_pixels — the
+Python-heaviest family) end-to-end at sf0.1 AND at 10x, asserting
+completion (no task OOM) and roughly-linear wall time.
 
 Upscaling preserves the workload's SHAPE, not just its bytes:
 - events: 10x the keys (replicas get disjoint user_id ranges), same time
@@ -125,11 +126,17 @@ def test_headline_scale_paths_are_roughly_linear_at_10x(spark, tmp_path):
         == REPLICAS * Q.load(spark, SF01, "events").count()
     )
 
+    from time_series_and_data_lakes_spark.queries_ext import multimodal_resize_pixels
+
     results = {}
     for name, fn in [
         ("q1_flagship_interpolate", Q.q1_flagship_interpolate),
         ("dedup_minhash_lsh", dedup_minhash_lsh),
         ("ann_ivf_topk", ann_ivf_topk),
+        # round-7 (verdict item 6): the Python-heaviest family — Arrow
+        # mapInPandas encode -> nn-resize -> decode over real pixels — to
+        # pin Arrow-batch memory behavior at 10x payload count
+        ("multimodal_resize_pixels", multimodal_resize_pixels),
     ]:
         fn(spark, SF01).write.format("noop").mode("overwrite").save()  # warm
         spark.catalog.clearCache()

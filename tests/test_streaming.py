@@ -1348,11 +1348,10 @@ def test_smoother_state_ttl_evicts_silent_keys_outputs_unchanged(
 
 
 def test_tws_state_ttl_validation_and_native_ttl_run(spark, tmp_path):
-    """TWS binding's state_ttl: maps to the store's NATIVE ValueState TTL
-    (no eviction callback), so (a) combining it with allowed_lateness is
-    rejected (a stranded reorder buffer could not be flushed), (b) a TTL
-    shorter than WITHIN is rejected, and (c) with a valid TTL the operator
-    still produces exactly the batch matches on a prompt replay."""
+    """TWS binding's state_ttl: (a) a TTL shorter than WITHIN (+ lateness,
+    when event-time mode is on) is rejected, and (b) with a valid TTL the
+    operator still produces exactly the batch matches on a prompt replay
+    (native ValueState TTL, arrival-order mode)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
@@ -1368,16 +1367,17 @@ def test_tws_state_ttl_validation_and_native_ttl_run(spark, tmp_path):
         "temperature",
     )
 
+    with pytest.raises(ValueError, match="shorter than within"):
+        match_error_pattern_tws(
+            typed, within="INTERVAL 1 MINUTE", state_ttl="INTERVAL 10 SECONDS"
+        )
     with pytest.raises(ValueError, match="allowed_lateness"):
+        # 65s >= within alone but not within + lateness
         match_error_pattern_tws(
             typed,
             within="INTERVAL 1 MINUTE",
             allowed_lateness="INTERVAL 10 SECONDS",
-            state_ttl="INTERVAL 5 MINUTES",
-        )
-    with pytest.raises(ValueError, match="shorter than within"):
-        match_error_pattern_tws(
-            typed, within="INTERVAL 1 MINUTE", state_ttl="INTERVAL 10 SECONDS"
+            state_ttl="INTERVAL 65 SECONDS",
         )
 
     matches = match_error_pattern_tws(
@@ -1409,3 +1409,60 @@ def test_tws_state_ttl_validation_and_native_ttl_run(spark, tmp_path):
         for r in match_error_pattern(batch_df, within="INTERVAL 1 MINUTE").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_tws_event_time_ttl_flushes_stranded_reorder_buffer(spark, tmp_path):
+    """state_ttl + allowed_lateness on the transformWithState binding
+    (round-6 verdict item 4): the eviction clock is a per-key
+    processing-time TIMER (native ValueState TTL has no callback), and
+    ``handleExpiredTimer`` flushes the stranded reorder buffer through the
+    NFA before dropping the state — the same contract
+    test_cep_event_time_ttl_flushes_stranded_reorder_buffer pins on the
+    applyInPandasWithState binding."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires protobuf")
+    from time_series_and_data_lakes_spark.streaming import match_error_pattern_tws
+
+    base = 1_700_000_000_000
+    s2 = [
+        {"sensor_id": "s2", "event_time": base, "status": "ERROR", "temperature": 1.0},
+        {"sensor_id": "s2", "event_time": base + 100, "status": "OK", "temperature": 2.0},
+        {"sensor_id": "s2", "event_time": base + 200, "status": "ERROR", "temperature": 3.0},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in s2:
+            f.write(json.dumps(r) + "\n")
+
+    typed = read_json_stream(spark, str(src), max_files_per_trigger=1).select(
+        "sensor_id",
+        F.timestamp_millis("event_time").alias("time"),
+        "status",
+        "temperature",
+    )
+    matches = match_error_pattern_tws(
+        typed,
+        within="INTERVAL 1 SECOND",
+        allowed_lateness="INTERVAL 1 SECOND",
+        state_ttl="INTERVAL 3 SECONDS",
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_tws_ttl_et")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        b_held = _await_state_rows(q, 1)  # buffer held, match stranded
+        assert b_held is not None
+        assert spark.table("cep_tws_ttl_et").count() == 0
+        assert _await_state_rows(q, 0, after_batch=b_held) is not None  # evicted
+        rows = spark.table("cep_tws_ttl_et").collect()
+        assert len(rows) == 1 and rows[0]["sensor_id"] == "s2"
+        assert rows[0]["history"] == "OK"  # the flushed stranded match
+    finally:
+        q.stop()

@@ -1084,7 +1084,14 @@ def jpeg_encode_progressive(
     zz = [c[:, :, ZIGZAG] for c in coeffs]
     if scans is None:
         scans = _DEFAULT_PROG_SCANS
+    first_coded: set = set()  # (component, zigzag coefficient) with Ah=0
     for ids, ss, se, ah, al in scans:
+        bad_ids = [ci for ci in ids if not 0 <= ci < len(zz)]
+        if bad_ids or len(set(ids)) != len(ids):
+            raise ValueError(
+                f"scan component ids {tuple(ids)} must be distinct indices "
+                f"in 0..{len(zz) - 1}"
+            )
         if ss == 0 and se != 0:
             raise ValueError("progressive DC scan must have Se=0")
         if ss > 0 and len(ids) != 1:
@@ -1095,6 +1102,20 @@ def jpeg_encode_progressive(
             # a refinement transmits exactly one magnitude bit per
             # coefficient, which only reconstructs when Ah == Al + 1
             raise ValueError(f"refinement scan must have Ah=Al+1 (got {ah}/{al})")
+        if ah == 0:
+            # T.81 §G.1.1.1: each coefficient may be FIRST-coded (Ah=0)
+            # exactly once per component; a second first-pass over the same
+            # band silently produces a corrupt stream, so reject it here.
+            cells = {(ci, k) for ci in ids for k in range(ss, se + 1)}
+            dup = cells & first_coded
+            if dup:
+                ci, k = min(dup)
+                raise ValueError(
+                    f"coefficient {k} of component {ci} first-coded by two "
+                    f"scans (band Ss={ss}..Se={se} overlaps an earlier Ah=0 "
+                    "scan)"
+                )
+            first_coded |= cells
     hmax = max(hs for _p, hs, _vs, _q in plane_specs)
     vmax = max(vs for _p, _hs, vs, _q in plane_specs)
     mcus_x = plane_specs[0][0].shape[1] // (8 * hmax)

@@ -1280,7 +1280,15 @@ def _transcode_resize(
         nw, nh = _resize_dims(w, h, max_width, max_height)
         if (nw, nh) == (w, h):
             return bytes(payload)
-        return encode(_RESAMPLERS[method](arr, nw, nh))
+        resampled = _RESAMPLERS[method](arr, nw, nh)
+        if codec == "gif" and method != "nearest":
+            # Averaging resamplers create colors the source palette lacked;
+            # the GIF format caps at 256, so opt in to the deterministic
+            # median-cut reduction (still lossless while <=256 colors
+            # survive). The <=256-invariant gif_encode relies on by default
+            # holds only for nearest-neighbor.
+            return gif_encode(resampled, quantize=True)
+        return encode(resampled)
     if codec == "tsdl-fake":
         w, h, f = _decode_payload(payload, codec)
         nw, nh = _resize_dims(w, h, max_width, max_height)
@@ -1567,11 +1575,15 @@ def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             | np.frombuffer(d, np.uint8).reshape(-1, 3)[:, 1]
         ),
         (1, 32): lambda d: (np.frombuffer(d, "<i4") >> 16).astype(np.int16),
-        (3, 32): lambda d: np.round(
+        # floor(x + 0.5) is the repo-wide half-up rounding convention
+        # (np.round would be banker's half-to-even on exact .5-LSB samples)
+        (3, 32): lambda d: np.floor(
             np.clip(np.nan_to_num(np.frombuffer(d, "<f4")), -1.0, 1.0) * 32767
+            + 0.5
         ).astype(np.int16),
-        (3, 64): lambda d: np.round(
+        (3, 64): lambda d: np.floor(
             np.clip(np.nan_to_num(np.frombuffer(d, "<f8")), -1.0, 1.0) * 32767
+            + 0.5
         ).astype(np.int16),
         (6, 8): lambda d: _alaw_to_linear(np.frombuffer(d, np.uint8)),
         (7, 8): lambda d: _mulaw_to_linear(np.frombuffer(d, np.uint8)),

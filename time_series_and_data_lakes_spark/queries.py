@@ -2299,19 +2299,32 @@ ORACLES.update(PIPELINE_ORACLES)
 # oracle row can ever exist); every query with fewer than two green rounds
 # must occupy a window slot until it banks its second green.
 #
-# Round-5 rotation (audited programmatically against CORRECTNESS_r01-r04 by
+# Round-7 rotation (audited programmatically against CORRECTNESS_r01-r06 by
 # tests/test_registry.py — green counts are derived from the driver's own
-# JSON rows, never from comments). After round 4's 50/50-green window the 47
-# once-green entries banked their second green, so every entry below is
-# driver-green in >=2 rounds (or approximate-by-design). The window now holds
-# the 24 queries added mid-round-4 that have never had a driver row, the 3
-# once-green round-4 entries banking their second green, the new
-# f3_cep_event_time gate, and 22 core reference-surface queries (q1-q3, the
-# Grafana panels, the Athena join, CEP) kept under continuous driver check.
+# JSON rows, never from comments). Every catalog entry is >=2x driver-green
+# (or approximate-by-design), so composition follows the VERDICT_r6 item-3
+# banking directive: the window = the 19-query core reference surface
+# (q1-q3, the Grafana panels g1-g10, the Athena join a1, CEP f2/f3, melt)
+# kept under continuous driver check + the alphabetically-first 31 of the 64
+# non-core entries still at exactly 2x green, each banking its third green.
+# The remaining 33 2x entries sit in the tail this round and rotate into the
+# round-8 window next.
 # ---------------------------------------------------------------------------
 
 _DRIVER_TAIL: list[str] = [
-    # driver-green 3x (r1+r2+r3):
+    # >=3x driver-green, rotated out to free window slots for 2x entries:
+    "rollup_cascade_stats",
+    "json_props_extract",
+    "analytics_moving_window",
+    "gap_report_sensors",
+    "text_winnow_fingerprint",
+    "text_bm25_topk",
+    "ann_cosine_topk",
+    "ann_pq_adc_topk",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_resize_pixels",
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "dedup_exact",
@@ -2323,54 +2336,41 @@ _DRIVER_TAIL: list[str] = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
-    # driver-green 2x (r1+r2):
-    "melt_narrow",
+    # exactly 2x green, waiting for a round-8 window slot (alphabetical
+    # overflow past this round's 31 rotated-in entries):
+    "pipe_semdedup",
+    "pipe_split_train_test",
+    "pipe_token_budget",
     "pivot_wide",
-    "setops_priority_cohorts",
+    "range_join_cep_context",
     "rollup_pricing_totals",
-    "distinct_part_suppliers",
     "semi_anti_customers",
-    "cube_pricing_matrix",
-    "correlated_min_price_lines",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_orders",
-    "tpch_q10_returned_revenue",
-    "tpch_q22_idle_rich_customers",
+    "sessionize_events",
+    "setops_priority_cohorts",
+    "text_repetition_stats",
+    "text_rrf_hybrid_topk",
+    "text_tfidf_keywords",
+    "text_top_tokens",
+    "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_with_returns",
     "tpch_q5_region_revenue",
     "tpch_q6_selective",
-    # driver-green 2x (r2+r3):
-    "sessionize_events",
-    "asof_latest_order",
-    "range_join_cep_context",
-    "g1_cep_pivot_by_bin",
-    "a2_enrichment_view",
-    # driver-green 2x (r3+r4):
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_lsh_dup_pairs",
-    "ann_quantize_int8",
     "tpch_q7_nation_volume",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier_revenue",
-    "tpch_q16_supplier_count",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_late_suppliers",
     "tpch_q8_market_share",
     "tpch_q9_profit_by_nation",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q2_min_cost_supplier",
+    "tpch_q10_returned_revenue",
     "tpch_q11_important_parts",
     "tpch_q12_priority_by_status",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
     "tpch_q20_excess_share_suppliers",
-    "pipe_split_train_test",
-    "pipe_sample_per_source",
-    "pipe_token_budget",
-    "pipe_decontaminate",
-    "pipe_knn_label_vote",
-    "pipe_knn_label_vote_ivf",
-    "pipe_mix_weights",
-    "pipe_quality_funnel",
+    "tpch_q21_sole_late_suppliers",
+    "tpch_q22_idle_rich_customers",
     # approximate by design — no exact oracle can exist; error-bounded by
     # property tests (tests/test_properties.py) with exact driver-green twins.
     # Kept LAST so a catalog shrink can never slide them into the window:

@@ -381,6 +381,7 @@ class _ErrorPatternProcessor(StatefulProcessor):
         round_avg: int,
         lateness_us: int | None,
         ttl_ms: int | None = None,
+        use_timers: bool = False,
     ) -> None:
         self._args = (
             time_col,
@@ -395,12 +396,20 @@ class _ErrorPatternProcessor(StatefulProcessor):
         )
         self._key = key
         self._ttl_ms = ttl_ms
+        self._use_timers = use_timers
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        # ttlDurationMs engages the store's native state TTL (requires
-        # timeMode ProcessingTime); None keeps the data-clock-only mode
+        # Two TTL modes: native ValueState ttlDurationMs (no eviction
+        # callback — fine when there is no reorder buffer to strand), or
+        # per-key processing-time timers (event-time mode: the expiry
+        # callback flushes the buffer through the NFA before dropping
+        # state). Both require timeMode ProcessingTime; None keeps the
+        # data-clock-only mode.
+        self._handle = handle
         self._state = handle.getValueState(
-            "cep_candidate", CEP_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+            "cep_candidate",
+            CEP_STATE_SCHEMA,
+            ttlDurationMs=None if self._use_timers else self._ttl_ms,
         )
 
     def handleInputRows(
@@ -409,8 +418,31 @@ class _ErrorPatternProcessor(StatefulProcessor):
         (key_value,) = key
         new_state, out = _advance_key(self._state.get(), rows, *self._args)
         self._state.update(new_state)
+        if self._use_timers:
+            # silent-key eviction clock: one live timer per key, re-armed
+            # to now + ttl on every batch that touches the key
+            for expiry in list(self._handle.listTimers()):
+                self._handle.deleteTimer(expiry)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + self._ttl_ms
+            )
         if out:
             yield _matches_frame(out, self._key, key_value)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: Any, expiredTimerInfo: Any
+    ) -> Iterator[pd.DataFrame]:
+        # state_ttl expiry for a silent key: flush the reorder buffer
+        # through the NFA in event-time order (frontier -> infinity) so
+        # stranded matches emit, then drop the key's state — the timer
+        # twin of match_error_pattern_stream's hasTimedOut branch.
+        (key_value,) = key
+        st = self._state.get()
+        if st is not None:
+            _, out = _advance_key(st, iter(()), *self._args, flush=True)
+            if out:
+                yield _matches_frame(out, self._key, key_value)
+        self._state.clear()
 
     def close(self) -> None:
         pass
@@ -435,15 +467,18 @@ def match_error_pattern_tws(
     ValueState store (RocksDB-backed on a cluster, so per-key state scales
     past executor memory).
 
-    ``state_ttl`` maps to the API's NATIVE ValueState TTL (and flips
-    ``timeMode`` to ProcessingTime, which the TTL machinery requires) —
-    silent keys' candidates are evicted by the store itself. Native TTL
-    has no eviction callback, so it cannot flush a stranded reorder
-    buffer; combining it with ``allowed_lateness`` is therefore rejected
-    — event-time streams that need bounded state should use
-    :func:`match_error_pattern_stream`, whose timeout handler flushes.
-    Like there, ``state_ttl`` must be >= ``within`` so eviction only
-    drops candidates that could never complete.
+    ``state_ttl`` (and the ``timeMode`` flip to ProcessingTime it
+    requires) evicts silent keys two ways. Arrival-order mode maps it to
+    the API's NATIVE ValueState TTL — no callback needed, the store
+    drops the candidate itself. Event-time mode (``allowed_lateness``
+    set) cannot use native TTL: eviction would discard a stranded
+    reorder buffer and the matches inside it, so it instead re-arms a
+    per-key processing-time TIMER on every batch; the expiry callback
+    (``handleExpiredTimer``) flushes the buffer through the NFA — the
+    exact twin of :func:`match_error_pattern_stream`'s ``hasTimedOut``
+    branch — then drops the state. Like there, ``state_ttl`` must be >=
+    ``within`` + ``allowed_lateness`` so eviction only drops candidates
+    that could never complete.
 
     Requires ``protobuf`` at runtime (the API's state-server protocol);
     environments without it should use :func:`match_error_pattern_stream`,
@@ -467,16 +502,14 @@ def match_error_pattern_tws(
         ttl_millis as _ttl_millis,
     )
 
-    if state_ttl is not None and allowed_lateness is not None:
-        raise ValueError(
-            "state_ttl with allowed_lateness is not supported on the "
-            "transformWithState binding (native TTL cannot flush the "
-            "reorder buffer on eviction) — use match_error_pattern_stream"
-        )
+    lateness_us = _interval_micros(allowed_lateness) if allowed_lateness else None
     ttl_ms = _ttl_millis(state_ttl)
-    if ttl_ms is not None and ttl_ms * 1000 < _interval_micros(within):
+    if ttl_ms is not None and ttl_ms * 1000 < _interval_micros(within) + (
+        lateness_us or 0
+    ):
         raise ValueError(
-            f"state_ttl {state_ttl!r} is shorter than within — eviction "
+            f"state_ttl {state_ttl!r} is shorter than within"
+            f"{' + allowed_lateness' if lateness_us else ''} — eviction "
             f"would drop candidates that could still complete"
         )
 
@@ -510,8 +543,9 @@ def match_error_pattern_tws(
         max_b,
         _interval_micros(within),
         round_avg,
-        _interval_micros(allowed_lateness) if allowed_lateness else None,
+        lateness_us,
         ttl_ms,
+        use_timers=ttl_ms is not None and lateness_us is not None,
     )
     return stream.groupBy(key).transformWithStateInPandas(
         statefulProcessor=processor,
