@@ -611,3 +611,19 @@ def test_progressive_encoder_rejects_malformed_scripts():
                 ((0,), 5, 20, 0, 0),
             ),
         )
+    # a refinement over a band never first-coded (or sitting at a different
+    # Al) would also emit a corrupt stream — T.81 successive approximation
+    # steps one bit at a time from the band's first-coded level
+    with pytest.raises(ValueError, match="never first-coded"):
+        jpeg_encode_progressive(
+            arr, scans=(((0, 1, 2), 0, 0, 0, 0), ((0,), 1, 63, 1, 0))
+        )
+    with pytest.raises(ValueError, match="currently at Al=2"):
+        jpeg_encode_progressive(
+            arr,
+            scans=(
+                ((0, 1, 2), 0, 0, 0, 0),
+                ((0,), 1, 63, 0, 2),
+                ((0,), 1, 63, 1, 0),  # skips the Ah=2 -> Al=1 step
+            ),
+        )

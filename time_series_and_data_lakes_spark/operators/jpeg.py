@@ -1084,7 +1084,7 @@ def jpeg_encode_progressive(
     zz = [c[:, :, ZIGZAG] for c in coeffs]
     if scans is None:
         scans = _DEFAULT_PROG_SCANS
-    first_coded: set = set()  # (component, zigzag coefficient) with Ah=0
+    first_coded: dict = {}  # (component, zigzag coefficient) -> current Al
     for ids, ss, se, ah, al in scans:
         bad_ids = [ci for ci in ids if not 0 <= ci < len(zz)]
         if bad_ids or len(set(ids)) != len(ids):
@@ -1102,12 +1102,15 @@ def jpeg_encode_progressive(
             # a refinement transmits exactly one magnitude bit per
             # coefficient, which only reconstructs when Ah == Al + 1
             raise ValueError(f"refinement scan must have Ah=Al+1 (got {ah}/{al})")
+        # T.81 §G.1.1.1 successive-approximation sequencing, tracked per
+        # (component, zigzag coefficient): each cell is FIRST-coded (Ah=0)
+        # exactly once, and every refinement must find the cell at exactly
+        # level Ah (one magnitude bit per scan, no skips, no refining a
+        # band that was never first-coded) — any violation would silently
+        # emit a stream the decoder rejects as corrupt.
+        cells = [(ci, k) for ci in ids for k in range(ss, se + 1)]
         if ah == 0:
-            # T.81 §G.1.1.1: each coefficient may be FIRST-coded (Ah=0)
-            # exactly once per component; a second first-pass over the same
-            # band silently produces a corrupt stream, so reject it here.
-            cells = {(ci, k) for ci in ids for k in range(ss, se + 1)}
-            dup = cells & first_coded
+            dup = [c for c in cells if c in first_coded]
             if dup:
                 ci, k = min(dup)
                 raise ValueError(
@@ -1115,7 +1118,23 @@ def jpeg_encode_progressive(
                     f"scans (band Ss={ss}..Se={se} overlaps an earlier Ah=0 "
                     "scan)"
                 )
-            first_coded |= cells
+            for c in cells:
+                first_coded[c] = al
+        else:
+            for ci, k in cells:
+                cur = first_coded.get((ci, k))
+                if cur != ah:
+                    raise ValueError(
+                        f"refinement scan Ah={ah}->Al={al} over coefficient "
+                        f"{k} of component {ci} "
+                        + (
+                            "that was never first-coded"
+                            if cur is None
+                            else f"currently at Al={cur} — refinements must "
+                            "step down one bit at a time"
+                        )
+                    )
+                first_coded[(ci, k)] = al
     hmax = max(hs for _p, hs, _vs, _q in plane_specs)
     vmax = max(vs for _p, _hs, vs, _q in plane_specs)
     mcus_x = plane_specs[0][0].shape[1] // (8 * hmax)

@@ -1057,6 +1057,10 @@ def _native_codecs() -> dict:
             )
             return buf.getvalue()
 
+        # gif binds the pure encoder DIRECTLY (see docstring) — which also
+        # keeps the registry-wide contract that the gif encode entry
+        # accepts gif_encode's ``quantize=`` kwarg (_transcode_resize
+        # passes it for averaging resamplers)
         return (dec, gif_encode) if fmt == "gif" else (dec, enc)
 
     return {fmt: make(fmt) for fmt in save_fmt}
@@ -1286,8 +1290,11 @@ def _transcode_resize(
             # the GIF format caps at 256, so opt in to the deterministic
             # median-cut reduction (still lossless while <=256 colors
             # survive). The <=256-invariant gif_encode relies on by default
-            # holds only for nearest-neighbor.
-            return gif_encode(resampled, quantize=True)
+            # holds only for nearest-neighbor. Routed through the registry
+            # encode so backend dispatch stays intact — every backend's gif
+            # encode entry must keep gif_encode's ``quantize=`` contract
+            # (both current backends bind gif_encode itself).
+            return encode(resampled, quantize=True)
         return encode(resampled)
     if codec == "tsdl-fake":
         w, h, f = _decode_payload(payload, codec)

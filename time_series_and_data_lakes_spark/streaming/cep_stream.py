@@ -364,9 +364,15 @@ class _ErrorPatternProcessor(StatefulProcessor):
     """``transformWithStateInPandas`` binding of the same NFA (T2-T5) —
     Spark 4's typed-state API (SURVEY §2.8's preferred mapping). The
     candidate + reorder buffer live in one ValueState row; emitted matches
-    are append-mode rows. timeMode stays "None": the WITHIN bound expires
-    candidates from the data clock, so replays are deterministic (wall-clock
-    timers would reintroduce the reference's replay sensitivity)."""
+    are append-mode rows. Without ``state_ttl`` timeMode stays "None" and
+    the WITHIN bound expires candidates from the data clock, so replays
+    are deterministic. ``state_ttl`` flips timeMode to ProcessingTime and
+    engages one of two wall-clock eviction paths for SILENT keys (match
+    emission itself stays data-clock-driven): native ValueState TTL in
+    arrival-order mode, or — in event-time mode, where eviction must
+    flush the reorder buffer — a per-key timer whose expiry callback
+    (:meth:`handleExpiredTimer`) drains the buffer through the NFA before
+    dropping state."""
 
     def __init__(
         self,
