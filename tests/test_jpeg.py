@@ -584,6 +584,84 @@ def test_progressive_random_scan_scripts_reconstruct_exactly():
     check()
 
 
+def test_progressive_random_corruptions_of_legal_scripts_rejected():
+    """Adversarial twin of the reconstruct-exactly property: take a random
+    LEGAL scan script and break it four ways — duplicate a first pass,
+    orphan a refinement (drop its band's entire ladder), skip a
+    successive-approximation step, use an out-of-range component — and
+    every corruption must be a descriptive ValueError at encode time,
+    never a silently corrupt stream."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        cuts=st.sets(st.integers(2, 63), max_size=4),
+        dc_al=st.integers(0, 2),
+        band_al_seed=st.integers(0, 2**31 - 1),
+        pick_seed=st.integers(0, 2**31 - 1),
+    )
+    def check(cuts, dc_al, band_al_seed, pick_seed):
+        arr = np.full((8, 8, 3), 10, np.uint8)
+        bounds = [1] + sorted(cuts) + [64]
+        bands = [
+            (bounds[i], bounds[i + 1] - 1)
+            for i in range(len(bounds) - 1)
+            if bounds[i] <= bounds[i + 1] - 1
+        ]
+        al_rng = np.random.default_rng(band_al_seed)
+        band_als = [int(al_rng.integers(0, 3)) for _ in bands]
+        scans = [((0, 1, 2), 0, 0, 0, dc_al)]
+        for comp in (0, 1, 2):
+            for (lo, hi), al0 in zip(bands, band_als):
+                scans.append(((comp,), lo, hi, 0, al0))
+        for al in range(max([dc_al] + band_als) - 1, -1, -1):
+            if al < dc_al:
+                scans.append(((0, 1, 2), 0, 0, al + 1, al))
+            for comp in (0, 1, 2):
+                for (lo, hi), al0 in zip(bands, band_als):
+                    if al < al0:
+                        scans.append(((comp,), lo, hi, al + 1, al))
+        # the uncorrupted script is legal
+        jpeg_encode_progressive(arr, scans=tuple(scans))
+
+        rng = np.random.default_rng(pick_seed)
+        lo, hi = bands[int(rng.integers(0, len(bands)))]
+
+        # (a) duplicate a random Ah=0 scan -> double first-code
+        firsts = [s for s in scans if s[3] == 0]
+        dup = firsts[int(rng.integers(0, len(firsts)))]
+        with pytest.raises(ValueError, match="first-coded by two"):
+            jpeg_encode_progressive(arr, scans=tuple([*scans, dup]))
+
+        # (b) orphan refinement: drop one band's whole comp-0 ladder, then
+        # refine it anyway
+        dropped = [s for s in scans if not (s[0] == (0,) and s[1] == lo)]
+        with pytest.raises(ValueError, match="never first-coded"):
+            jpeg_encode_progressive(
+                arr, scans=tuple([*dropped, ((0,), lo, hi, 1, 0)])
+            )
+
+        # (c) skip a successive-approximation step where a ladder exists
+        laddered = [
+            (i, s)
+            for i, s in enumerate(scans)
+            if s[0] == (0,) and s[1] != 0 and s[3] == s[4] + 1 and s[3] >= 2
+        ]
+        if laddered:
+            i, s = laddered[0]
+            skipped = scans[:i] + scans[i + 1 :]  # its Ah-1 successor orphans
+            with pytest.raises(ValueError, match="currently at Al="):
+                jpeg_encode_progressive(arr, scans=tuple(skipped))
+
+        # (d) out-of-range component id
+        with pytest.raises(ValueError, match="component ids"):
+            jpeg_encode_progressive(
+                arr, scans=tuple([*scans, ((3,), lo, hi, 0, 0)])
+            )
+
+    check()
+
+
 def test_progressive_encoder_rejects_malformed_scripts():
     arr = np.full((8, 8, 3), 10, np.uint8)
     with pytest.raises(ValueError, match="Se=0"):
