@@ -159,30 +159,55 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
-    # The driver captures only the ~2 KB stdout TAIL: round 6's line carried
-    # plan_hashes + the full notes string (~3.5 KB), the front fell off, and
-    # the round's official timings were lost ("parsed": null). stdout now
-    # gets ONE compact line (timings only, ~1.3 KB); the full record —
-    # plan hashes + the adjudication note — goes to BENCH_PLANS.json at the
-    # repo root, committed each round so bench adjudication stays mechanical.
+    line, full, write_plans = format_records(timings, plans, sf, sf_dir)
+    if write_plans:
+        plans_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANS.json"
+        )
+        with open(plans_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    print(line)
+    spark.stop()
+
+
+# The driver captures only the ~2 KB stdout TAIL: round 6's line carried
+# plan_hashes + the full notes string (~3.5 KB), the front fell off, and the
+# round's official timings were lost ("parsed": null). stdout now gets ONE
+# compact line (timings only, ~1.3 KB); the full record — plan hashes + the
+# adjudication note — goes to BENCH_PLANS.json at the repo root, committed
+# each round so bench adjudication stays mechanical.
+_LINE_BUDGET = 1900
+
+
+def format_records(
+    timings: dict[str, float],
+    plans: dict[str, str],
+    sf: str,
+    sf_dir: str,
+) -> tuple[str, dict, bool]:
+    """Build the stdout line + the BENCH_PLANS.json record.
+
+    Returns ``(line, full_record, write_plans)``. The line degrades
+    LOUDLY, never truncates: if headline growth pushes it past the
+    driver's tail-capture window it drops fields until it fits — notes
+    first, then the per-query timings (both always live in the full
+    record) — warning on stderr each step. ``write_plans`` is False for
+    any non-default ``sf_dir``: BENCH_PLANS.json is the COMMITTED
+    per-round adjudication record for the default bench scale, and a
+    quick sanity run at another SF must not clobber it."""
     compact = {
         "metric": "headline_query_wall_time",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "agg": AGG,
         "queries": timings,
         "sf": sf,
         "notes": "plan hashes + adjudication note: BENCH_PLANS.json",
     }
-    # Degrade LOUDLY, never truncate: if headline growth pushes the line
-    # past the driver's tail-capture window, drop fields until it fits —
-    # notes first, then the per-query timings themselves (they live in
-    # BENCH_PLANS.json regardless). A silently-truncated line is how the
-    # round-6 record was lost.
     line = json.dumps(compact)
     for drop in ("notes", "queries"):
-        if len(line) <= 1900:
+        if len(line) <= _LINE_BUDGET:
             break
         print(
             f"bench: stdout line {len(line)} B exceeds the ~2 KB driver "
@@ -192,27 +217,17 @@ def main() -> None:
         )
         compact.pop(drop, None)
         line = json.dumps(compact)
-    full = dict(
-        compact, queries=timings, plan_hashes=plans, notes=NOISE_NOTE
+    full = dict(compact, queries=timings, plan_hashes=plans, notes=NOISE_NOTE)
+    write_plans = os.path.realpath(sf_dir) == os.path.realpath(
+        "/root/testdata/sf0.1"
     )
-    # BENCH_PLANS.json is the COMMITTED per-round adjudication record for
-    # the default bench scale; a quick sanity run at another SF (the
-    # SPARK_GRAFT_SF_DIR override) must not clobber it.
-    if os.path.realpath(sf_dir) == os.path.realpath("/root/testdata/sf0.1"):
-        plans_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANS.json"
-        )
-        with open(plans_path, "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-            f.write("\n")
-    else:
+    if not write_plans:
         print(
             f"bench: sf_dir {sf_dir} is not the default bench scale — "
             "NOT rewriting the committed BENCH_PLANS.json",
             file=sys.stderr,
         )
-    print(line)
-    spark.stop()
+    return line, full, write_plans
 
 
 if __name__ == "__main__":
