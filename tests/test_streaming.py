@@ -1466,3 +1466,82 @@ def test_tws_event_time_ttl_flushes_stranded_reorder_buffer(spark, tmp_path):
         assert rows[0]["history"] == "OK"  # the flushed stranded match
     finally:
         q.stop()
+
+
+def test_tws_timer_eviction_survives_restart(spark, tmp_path):
+    """The eviction timer is STATE: a query stopped after the data batch
+    but before the TTL fires must, on restart from the same checkpoint
+    with no new data, restore the registered timer from the store's timer
+    column family, fire it, and flush the stranded match — otherwise a
+    rolling redeploy leaks every in-flight silent key's state forever."""
+    import time as _time
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires protobuf")
+    from time_series_and_data_lakes_spark.streaming import match_error_pattern_tws
+
+    base = 1_700_000_000_000
+    s2 = [
+        {"sensor_id": "s2", "event_time": base, "status": "ERROR", "temperature": 1.0},
+        {"sensor_id": "s2", "event_time": base + 100, "status": "OK", "temperature": 2.0},
+        {"sensor_id": "s2", "event_time": base + 200, "status": "ERROR", "temperature": 3.0},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in s2:
+            f.write(json.dumps(r) + "\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out_parquet")
+
+    def start_query():
+        typed = read_json_stream(spark, str(src), max_files_per_trigger=1).select(
+            "sensor_id",
+            F.timestamp_millis("event_time").alias("time"),
+            "status",
+            "temperature",
+        )
+        matches = match_error_pattern_tws(
+            typed,
+            within="INTERVAL 1 SECOND",
+            allowed_lateness="INTERVAL 1 SECOND",
+            # long enough that phase 1 reliably stops BEFORE expiry even on
+            # a loaded host; phase 2 then waits it out
+            state_ttl="INTERVAL 8 SECONDS",
+        )
+        return (
+            matches.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+    q = start_query()
+    try:
+        # phase 1: the data batch commits state + registers the timer
+        assert _await_state_rows(q, 1) is not None
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 0  # match still stranded
+
+    # phase 2: restart from the checkpoint; NO new data arrives — only the
+    # restored timer can produce output
+    q2 = start_query()
+    try:
+        deadline = _time.time() + 90
+        n = 0
+        while _time.time() < deadline:
+            n = spark.read.parquet(out).count()
+            if n:
+                break
+            _time.sleep(0.5)
+        assert n == 1
+        (row,) = spark.read.parquet(out).collect()
+        assert row["sensor_id"] == "s2" and row["history"] == "OK"
+        assert _await_state_rows(q2, 0) is not None  # state dropped too
+    finally:
+        q2.stop()
