@@ -66,6 +66,25 @@ def test_token_budget_allocation_exact_and_bounded(spark):
     assert sum(r.alloc_tokens for r in out.values()) <= 1000
 
 
+def test_token_budget_allocation_survives_pretraining_scale_products(spark):
+    # budget * n_tokens for a trillion-token budget over a ~100 TB corpus
+    # (~2.5e13 tokens) is ~1e25 — past bigint, inside the decimal(38,0)
+    # widening; the allocation must stay exact, not ANSI-overflow
+    budget = 10**12
+    rows = [(1, "web", 2 * 10**13), (2, "books", 5 * 10**12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n bigint")
+    out = {
+        r.source: r
+        for r in C.token_budget_allocation(
+            df, token_count_col=F.col("n"), budget=budget
+        ).collect()
+    }
+    total = 25 * 10**12
+    assert out["web"].alloc_tokens == budget * 20 * 10**12 // total
+    assert out["books"].alloc_tokens == budget * 5 * 10**12 // total
+    assert sum(r.alloc_tokens for r in out.values()) <= budget
+
+
 def test_ngram_decontaminate_counts_shared_shingles(spark):
     df = _docs(
         spark,
@@ -134,6 +153,35 @@ def test_weighted_mixture_capacity_and_determinism(spark):
     assert a1 == a2
     # sources not in the weight map are excluded entirely
     assert kept.filter(~F.col("source").isin("a", "b")).count() == 0
+
+
+def test_weighted_mixture_rejects_zero_row_sources(spark):
+    # a weighted source with no rows makes the target proportions
+    # unachievable (capacity 0); silently ignoring it would return a
+    # 100/0 split labeled 50/50 — e.g. on a typo'd source name
+    import pytest as _pytest
+
+    rows = [(i, "a") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    with _pytest.raises(ValueError, match="zero available rows.*'books'"):
+        C.weighted_mixture(df, {"a": 0.5, "books": 0.5})
+
+
+def test_knn_label_vote_string_labels(spark):
+    # non-integral labels must come back AS IS — a hardcoded bigint cast
+    # would throw CAST_INVALID_INPUT under ANSI for 'spam'/'ham' classes
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (10, [1.0, 0.1], "spam"),
+        (11, [1.0, 0.2], "spam"),
+        (12, [1.0, -0.1], "ham"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    out = C.knn_label_vote(emb, F.col("vec_id") == 0, k=3).collect()
+    assert len(out) == 1
+    assert out[0].predicted_label == "spam" and out[0].votes == 2
 
 
 def test_knn_vote_null_labels_cross_engine(spark, tmp_path):

@@ -31,6 +31,22 @@ def test_direction_and_duplicates_ignored(spark):
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
 
 
+def test_unconverged_iteration_budget_raises_not_returns_wrong_labels(spark):
+    # exhausting max_iter without a CONFIRMED fixpoint must raise — an
+    # un-converged star set silently merges/splits dedup clusters.
+    # (Confirmation needs the fingerprint to repeat, so even a trivially
+    # converged input raises at max_iter=1: the contract is "confirmed in
+    # budget", and the error says to raise the budget.)
+    import pytest
+
+    long_chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(30)]
+    with pytest.raises(RuntimeError, match="did not converge.*max_iter=1"):
+        _labels(spark, long_chain, max_iter=1)
+    # the default budget converges and labels the whole chain
+    got = _labels(spark, long_chain)
+    assert got == {(f"n{i:02d}", "n00") for i in range(31)}
+
+
 def _brute_components(edges):
     adj: dict[str, set[str]] = {}
     for a, b in edges:

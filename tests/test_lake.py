@@ -370,6 +370,55 @@ def test_zorder_layout_skips_more_files_than_linear(spark, sf_dir, tmp_path):
     assert z_hit < l_hit, (z_hit, l_hit)
 
 
+def test_zorder_key_works_at_the_63_bit_limit(spark):
+    # bits*len(coords) == 63 passes the guard; the final fold step's unused
+    # multiplier update must not compute 2^63 (ANSI bigint overflow)
+    from time_series_and_data_lakes_spark.sources.zorder import zorder_key
+
+    df = spark.range(4).select(
+        (F.col("id") % 2).alias("a"), (F.col("id") * 3 % 2).alias("b")
+    )
+    # 3 coords x 21 bits = 63: top bit positions 60..62, key fits a bigint
+    top = (1 << 21) - 1
+    keys = df.select(
+        zorder_key(
+            [F.lit(top).cast("bigint")] * 3,
+            bits=21,
+        ).alias("k")
+    ).collect()
+    assert all(r["k"] == (1 << 63) - 1 for r in keys)
+    # 1 coord x 63 bits: identity interleave of the max value
+    (r0,) = (
+        spark.range(1)
+        .select(zorder_key([F.lit((1 << 63) - 1).cast("bigint")], bits=63).alias("k"))
+        .collect()
+    )
+    assert r0["k"] == (1 << 63) - 1
+
+
+def test_files_intersecting_box_tolerates_statless_columns(spark, tmp_path):
+    # a parquet file written WITHOUT statistics must count as intersecting
+    # (conservative), not crash on None min/max comparisons
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from time_series_and_data_lakes_spark.sources.zorder import (
+        files_intersecting_box,
+    )
+
+    d = tmp_path / "nostats"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"x": [1, 2, 3]}), str(d / "a.parquet"), write_statistics=False
+    )
+    pq.write_table(pa.table({"x": [100, 200]}), str(d / "b.parquet"))
+    hit, total = files_intersecting_box(str(d), {"x": (0, 5)})
+    assert total == 2
+    # exactly the stat-less file intersects: a counts conservatively as a
+    # hit, b's statistics (min 100 > hi 5) exclude it
+    assert hit == 1
+
+
 def test_merge_upsert_updates_inserts_and_leaves_partitions_untouched(
     spark, tmp_path
 ):
@@ -434,3 +483,27 @@ def test_merge_upsert_null_partition_value(spark, tmp_path):
     )
     got = sorted((r["id"], r["part"], r["value"]) for r in spark.read.parquet(path).collect())
     assert got == [(1, None, 10.0), (2, None, 2.0), (3, "d0", 3.0)]
+
+
+def test_merge_upsert_null_key_replaces_not_duplicates(spark, tmp_path):
+    # a NULL key component must match NULL (Delta MERGE's <=> convention):
+    # a plain equi anti join never matches NULL=NULL, so the stored row
+    # would survive alongside the inserted update — a duplicate key
+    from time_series_and_data_lakes_spark.sources.merge import merge_upsert
+
+    path = str(tmp_path / "store")
+    schema = "id bigint, part string, value double"
+    base = spark.createDataFrame([(None, "d0", 1.0), (2, "d0", 2.0)], schema)
+    merge_upsert(spark, path, base, ["id"], ["part"])
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(None, "d0", 10.0)], schema),
+        ["id"],
+        ["part"],
+    )
+    got = sorted(
+        ((r["id"], r["part"], r["value"]) for r in spark.read.parquet(path).collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert got == [(None, "d0", 10.0), (2, "d0", 2.0)]

@@ -111,6 +111,40 @@ def test_incremental_refresh_equals_full_materialization(spark, raw, tmp_path):
     assert dict(refreshed.drop("date").dtypes) == dict(full.dtypes)
 
 
+def test_incremental_refresh_accumulates_null_date_partials(spark, raw, tmp_path):
+    """Rows with a NULL time produce a NULL bin/date partial stored in the
+    writer's default partition. A second refresh carrying more null-time
+    rows must MERGE with those stored partials, not replace them — a plain
+    isin() date filter evaluates NULL for stored null-date rows and the
+    partition overwrite would silently destroy the accumulated counts."""
+    from time_series_and_data_lakes_spark.operators.rollup import (
+        refresh_rollup,
+        rollup_partials,
+    )
+
+    path = str(tmp_path / "hourly_null")
+    schema = "sensor_id string, time timestamp, temperature double"
+    b1 = spark.createDataFrame(
+        [("s0", None, 1.5), ("s0", dt.datetime(2024, 1, 1, 0, 5), 2.0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("s0", None, 3.5), ("s0", dt.datetime(2024, 1, 1, 1, 5), 4.0)], schema
+    )
+    assert refresh_rollup(spark, b1, path, ["sensor_id"], "time", "1 hour", "temperature")
+    assert refresh_rollup(spark, b2, path, ["sensor_id"], "time", "1 hour", "temperature")
+
+    refreshed = read_rollup(spark, path)
+    full = rollup_partials(
+        b1.unionByName(b2), ["sensor_id"], "time", "1 hour", "temperature"
+    )
+    got = {tuple(r) for r in serve_stats(refreshed, ["sensor_id"]).collect()}
+    want = {tuple(r) for r in serve_stats(full, ["sensor_id"]).collect()}
+    assert got == want
+    # specifically: BOTH null-time rows are in the null-bin partial
+    (null_bin,) = [r for r in refreshed.collect() if r["bin"] is None]
+    assert null_bin["n"] == 2
+
+
 def test_incremental_refresh_touches_only_affected_dates(spark, raw, tmp_path):
     import os
 

@@ -88,9 +88,13 @@ def token_budget_allocation(
     window over the |groups|-row aggregate — the corpus is scanned ONCE and
     only the tiny aggregate passes through the single-partition window
     (sources are few by nature). Allocation is
-    ``floor(budget * group_tokens / total_tokens)`` in exact bigint
-    arithmetic — no floating point, so the mixture is bit-reproducible and
-    the sum never exceeds the budget.
+    ``floor(budget * group_tokens / total_tokens)`` in exact arithmetic —
+    no floating point, so the mixture is bit-reproducible and the sum never
+    exceeds the budget. The product is widened to ``decimal(38,0)`` before
+    the integral division: a trillion-token budget times a 100 TB corpus's
+    ~2.5e13 tokens is ~1e25, past bigint's 2^63 but comfortably inside 38
+    digits (the quotient is back under the budget, so the result stays
+    bigint).
     """
     per_group = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -99,7 +103,12 @@ def token_budget_allocation(
     w = Window.partitionBy()
     return (
         per_group.withColumn("__total", F.sum("n_tokens").over(w))
-        .withColumn("alloc_tokens", F.expr(f"({budget} * n_tokens) div __total"))
+        .withColumn(
+            "alloc_tokens",
+            F.expr(
+                f"(CAST({budget} AS DECIMAL(38,0)) * n_tokens) div __total"
+            ),
+        )
         .drop("__total")
     )
 
@@ -151,7 +160,22 @@ def weighted_mixture(
         base.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n_avail"))
         .withColumn("__w", wmap[F.col(group_col)])
-    )
+    ).persist()  # |sources| rows — lets the validation collect below reuse
+    # the count scan instead of paying a third corpus pass
+    # A weighted source with ZERO available rows makes the capacity
+    # T = min(avail/w) equal 0 — but it would simply be ABSENT from the
+    # aggregate, the min would ignore it, and the returned "mixture" would
+    # silently carry the wrong proportions (a typo'd source name sells a
+    # 100/0 split as 50/50). Validate by name instead.
+    present = {r[0] for r in avail.select(group_col).collect()}
+    missing = sorted(set(weights) - present)
+    if missing:
+        avail.unpersist()
+        raise ValueError(
+            f"weighted sources with zero available rows: {missing} — "
+            "capacity min(avail/w) is 0, so the target proportions are "
+            "unachievable; drop them from weights or fix the corpus"
+        )
     # |sources| rows: the unpartitioned window is free here
     rates = (
         avail.withColumn(
@@ -284,12 +308,20 @@ def knn_label_vote(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("votes"), F.asc_nulls_last("__lbl")
     )
+    # integral labels widen to bigint (stable schema for the oracle gate);
+    # any other label type — string classes, decimals — is returned AS IS:
+    # a hardcoded bigint cast would throw CAST_INVALID_INPUT under ANSI
+    # mode (or null every prediction with ANSI off) for 'spam'/'ham'-style
+    # labels the tie-break semantics explicitly support
+    pred = F.col("__lbl")
+    if dict(embeddings.dtypes)[label_col] in ("tinyint", "smallint", "int", "bigint"):
+        pred = pred.cast("bigint")
     return (
         votes.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .select(
             "query_id",
-            F.col("__lbl").cast("bigint").alias("predicted_label"),
+            pred.alias("predicted_label"),
             F.col("votes").cast("bigint").alias("votes"),
         )
     )

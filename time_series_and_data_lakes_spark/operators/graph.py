@@ -82,6 +82,7 @@ def connected_components(
         checkpoint_dir,
     )
     prev: tuple | None = None
+    converged = False
     for _ in range(max_iter):
         e = truncate_lineage(_small_star(_large_star(e)), checkpoint_dir)
         # order-independent fingerprint of the edge set (edges are distinct,
@@ -92,8 +93,17 @@ def connected_components(
         ).collect()[0]
         sig = (sig_row["n"], sig_row["sig"])
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # un-converged star edges do not yet point at component minima —
+        # returning them would silently merge/split dedup clusters
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "alternating large-star/small-star rounds (expected O(log n)); "
+            "raise max_iter"
+        )
     # converged star edges point node -> component min; representatives
     # (the minima) map to themselves
     return (

@@ -143,12 +143,26 @@ def _merged_level(
     partials = rollup_partials(delta, keys, time_col, step, value_col).withColumn(
         "date", F.to_date("bin")
     )
+    # checkpoint BEFORE the distinct-dates collect: partials is consumed
+    # twice (the collect and the union below), and un-truncated it would
+    # re-scan + re-aggregate the delta for each
+    partials = truncate_lineage(partials, checkpoint_dir)
     existing = read_parquet_if_exists(spark, path)
     if existing is not None:
         dates = [r["date"] for r in partials.select("date").distinct().collect()]
         if not dates:
             return None
-        touched = existing.filter(F.col("date").isin(dates))
+        # null-safe date membership: a delta row with a NULL time_col
+        # produces a NULL bin/date partial stored in the writer's default
+        # partition — plain isin() evaluates NULL for stored null-date rows,
+        # which would exclude their accumulated partials from the merge and
+        # the partition overwrite would then destroy them (the same
+        # NULL-partition hazard merge_upsert guards with eqNullSafe)
+        real = [d for d in dates if d is not None]
+        cond = F.col("date").isin(real) if real else F.lit(False)
+        if len(real) != len(dates):
+            cond = cond | F.col("date").isNull()
+        touched = existing.filter(cond)
         merged = (
             touched.unionByName(partials)
             .groupBy(*keys, "bin", "date")
@@ -215,12 +229,12 @@ def refresh_rollup(
     n = merged.count()
     if n == 0:
         return 0
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from time_series_and_data_lakes_spark.sources.merge import (
+        dynamic_partition_overwrite,
+    )
+
+    with dynamic_partition_overwrite(spark):
         merged.write.mode("overwrite").partitionBy("date").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n
 
 

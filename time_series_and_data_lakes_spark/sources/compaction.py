@@ -31,9 +31,6 @@ from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
 
-_OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
-
-
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -62,14 +59,14 @@ def compact_partitions(
     n = packed.count()
     if n == 0:
         return 0  # nothing selected: leave the store untouched
-    prev = spark.conf.get(_OVERWRITE_MODE)  # registered conf: always a value
-    spark.conf.set(_OVERWRITE_MODE, "dynamic")
-    try:
+    from time_series_and_data_lakes_spark.sources.merge import (
+        dynamic_partition_overwrite,
+    )
+
+    with dynamic_partition_overwrite(spark):
         (
             packed.write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(path)
         )
-    finally:
-        spark.conf.set(_OVERWRITE_MODE, prev)
     return n

@@ -20,12 +20,28 @@ snapshot-isolation-free semantics.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
 
 _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scope ``partitionOverwriteMode=dynamic`` to one write — the shared
+    save/set/restore dance merge, compaction, and rollup refresh all need
+    (a session-wide flip would change the semantics of every concurrent
+    overwrite in the session)."""
+    prev = spark.conf.get(_OVERWRITE_MODE)  # registered conf: always a value
+    spark.conf.set(_OVERWRITE_MODE, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(_OVERWRITE_MODE, prev)
 
 
 def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
@@ -81,21 +97,28 @@ def merge_upsert(
 
     cols = updates.columns
     if existing is not None:
-        kept = existing.join(
-            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-        )
+        # null-safe key equality: a NULL key component must match NULL
+        # (Delta MERGE's `<=>` convention) — a plain equi anti join never
+        # matches NULL=NULL, so the stored row would survive alongside the
+        # inserted update, duplicating the key after the overwrite (the
+        # same hazard the partition predicate above guards against).
+        # EqualNullSafe keys still hash-join, so the plan shape is
+        # unchanged.
+        upd_keys = updates.select(*key_cols).distinct().alias("u")
+        stored = existing.alias("s")
+        key_eq = None
+        for c in key_cols:
+            e = F.col(f"s.{c}").eqNullSafe(F.col(f"u.{c}"))
+            key_eq = e if key_eq is None else (key_eq & e)
+        kept = stored.join(upd_keys, on=key_eq, how="left_anti")
         merged = kept.select(*cols).unionByName(updates.select(*cols))
     else:
         merged = updates.select(*cols)
 
     merged = truncate_lineage(merged, checkpoint_dir)
     n = merged.count()
-    prev = spark.conf.get(_OVERWRITE_MODE)
-    spark.conf.set(_OVERWRITE_MODE, "dynamic")
-    try:
+    with dynamic_partition_overwrite(spark):
         merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set(_OVERWRITE_MODE, prev)
     return n
 
 

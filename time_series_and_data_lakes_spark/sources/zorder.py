@@ -52,9 +52,13 @@ def zorder_key(coords: list[Column], bits: int = 16) -> Column:
     )
 
     def halve(r: Column) -> Column:
-        return ((r - F.pmod(r, F.lit(2))) / 2).cast("bigint")
+        # shiftright is EXACT integral halving for the non-negative coords
+        # the contract requires — `(r - r%2) / 2` routes through double,
+        # which silently corrupts remainders past 2^53 (coordinates wider
+        # than ~53 bits produced wrong keys)
+        return F.shiftright(r, 1)
 
-    def step(acc: Column, _i: Column) -> Column:
+    def step(acc: Column, i: Column) -> Column:
         key = acc["key"] + functools.reduce(
             lambda a, b: a + b,
             [
@@ -62,9 +66,16 @@ def zorder_key(coords: list[Column], bits: int = 16) -> Column:
                 for j in range(k)
             ],
         )
+        # the multiplier after the FINAL step (2^(bits*k)) is never read,
+        # and at the advertised limit bits*k == 63 it would overflow bigint
+        # (ANSI mode fails the whole write) — CASE evaluates only the taken
+        # branch, so park it at 0 instead
         return F.struct(
             key.alias("key"),
-            (acc["mult"] * F.lit(1 << k)).alias("mult"),
+            F.when(i < bits, acc["mult"] * F.lit(1 << k))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("mult"),
             *[halve(acc[f"r{j}"]).alias(f"r{j}") for j in range(k)],
         )
 
@@ -152,7 +163,15 @@ def files_intersecting_box(
                 rgm = md.row_group(rg)
                 for ci in range(rgm.num_columns):
                     c = rgm.column(ci)
-                    if c.path_in_schema == col and c.statistics is not None:
+                    # has_min_max: a Statistics object may exist without
+                    # min/max (stats disabled or unsupported physical
+                    # type); None would poison the comparisons below, so
+                    # such files conservatively count as intersecting
+                    if (
+                        c.path_in_schema == col
+                        and c.statistics is not None
+                        and c.statistics.has_min_max
+                    ):
                         s = c.statistics
                         cmin = s.min if cmin is None else min(cmin, s.min)
                         cmax = s.max if cmax is None else max(cmax, s.max)
