@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import random
 
 import pytest
 
@@ -72,6 +73,51 @@ def test_ingest_stream_equals_batch_melt(spark, tmp_path):
     assert r["measure_name"] == "temperature"
     assert r["measure_value_double"] == rows[0]["temperature"]
     assert r["status"] == rows[0]["status"]
+
+
+@pytest.mark.parametrize(
+    "fail_point", ["after_stage", "mid_install", "after_install", "before_cleanup"]
+)
+def test_ingest_sink_crash_replay_never_duplicates(spark, tmp_path, fail_point):
+    """The narrow-store sink's staged-append protocol: a crash at ANY
+    transition (staged, mid-install, installed-but-unmarked, marked-but-
+    uncleaned) followed by a checkpoint replay must land the store at
+    exactly the batch melt — a bare mode('append') in foreachBatch would
+    duplicate the replayed batch's rows."""
+    from time_series_and_data_lakes_spark.streaming import ingest as ingest_mod
+
+    rows = sensor_readings(seed=7, sensors=3, span_seconds=45)
+    src = _write_json_batches(tmp_path, rows, n_batches=3)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        return start_narrow_store_sink(
+            melt_stream(read_json_stream(spark, src, max_files_per_trigger=1)),
+            store,
+            ckpt,
+        )
+
+    ingest_mod._FAIL_POINT = fail_point
+    try:
+        q = run()
+        with pytest.raises(Exception, match="injected ingest-sink crash"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    except Exception:
+        pass
+    finally:
+        ingest_mod._FAIL_POINT = None
+        for q in spark.streams.active:
+            q.stop()
+
+    q2 = run()
+    q2.awaitTermination(120)
+    got = spark.read.parquet(store)
+    assert got.count() == len(rows)  # every row exactly once
+    assert got.select("sensor_id", "time", "measure_name").distinct().count() == len(
+        rows
+    )
 
 
 def _write_kafka_shaped_batches(spark, tmp_path, rows, n_batches=4):
@@ -282,7 +328,10 @@ def test_export_window_idempotent(spark, tmp_path):
     p1 = export_window(df, base, start, end)
     first = sorted(tuple(r) for r in spark.read.parquet(p1).collect())
     p2 = export_window(df, base, start, end)  # re-run same window
-    assert p1 == p2 and p1.endswith(start.strftime("%Y-%m-%dT%H-%M"))
+    # this window starts at :20 seconds, so the stamp carries them (two
+    # same-minute windows must not share a prefix); minute-aligned windows
+    # keep the reference's 16-char layout — see window_path
+    assert p1 == p2 and p1.endswith(start.strftime("%Y-%m-%dT%H-%M-%S"))
     second = sorted(tuple(r) for r in spark.read.parquet(p2).collect())
     assert first == second
     # window filter is half-open
@@ -348,6 +397,112 @@ def test_compact_partitions_rewrites_small_files(spark, tmp_path):
     assert after.filter(
         (F.col("measure_name") == "temperature") & (F.col("date") == "2024-01-02")
     ).count() == 32
+
+
+def test_retention_skips_unparseable_date_partitions(spark, tmp_path):
+    # null event times land in date=__HIVE_DEFAULT_PARTITION__; a TTL job
+    # must skip what it cannot age, not die and stop expiring everything
+    import os
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [
+            ("s1", dt.datetime(2024, 1, 1, 12), "temperature", 1.0),
+            ("s1", None, "temperature", 2.0),
+        ],
+        "sensor_id string, time timestamp, measure_name string, measure_value_double double",
+    )
+    df.withColumn("date", F.to_date("time")).write.partitionBy(
+        "measure_name", "date"
+    ).parquet(store)
+    assert os.path.isdir(
+        f"{store}/measure_name=temperature/date=__HIVE_DEFAULT_PARTITION__"
+    )
+    removed = expire_partitions(store, dt.date(2024, 2, 1))
+    assert len(removed) == 1 and "date=2024-01-01" in removed[0]
+    # the null-date partition survives untouched
+    assert spark.read.parquet(store).count() == 1
+
+
+def test_compact_partitions_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Swap debris is hidden (dot-prefixed — a visible date=X.__tmp sibling
+    would be discovered as a STRING date partition and duplicate rows),
+    and the recovery preamble restores a backup stranded by a crash
+    between the two renames."""
+    from pathlib import Path
+
+    from time_series_and_data_lakes_spark.streaming.retention import (
+        _OLD_PREFIX,
+        _TMP_PREFIX,
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("s%d" % i, dt.datetime(2024, 1, 1, 12), "temperature", float(i)) for i in range(16)],
+        "sensor_id string, time timestamp, measure_name string, measure_value_double double",
+    )
+    (
+        df.withColumn("date", F.to_date("time"))
+        .repartition(4)
+        .write.partitionBy("measure_name", "date")
+        .parquet(store)
+    )
+    (leaf,) = Path(store).glob("measure_name=*/date=*")
+    rows = sorted(r["measure_value_double"] for r in spark.read.parquet(store).collect())
+
+    # simulate the crash window: leaf renamed to the hidden backup, the
+    # rewritten tmp dir still in place — the canonical leaf is MISSING
+    tmp = leaf.with_name(_TMP_PREFIX + leaf.name)
+    old = leaf.with_name(_OLD_PREFIX + leaf.name)
+    spark.read.parquet(str(leaf)).coalesce(1).write.parquet(str(tmp))
+    leaf.rename(old)
+    # debris dirs are dot-prefixed: hidden from Spark listing and from the
+    # module's own date=* globs (a visible sibling would be read as a
+    # string date partition and duplicate every row)
+    assert not leaf.exists() and tmp.name.startswith(".") and old.name.startswith(".")
+    # the next run heals: backup restored, debris gone, then compacts
+    compact_partitions(spark, store, target_file_bytes=1 << 30, min_files=2)
+    assert leaf.exists() and not old.exists() and not tmp.exists()
+    got = sorted(r["measure_value_double"] for r in spark.read.parquet(store).collect())
+    assert got == rows
+    assert len(list(leaf.glob("*.parquet"))) == 1  # compaction proceeded
+
+
+def test_export_sub_minute_windows_get_distinct_paths(spark, tmp_path):
+    # two windows starting in the same minute must not share a prefix
+    # (the second overwrite would silently destroy the first's data)
+    from time_series_and_data_lakes_spark.sources.export import backfill, window_path
+
+    base = str(tmp_path / "lake")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    assert window_path(base, t0) == f"{base}/2024-01-01T12-00"  # reference layout
+    assert (
+        window_path(base, t0 + dt.timedelta(seconds=30))
+        == f"{base}/2024-01-01T12-00-30"
+    )
+    df = spark.createDataFrame(
+        [("s1", t0 + dt.timedelta(seconds=s), float(s)) for s in range(60)],
+        "sensor_id string, time timestamp, v double",
+    )
+    paths = backfill(
+        lambda a, b: df,
+        base,
+        t0,
+        t0 + dt.timedelta(minutes=1),
+        dt.timedelta(seconds=30),
+    )
+    assert len(set(paths)) == 2
+    assert sum(spark.read.parquet(p).count() for p in paths) == 60
+    with pytest.raises(ValueError, match="step must be positive"):
+        backfill(lambda a, b: df, base, t0, t0 + dt.timedelta(minutes=1), dt.timedelta(0))
+
+
+def test_read_json_stream_rejects_nonpositive_trigger(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        read_json_stream(spark, str(src), max_files_per_trigger=0)
 
 
 def test_streaming_cep_tws_equals_batch(spark, tmp_path):
@@ -881,6 +1036,73 @@ def test_streaming_ewma_equals_batch_fold(spark, tmp_path):
         .collect()
     }
     assert final == want  # counts AND doubles bit-exact
+
+
+def test_streaming_ewma_orders_across_arrow_chunks_and_typed_keys(spark, tmp_path):
+    """A key whose batch exceeds arrow.maxRecordsPerBatch arrives as
+    MULTIPLE pandas chunks; sorting each chunk alone violates event-time
+    order across chunk boundaries and silently corrupts the fold. Also
+    pins the key-typed output schema: an integer key used to crash the
+    Arrow conversion against the hardcoded sensor_id:string field."""
+    import json as _json
+
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        ewma_stream,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        {"device_id": d, "event_time": t, "temperature": float(d * 100 + i)}
+        for d in (1, 2)
+        for i, t in enumerate(rng.sample(range(1_000_000, 1_000_060), 60))
+    ]
+    rng.shuffle(rows)  # one file, deliberately unsorted
+    src = tmp_path / "chunked"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        wide = (
+            spark.readStream.schema(
+                "device_id bigint, event_time long, temperature double"
+            )
+            .json(str(src))
+            .select("device_id", "event_time", "temperature")
+        )
+        out = ewma_stream(wide, alpha=0.25, key="device_id", time_col="event_time")
+        assert dict(out.dtypes)["device_id"] == "bigint"  # key-typed schema
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ewma_chunked")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    final = {}
+    for r in spark.sql("SELECT * FROM ewma_chunked").collect():
+        k = r["device_id"]
+        if k not in final or r["n_obs"] > final[k][0]:
+            final[k] = (r["n_obs"], r["ewma"])
+    # batch fold over the time-sorted rows — bit-exact expectation
+    want = {}
+    for d in (1, 2):
+        acc, n = None, 0
+        for r in sorted(
+            (r for r in rows if r["device_id"] == d), key=lambda r: r["event_time"]
+        ):
+            x = r["temperature"]
+            acc = x if acc is None else 0.25 * x + 0.75 * acc
+            n += 1
+        want[d] = (n, acc)
+    assert final == want
 
 
 def test_streaming_holt_equals_batch_fold(spark, tmp_path):

@@ -25,8 +25,20 @@ def window_path(base: str, window_start: dt.datetime) -> str:
     reference's rule (`dags/timestream-airflow-demo.py:41`: first 16 chars of
     the execution timestamp). The reference's literal ``hh:mm`` works on S3
     but a colon is a URI scheme separator to Hadoop paths, so ``-`` stands in
-    — still deterministic per window, which is all idempotency needs."""
-    return f"{base}/{window_start.strftime('%Y-%m-%dT%H-%M')}"
+    — still deterministic per window, which is all idempotency needs.
+
+    A sub-minute ``window_start`` extends the stamp with its seconds (and
+    microseconds when present): under the reference's 16-char truncation
+    two windows starting in the same minute would map to the SAME prefix
+    and the second overwrite would silently destroy the first window's
+    data. Minute-aligned windows — the reference's only case — keep the
+    reference's exact layout."""
+    stamp = window_start.strftime("%Y-%m-%dT%H-%M")
+    if window_start.second or window_start.microsecond:
+        stamp += f"-{window_start.second:02d}"
+        if window_start.microsecond:
+            stamp += f".{window_start.microsecond:06d}"
+    return f"{base}/{stamp}"
 
 
 def export_window(
@@ -68,6 +80,10 @@ def backfill(
 ) -> list[str]:
     """Historical re-run over past windows (T12): same deterministic-path
     writer per window, so repeats are byte-stable."""
+    if step <= dt.timedelta(0):
+        # a zero step never advances (infinite loop of Spark writes); a
+        # negative one walks away from `end` forever
+        raise ValueError(f"backfill step must be positive, got {step!r}")
     paths = []
     w = start
     while w < end:

@@ -50,6 +50,17 @@ EWMA_STATE_SCHEMA = T.StructType(
 )
 
 
+def _keyed_output_schema(
+    stream: DataFrame, key: str, default: T.StructType
+) -> T.StructType:
+    """Output schema with the key field named AND typed from the input —
+    a hardcoded sensor_id:string first field crashes the Arrow conversion
+    for integer keys and mislabels any custom key column."""
+    return T.StructType(
+        [T.StructField(key, stream.schema[key].dataType), *default.fields[1:]]
+    )
+
+
 def ewma_stream(
     stream: DataFrame,
     alpha: float = 0.2,
@@ -73,6 +84,7 @@ def ewma_stream(
     """
 
     ttl_ms = _ttl_millis(state_ttl)
+    out_schema = _keyed_output_schema(stream, key, EWMA_OUTPUT_SCHEMA)
 
     def process(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -82,7 +94,12 @@ def ewma_stream(
             state.remove()
             return
         n, acc = state.get if state.exists else (0, None)
-        for pdf in pdfs:
+        # a key's batch arrives as MULTIPLE Arrow chunks past
+        # maxRecordsPerBatch rows; each chunk sorted alone violates
+        # event-time order across chunk boundaries — concat, sort ONCE
+        chunks = list(pdfs)
+        pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)) if chunks else None
+        if pdf is not None:
             pdf = pdf.sort_values(time_col, kind="mergesort")
             for x in pdf[value_col]:
                 if pd.isna(x):
@@ -99,13 +116,11 @@ def ewma_stream(
             state.update((n, acc))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
-            yield pd.DataFrame(
-                {"sensor_id": [key_value], "n_obs": [n], "ewma": [acc]}
-            )
+            yield pd.DataFrame({key: [key_value], "n_obs": [n], "ewma": [acc]})
 
     return stream.groupBy(key).applyInPandasWithState(
         process,
-        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=_timeout_conf(ttl_ms),
@@ -147,6 +162,7 @@ def holt_stream(
     fold on resume)."""
 
     ttl_ms = _ttl_millis(state_ttl)
+    out_schema = _keyed_output_schema(stream, key, HOLT_OUTPUT_SCHEMA)
 
     def process(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -156,7 +172,10 @@ def holt_stream(
             state.remove()
             return
         n, l, b = state.get if state.exists else (0, None, None)
-        for pdf in pdfs:
+        # concat before the single sort — see the EWMA twin
+        chunks = list(pdfs)
+        pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)) if chunks else None
+        if pdf is not None:
             pdf = pdf.sort_values(time_col, kind="mergesort")
             for x in pdf[value_col]:
                 if pd.isna(x):
@@ -175,7 +194,7 @@ def holt_stream(
                 state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame(
                 {
-                    "sensor_id": [key_value],
+                    key: [key_value],
                     "n_obs": [n],
                     "holt_level": [l],
                     "holt_trend": [b],
@@ -184,7 +203,7 @@ def holt_stream(
 
     return stream.groupBy(key).applyInPandasWithState(
         process,
-        outputStructType=HOLT_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=HOLT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=_timeout_conf(ttl_ms),
