@@ -146,6 +146,41 @@ def _brute_want(rows):
     return want
 
 
+def test_min_b_zero_emits_adjacent_error_matches(spark):
+    """Pattern A B{0,max} C admits matches with ZERO interior rows; those
+    have no B-segment aggregate at all, so the join to segs must be a
+    left join with empty-B defaults — the inner join silently dropped
+    them (latent: every in-repo caller passes min_b >= 1)."""
+    rows = [
+        ("a", _t(0), "ERROR", 10.0),
+        ("a", _t(5), "ERROR", 30.0),  # adjacent pair: zero B rows
+        ("a", _t(20), "ERROR", 100.0),
+        ("a", _t(25), "OK", 50.0),
+        ("a", _t(30), "ERROR", 200.0),
+    ]
+    got = _run(spark, rows, min_b=0)
+    # skip-past-last-row consumes the ERROR at t=5; the next anchor is t=20
+    assert got == [
+        ("a", _t(0), 0, "", 10.0, 20.0, 30.0, 5),
+        ("a", _t(20), 1, "OK", 50.0, 116.67, 200.0, 10),
+    ]
+    # and the brute-force NFA agrees on random streams
+    for seed in range(3):
+        rnd = _random_stream(seed, 120)
+        got = _run(spark, rnd, min_b=0)
+        want = []
+        for key in sorted({r[0] for r in rnd}):
+            per_key = [(r[1], r[2], r[3]) for r in rnd if r[0] == key]
+            for m in brute_force_matches(per_key, min_b=0):
+                want.append(
+                    (key, m["event_time"], m["non_errors"], m["history"],
+                     m["min_temperature"], m["avg_temperature"],
+                     m["max_temperature"], m["elapsed"])
+                )
+        want.sort(key=lambda r: (r[0], r[1]))
+        assert got == want, f"seed={seed}"
+
+
 def test_property_matches_brute_force(spark):
     for seed in range(5):
         rows = _random_stream(seed, 120)

@@ -196,6 +196,10 @@ def test_lang_id_picks_stopword_language(spark):
     )
     got = {r["doc_id"]: r["p"] for r in df.select("doc_id", predicted_lang(F.col("text")).alias("p")).collect()}
     assert got == {1: "en", 2: "de", 3: "es"}
+    # null text -> NULL label, not a concrete fallthrough language
+    ndf = spark.createDataFrame([(9, None)], DOCS)
+    (r,) = ndf.select(predicted_lang(F.col("text")).alias("p")).collect()
+    assert r["p"] is None
 
 
 def test_quality_and_tokens(spark):
@@ -236,7 +240,7 @@ def test_kmeans_centroids_move_toward_clusters(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cent = kmeans_centroids(
-        df, df.filter(F.col("vec_id") < 2), iters=2, dim=4
+        df, df.filter(F.col("vec_id") < 2), iters=2
     ).collect()
     got = {r["vec_id"]: r["embedding"] for r in cent}
     assert set(got) == {0, 1}
@@ -385,11 +389,11 @@ def test_kmeans_reliable_checkpoint_matches_local(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     init = df.filter(F.col("vec_id") < 2)
-    local = {r["vec_id"]: r["embedding"] for r in kmeans_centroids(df, init, iters=2, dim=4).collect()}
+    local = {r["vec_id"]: r["embedding"] for r in kmeans_centroids(df, init, iters=2).collect()}
     reliable = {
         r["vec_id"]: r["embedding"]
         for r in kmeans_centroids(
-            df, init, iters=2, dim=4, checkpoint_dir=str(tmp_path / "km_ckpt")
+            df, init, iters=2, checkpoint_dir=str(tmp_path / "km_ckpt")
         ).collect()
     }
     # DECIMAL-exact sums -> bit-identical centroids in both modes
@@ -698,3 +702,72 @@ def test_weighted_mixture_rejects_degenerate_weights(spark):
             weighted_mixture(df, bad)
     # valid weights still work
     assert weighted_mixture(df, {"web": 1.0, "books": 1.0}).count() == 2
+
+
+def test_lsh_bands_short_docs_get_no_bands(spark):
+    """A shingle-less doc's minhash is all-null; concat_ws would silently
+    drop the nulls and give EVERY short doc the identical band md5 in
+    every band — one hot bucket, quadratic candidate blowup. The public
+    band API must emit an empty band array instead (matching the fused
+    path inside minhash_lsh_dedup)."""
+    from time_series_and_data_lakes_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "three"), (3, None), (4, "a b c d e f")], DOCS
+    )
+    got = {
+        r["doc_id"]: r["bands"]
+        for r in df.select(
+            "doc_id",
+            lsh_bands(minhash_signature(F.col("text"), num_hashes=8)).alias("bands"),
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []  # < 3 tokens / null
+    assert len(got[4]) == 4 and all(b is not None for b in got[4])
+
+
+def test_dedup_knob_validation(spark):
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], DOCS)
+    with pytest.raises(ValueError, match="divisible by bands"):
+        minhash_lsh_dedup(df, num_hashes=10, bands=4)
+    with pytest.raises(ValueError, match="n_bands .* must exceed"):
+        simhash_dedup(df, n_bands=3, max_hamming=3)
+
+
+def test_hyperplane_dim_mismatch_raises_not_bucket_zero(spark):
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        lsh_bucket_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 128), (2, [0.2] * 128)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="hyperplane_signature"):
+        lsh_bucket_pairs(emb, dim=64).collect()
+    # matching dim works
+    assert lsh_bucket_pairs(emb, dim=128, threshold=0.5).count() >= 0
+
+
+def test_melt_escapes_exotic_column_names(spark):
+    from time_series_and_data_lakes_spark.operators.melt import melt
+
+    df = spark.createDataFrame(
+        [("s1", 1.5, 2.5)], ["sensor_id", "o'clock", "back`tick"]
+    )
+    got = sorted(
+        (r["measure_name"], r["measure_value_double"])
+        for r in melt(df, dims=["sensor_id"], measures=["o'clock", "back`tick"]).collect()
+    )
+    assert got == [("back`tick", 2.5), ("o'clock", 1.5)]

@@ -195,15 +195,33 @@ def match_error_pattern(
         .filter(F.pmod(F.col("__rn"), F.lit(2)) == 1)
     )
 
+    # min_b=0 admits matches with ZERO interior rows (adjacent errors) —
+    # those have no segs row at all, so the join must be LEFT with empty-B
+    # defaults or valid matches silently vanish. min_b >= 1 keeps the inner
+    # join and the bare columns, bit-identical to the oracle-pinned plan.
+    if min_b >= 1:
+        how, b_count, history, b_temps = (
+            "inner",
+            F.col("__b_count"),
+            F.col("history"),
+            F.col("__b_temps"),
+        )
+    else:
+        how = "left"
+        b_count = F.coalesce(F.col("__b_count"), F.lit(0).cast("bigint"))
+        history = F.coalesce(F.col("history"), F.lit(""))
+        b_temps = F.coalesce(
+            F.col("__b_temps"), F.array().cast("array<double>")
+        )
     out = selected.join(
         segs,
         on=[selected[key] == segs[key], selected["__k"] == segs["__err_seq"]],
-        how="inner",
+        how=how,
     ).select(
         selected[key].alias(key),
         selected["__t_a"].alias("event_time"),
-        F.col("__b_count").alias("non_errors"),
-        F.col("history"),
+        b_count.alias("non_errors"),
+        history.alias("history"),
         F.least("__b_min", "__v_a", "__v_c").alias("min_temperature"),
         # Fold the match temperatures in row order (A, B..., C) and round via
         # an explicit floor(x*10^n + 0.5)/10^n: both the fold order and the
@@ -214,12 +232,12 @@ def match_error_pattern(
             F.floor(
                 F.aggregate(
                     F.concat(
-                        F.array(F.col("__v_a")), F.col("__b_temps"), F.array(F.col("__v_c"))
+                        F.array(F.col("__v_a")), b_temps, F.array(F.col("__v_c"))
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                / (F.col("__b_count") + F.lit(2))
+                / (b_count + F.lit(2))
                 * F.lit(float(10**round_avg))
                 + F.lit(0.5)
             )

@@ -138,26 +138,40 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> 
 def lsh_bands(sig: Column, bands: int = 4, rows_per_band: int = 2) -> Column:
     """Band signatures: md5 of 'band_index|mh1,mh2' — a doc pair collides on
     a band iff that band's minhashes all agree. The signature is let-bound so
-    it is computed once, not once per band reference."""
+    it is computed once, not once per band reference.
+
+    A shingle-less document (shorter than the shingle width, or null text)
+    carries an all-null signature and gets an EMPTY band array — it can
+    never be a candidate, matching the fused path inside
+    :func:`minhash_lsh_dedup`. (concat_ws silently drops nulls, so without
+    the guard every short doc would share the identical band md5 in every
+    band: at corpus scale one hot bucket holding millions of titles and
+    one-liners, and a quadratic all-pairs blowup inside it.)"""
     return let(
         sig,
-        lambda mh: F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "",
-                        F.lit(f"{b}|"),
+        lambda mh: F.when(
+            F.element_at(mh, 1).isNull(), F.array().cast("array<string>")
+        ).otherwise(
+            F.array(
+                *[
+                    F.md5(
                         F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(mh, b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ),
+                            "",
+                            F.lit(f"{b}|"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        mh, b * rows_per_band + r + 1
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                        )
                     )
-                )
-                for b in range(bands)
-            ]
+                    for b in range(bands)
+                ]
+            )
         ),
     )
 
@@ -173,6 +187,13 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs: LSH-banded candidates, verified with exact
     Jaccard over the shingle sets. Returns (doc_a, doc_b, jaccard >= thr)."""
+    if num_hashes % bands:
+        # trailing minhashes would be computed but never land in a band —
+        # silently changing the LSH sensitivity curve from the requested
+        # configuration
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     # Signatures are the expensive stage and are consumed three times (both
     # bucket-join sides + verify) — compute them in ONE fused Arrow pass
@@ -415,7 +436,15 @@ def simhash_dedup(
     """Near-duplicate pairs by SimHash: byte-band bucket join (pigeonhole:
     <= max_hamming differing bits with n_bands > max_hamming bands means at
     least one band collides), then exact Hamming filter."""
-    assert n_bands > max_hamming, "need more bands than allowed bit flips"
+    if n_bands <= max_hamming:
+        # the pigeonhole guarantee needs more bands than allowed bit flips;
+        # violated, the bucket join silently MISSES near-duplicate pairs
+        # whose differing bits spread one-per-band (an assert here would
+        # vanish under python -O)
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "or the band join misses legitimate near-duplicates"
+        )
     bits_per_band = n_bits // n_bands
     mask = (1 << bits_per_band) - 1
     base = (

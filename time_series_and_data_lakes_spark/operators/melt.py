@@ -30,13 +30,24 @@ def melt(
     the Lambda's dimension/measure whitelists (`app.py:56,60`). Measures are
     cast to double — the reference hard-codes ``MeasureValueType='DOUBLE'``
     (`app.py:27`).
+
+    Column names are escaped into the ``stack`` SQL (backticks doubled in
+    identifiers, quotes doubled in the measure-name literal) — this is the
+    package's one string-SQL construction, and an unescaped ``o'clock``
+    measure would break the literal (or inject an expression) where every
+    ``F.col`` path would not.
     """
-    stack_args = ", ".join(f"'{m}', CAST(`{m}` AS DOUBLE)" for m in measures)
+    ident = lambda c: c.replace("`", "``")  # noqa: E731
+    slit = lambda c: c.replace("'", "''")  # noqa: E731
+    stack_args = ", ".join(
+        f"'{slit(m)}', CAST(`{ident(m)}` AS DOUBLE)" for m in measures
+    )
     stack_expr = (
-        f"stack({len(measures)}, {stack_args}) AS ({measure_name_col}, {measure_value_col})"
+        f"stack({len(measures)}, {stack_args}) "
+        f"AS (`{ident(measure_name_col)}`, `{ident(measure_value_col)}`)"
     )
     cols = ([time_col] if time_col else []) + list(dims)
-    return df.selectExpr(*[f"`{c}`" for c in cols], stack_expr).filter(
+    return df.selectExpr(*[f"`{ident(c)}`" for c in cols], stack_expr).filter(
         F.col(measure_value_col).isNotNull()
     )
 

@@ -208,7 +208,6 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means trainer for the IVF coarse quantizer (the production
@@ -312,7 +311,14 @@ def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit p is the sign of w_p·v."""
+    """Random-hyperplane LSH bucket id: bit p is the sign of w_p·v.
+
+    A vector whose length differs from the plane dimension raises instead
+    of hashing: zip_with pads the shorter side with nulls, every
+    projection goes null, and EVERY such vector would land in bucket 0 —
+    silently turning the bucket join into the all-pairs quadratic it
+    exists to avoid."""
+    dim = len(weights[0])
     sig = F.lit(0).cast("bigint")
     for p, w in enumerate(weights):
         w_lit = F.array(*[F.lit(x) for x in w])
@@ -320,7 +326,15 @@ def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
         sig = sig + F.when(proj >= 0, F.lit(2**p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return sig
+    return F.when(F.size(vec) == dim, sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("hyperplane_signature: vector length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != plane dim {dim} — pass the embeddings' real dim"),
+            )
+        )
+    )
 
 
 def lsh_bucket_pairs(
@@ -450,7 +464,7 @@ def pq_train(
         sub = v.select("vec_id", _sub(F.col("v"), m, sub_dim).alias("embedding"))
         init = init_ids.select("vec_id", _sub(F.col("v"), m, sub_dim).alias("embedding"))
         cent = kmeans_centroids(
-            sub, init, iters=iters, dim=sub_dim, checkpoint_dir=checkpoint_dir
+            sub, init, iters=iters, checkpoint_dir=checkpoint_dir
         )
         rows = sorted(
             ((r["vec_id"], list(r["embedding"])) for r in cent.collect()),

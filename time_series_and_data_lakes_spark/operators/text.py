@@ -61,14 +61,44 @@ def lang_scores(text: Column) -> dict[str, Column]:
 def predicted_lang(text: Column) -> Column:
     """First language (code order) attaining the maximum stopword ratio —
     a deterministic argmax whose CASE-chain form is written identically in
-    the DuckDB oracle."""
-    scores = lang_scores(text)
-    langs = sorted(scores)
-    m = F.greatest(*[scores[lang] for lang in langs])
-    out = F.when(scores[langs[0]] == m, F.lit(langs[0]))
-    for lang in langs[1:-1]:
-        out = out.when(scores[lang] == m, F.lit(lang))
-    return out.otherwise(F.lit(langs[-1]))
+    the DuckDB oracle.
+
+    Null text propagates NULL (it used to fall through every null CASE
+    condition to the last code — a concrete 'zh' label on a missing
+    document skews per-language corpus statistics). The tokenization and
+    the per-language ratios are let-bound so each is computed once per
+    row: HOF projections run interpreted with no subexpression
+    elimination, and the naive form re-tokenized the text ~15x per row
+    (greatest + every CASE arm) on corpus-wide scans."""
+    from time_series_and_data_lakes_spark.operators.dedup import let
+
+    langs = sorted(LANG_STOPWORDS)
+
+    def ratio(toks: Column, stopwords: list[str]) -> Column:
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+
+    def pick(scores: Column) -> Column:
+        m = F.greatest(*[scores[f"s_{lang}"] for lang in langs])
+        out = F.when(scores[f"s_{langs[0]}"] == m, F.lit(langs[0]))
+        for lang in langs[1:-1]:
+            out = out.when(scores[f"s_{lang}"] == m, F.lit(lang))
+        return out.otherwise(F.lit(langs[-1]))
+
+    def with_toks(toks: Column) -> Column:
+        return let(
+            F.struct(
+                *[
+                    ratio(toks, LANG_STOPWORDS[lang]).alias(f"s_{lang}")
+                    for lang in langs
+                ]
+            ),
+            pick,
+        )
+
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+        let(tokens_col(text), with_toks)
+    )
 
 
 def quality_score(text: Column) -> Column:
@@ -220,10 +250,17 @@ def bm25_topk(
     Determinism contract (what makes this hash-oracle-able): idf uses the
     RATIONAL form ``(N - df + 0.5) / (df + 0.5)`` instead of the customary
     ``ln`` of it — ``ln`` is evaluated by each engine's libm and is not
-    bit-portable, while the rational form is plain IEEE arithmetic; ``ln``
-    is monotone, so rankings are unchanged (scores are scaled). All tf/df/
-    length inputs are integers; the float expression tree (including the
-    term-order sum) is identical on both engines.
+    bit-portable, while the rational form is plain IEEE arithmetic. This
+    makes the scorer a documented BM25 VARIANT, not a rescaling: ln is
+    monotone per term, but the cross-term SUM weights rare terms far more
+    heavily under the rational form (idf ratios compound instead of
+    adding), and common terms (df > N/2) keep a small positive weight
+    where log-idf would go negative — multi-term rankings can differ from
+    textbook BM25. The trade is deliberate: single-term rankings are
+    identical, the variant is stated here, and cross-engine bit-equality
+    is what the oracle gate needs. All tf/df/length inputs are integers;
+    the float expression tree (including the term-order sum) is identical
+    on both engines.
 
     At 100 TB: two scans of the corpus (statistics + scoring — the
     statistics pass prunes to tokenized lengths only), a 1-row broadcast,

@@ -535,13 +535,16 @@ def _lang_oracle() -> str:
             f"len(list_filter(toks, t -> list_contains([{words}], t))) / len(toks) AS s_{lang}"
         )
     m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
-    case = "CASE " + " ".join(
+    # null text -> NULL label (the operator null-propagates; without the
+    # guard both engines' null CASE conditions would fall through to the
+    # last code, labeling missing documents 'zh')
+    case = "CASE WHEN tnull THEN NULL " + " ".join(
         f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs[:-1]
     ) + f" ELSE '{langs[-1]}' END"
     return f"""
 WITH sc AS (
-  SELECT doc_id, lang, {', '.join(score_cols)}
-  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+  SELECT doc_id, lang, text IS NULL AS tnull, {', '.join(score_cols)}
+  FROM (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents)
 ), mx AS (
   SELECT doc_id, lang, {m} AS m, * EXCLUDE (doc_id, lang) FROM sc
 )
@@ -754,7 +757,6 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < _N_CENTROIDS),
         iters=_KMEANS_ITERS,
-        dim=_EMB_DIM,
     )
     out = S.ivf_topk(
         emb,
