@@ -98,6 +98,65 @@ def test_representative_queries_match_oracle_on_dirty_tables(
     assert_matches_oracle(entry.queries()[name](spark, dirty_sf), dirty_sf, sql, name)
 
 
+def test_tie_and_null_boundaries_match_oracle(spark, tmp_path):
+    """Adversarial ordering fixture the periodic null injection cannot
+    produce: duplicate per-key timestamps whose tied rows differ in value,
+    including a NULL tied with a real reading at the window boundary.
+    Pins two cross-engine hazards found by review: g9's min_by struct
+    comparator sorts the null field FIRST while the oracle's ORDER BY is
+    NULLS LAST (open flipped between NULL and the value), and
+    analytics_moving_window ordered by time alone, leaving every
+    tie-spanning frame sum nondeterministic."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for sensor in (1, 2):
+        for k, (off, vals) in enumerate(
+            {
+                0: [None, 10.0 * sensor],       # null ties a real reading
+                3600: [5.0, 9.0],               # two real readings tie
+                7200: [7.5],                    # lone reading
+                10800: [None, 2.0, 2.0],        # exact duplicate + null
+            }.items()
+        ):
+            for v in vals:
+                rows.append(
+                    (eid, t0 + dt.timedelta(seconds=off), sensor, "ok", v, "{}")
+                )
+                eid += 1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "ties")
+    os.makedirs(sf)
+    # single parquet FILE (the driver's layout; DuckDB reads it directly)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    for name in ("g9_ohlc_per_sensor", "analytics_moving_window"):
+        assert_matches_oracle(
+            entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
+        )
+    # semantics, not just parity: the boundary null does not null the open
+    got = {
+        r["sensor_id"]: (r["open"], r["close"], r["n_obs"])
+        for r in entry.queries()["g9_ohlc_per_sensor"](spark, sf).collect()
+    }
+    assert got[1] == (10.0, 2.0, 8) and got[2] == (20.0, 2.0, 8)
+
+
 @pytest.mark.skipif(
     not os.environ.get("TSDL_DIRTY_SWEEP"),
     reason="set TSDL_DIRTY_SWEEP=1 for the full 108-query dirty-input sweep",

@@ -58,6 +58,35 @@ def test_asof_join_backward_inclusive_left(spark):
     assert len(out) == 4                          # left row count preserved
 
 
+def test_asof_join_matched_row_nulls_come_through_whole(spark):
+    """ASOF semantics carry the MATCHED row, nulls and all: a per-column
+    ignorenulls carry would skip a matched row's legitimately-NULL value
+    (returning a stale older row's value) and could stitch one output row
+    from DIFFERENT right rows. DuckDB 'ASOF LEFT JOIN' returns NULL here —
+    verified divergence before the struct fix."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("k", _t(3))], "k string, time timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _t(1), 10.0, "old"), ("k", _t(2), None, "new")],
+        "k string, time timestamp, v double, tag string",
+    )
+    (row,) = asof_join(left, right, ["k"], right_values=["v", "tag"]).collect()
+    # the t=2 row matched: its NULL v comes through, and tag comes from the
+    # SAME row (not v=10.0 from t=1 paired with tag='new' from t=2)
+    assert row["v"] is None and row["tag"] == "new"
+
+    # output-name collision with a left column is rejected, not emitted as
+    # an ambiguous duplicate column
+    left2 = spark.createDataFrame([("k", _t(3), 1.0)], "k string, time timestamp, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right, ["k"], right_values=["v"])
+    out = asof_join(left2, right, ["k"], right_values=["v"], suffix="_r")
+    assert set(out.columns) == {"k", "time", "v", "v_r"}
+
+
 def test_range_join_inclusive_bounds_and_bucket_spans(spark):
     from time_series_and_data_lakes_spark.operators.intervals import range_join
 

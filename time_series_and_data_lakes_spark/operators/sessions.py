@@ -55,21 +55,43 @@ def asof_join(
     (null when no prior right row — LEFT semantics).
 
     Distributed formulation: union both sides tagged, one window pass with
-    ``last(..., ignorenulls)`` carrying right values forward, keep left rows
-    — one exchange + one sort sized |L|+|R|, the canonical shuffle-minimal
-    as-of. Right rows order before left rows at equal timestamps, so the
-    match is inclusive (>=), exactly DuckDB's ``ASOF JOIN ... ON l.t >= r.t``.
-    Right (key, time) pairs must be unique — pre-aggregate the right side,
-    otherwise the carried value is order-nondeterministic.
+    ``last(..., ignorenulls)`` carrying the matched right ROW forward as a
+    single struct, keep left rows — one exchange + one sort sized |L|+|R|,
+    the canonical shuffle-minimal as-of. The struct is what makes the
+    semantics exact: carrying each value column separately would skip a
+    matched row's legitimately-NULL value (``ignorenulls`` operates per
+    column) and could stitch one output row from DIFFERENT right rows;
+    the struct is null-or-whole-row, so the matched row's own NULLs come
+    through — exactly DuckDB's ``ASOF LEFT JOIN ... ON l.t >= r.t``.
+    Right rows order before left rows at equal timestamps, so the match
+    is inclusive (>=). Right (key, time) pairs must be unique —
+    pre-aggregate the right side, otherwise the carried value is
+    order-nondeterministic.
     """
+    from pyspark.sql import types as T
+
     right_values = list(right_values)
     left_cols = [c for c in left.columns]
+    out_left = [c for c in left_cols if c not in keys and c != left_time]
+    clashes = {f"{c}{suffix}" for c in right_values} & set(
+        list(keys) + [left_time] + out_left
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join output names {sorted(clashes)} collide with left "
+            "columns — pass suffix= to disambiguate"
+        )
+    if not right_values:  # nothing to attach: the join is the left side
+        return left.select(*keys, left_time, *out_left)
+    r_struct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_values]
+    )
     l_side = left.select(
         *[F.col(k) for k in keys],
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_l"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols if c not in keys],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+        F.lit(None).cast(r_struct_t).alias("__r"),
     )
     r_side = right.select(
         *[F.col(k) for k in keys],
@@ -80,7 +102,7 @@ def asof_join(
             for c in left_cols
             if c not in keys
         ],
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__r"),
     )
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
@@ -92,11 +114,11 @@ def asof_join(
         "__t",
         "__is_l",
         *[F.col(f"__l_{c}") for c in left_cols if c not in keys],
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_values],
+        F.last("__r", ignorenulls=True).over(w).alias("__rm"),
     )
     return carried.filter(F.col("__is_l") == 1).select(
         *keys,
         F.col("__t").alias(left_time),
-        *[F.col(f"__l_{c}").alias(c) for c in left_cols if c not in keys and c != left_time],
-        *[F.col(f"{c}{suffix}") for c in right_values],
+        *[F.col(f"__l_{c}").alias(c) for c in out_left],
+        *[F.col("__rm")[c].alias(f"{c}{suffix}") for c in right_values],
     )

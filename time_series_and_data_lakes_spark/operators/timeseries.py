@@ -371,9 +371,12 @@ def time_bin(col: Column | str, step: str = "30 seconds") -> Column:
     """Timestream's ``bin(time, interval)`` (`grafana…json:121,392,518`):
     floor a timestamp to a multiple of ``step`` since the Unix epoch.
 
-    Implemented as epoch-microsecond floor arithmetic (identical semantics to
-    DuckDB ``make_timestamp(epoch_us(ts) - epoch_us(ts) % step)``) so oracle
-    comparison is exact and the expression stays inside whole-stage codegen.
+    Implemented as epoch-microsecond floor arithmetic via ``pmod``, which
+    floors toward -inf — the oracle twin is DuckDB
+    ``make_timestamp(epoch_us(ts) - ((epoch_us(ts) % step + step) % step))``
+    (plain ``%`` truncates toward zero and would diverge by a full bin on
+    any pre-1970 timestamp). Exact cross-engine, stays inside whole-stage
+    codegen.
     """
     c = F.col(col) if isinstance(col, str) else col
     step_us = F.lit(_interval_micros(step))

@@ -33,10 +33,13 @@ def count_nodes(plan: str | DataFrame, name: str) -> int:
 
 def pushed_filters(plan: str | DataFrame) -> list[str]:
     """Every ``PushedFilters`` list in the plan's scans, one string per scan
-    — empty brackets mean the scan reads unfiltered."""
+    — empty brackets mean the scan reads unfiltered. Greedy to the line's
+    LAST bracket: an ``In(col, [a,b])`` pushdown carries brackets of its
+    own, and a lazy match would truncate at the first one, silently
+    dropping every filter after it."""
     if isinstance(plan, DataFrame):
         plan = formatted_plan(plan)
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    return re.findall(r"PushedFilters: \[(.*)\]", plan)
 
 
 def plan_fingerprint(plan: str | DataFrame) -> str:

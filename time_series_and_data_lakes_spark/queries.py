@@ -46,6 +46,28 @@ GRID_STEP = "INTERVAL 1 HOUR"
 GRID_STEP_SQL = "INTERVAL 1 HOUR"
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer peek (driver-side, no Spark job): does events.ts carry
+    parquet TIMESTAMP(NANOS)? Decides whether ``load`` must engage the
+    session-wide ``nanosAsLong`` legacy conf."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    sample = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        sample = parts[0]
+    try:
+        field = pq.ParquetFile(sample).schema_arrow.field("ts")
+    except (KeyError, OSError):
+        return False
+    return str(field.type).startswith("timestamp[ns")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The grading driver supplies its own session; pin the timestamp
     # semantics the oracles assume (runtime-settable confs only).
@@ -57,8 +79,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # if it arrives as a long (legacy nanos), floor-convert to
         # microsecond timestamps — the same truncation DuckDB applies, so
         # oracle comparisons stay exact; if it is already a timestamp, use
-        # it as-is.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # it as-is. The nanosAsLong conf is SESSION-WIDE and must persist
+        # through lazy execution (it cannot be save/restored around the
+        # read), so it is engaged only when the footer actually carries
+        # nanos — a micros store leaves the shared driver session's parquet
+        # semantics untouched.
+        if _events_ts_is_nanos(f"{sf_dir}/events.parquet"):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type == "long":  # LongType.typeName() is always 'long'
@@ -349,7 +376,7 @@ def g5_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 G5_ORACLE = """
-SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS time_bin,
+SELECT make_timestamp(epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) AS time_bin,
        round(avg(value), 6) AS avg_temperature,
        round(quantile_cont(value, 0.9), 6) AS p90_temperature,
        round(quantile_cont(value, 0.75), 6) AS p75_temperature
@@ -491,7 +518,7 @@ def g7_per_sensor_interval_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 G7_ORACLE = """
 SELECT user_id AS sensor_id,
-       make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS time_bin,
+       make_timestamp(epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) AS time_bin,
        max(value) AS max_temperature
 FROM events
 GROUP BY 1, 2
@@ -879,7 +906,7 @@ def g1_cep_pivot_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
 G1_ORACLE = (
     "WITH cep AS (" + F2_ORACLE + """)
 SELECT sensor_id,
-       make_timestamp(epoch_us(event_time) - epoch_us(event_time) % 86400000000) AS time_bin,
+       make_timestamp(epoch_us(event_time) - ((epoch_us(event_time) % 86400000000 + 86400000000) % 86400000000)) AS time_bin,
        max(CAST(min_temperature AS DOUBLE)) AS min_temperature,
        max(CAST(avg_temperature AS DOUBLE)) AS avg_temperature,
        max(CAST(max_temperature AS DOUBLE)) AS max_temperature,
@@ -1071,7 +1098,7 @@ def rollup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_CASCADE_ORACLE = """
 SELECT user_id AS sensor_id,
-       make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS time_bin,
+       make_timestamp(epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) AS time_bin,
        count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_temperature,
        min(value) AS min_temperature,
@@ -1385,7 +1412,14 @@ def analytics_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     obs = sensor_obs(spark, sf_dir)
-    w = Window.partitionBy("sensor_id").orderBy("time")
+    # (time, temperature NULLS LAST) ordering: time alone leaves the frame
+    # contents nondeterministic when a sensor repeats a timestamp with
+    # different values (the row-frame sums then differ run-to-run and
+    # engine-to-engine); nulls-last matches DuckDB's ASC default, where
+    # Spark's is nulls-first — same tie discipline as g9/f3/gap_report.
+    w = Window.partitionBy("sensor_id").orderBy(
+        F.col("time"), F.col("temperature").asc_nulls_last()
+    )
     w5 = w.rowsBetween(-4, 0)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     dec = F.col("temperature").cast("decimal(12,2)")
@@ -1401,11 +1435,11 @@ def analytics_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANALYTICS_ORACLE = """
 SELECT user_id AS sensor_id, ts AS time,
   CAST(sum(CAST(value AS DECIMAL(12,2)))
-       OVER (PARTITION BY user_id ORDER BY ts
+       OVER (PARTITION BY user_id ORDER BY ts, value
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS VARCHAR) AS moving_sum_5,
-  count(*) OVER (PARTITION BY user_id ORDER BY ts
+  count(*) OVER (PARTITION BY user_id ORDER BY ts, value
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
-  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS event_seq
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS BIGINT) AS event_seq
 FROM events
 """
 
@@ -1738,12 +1772,23 @@ def g9_ohlc_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     break ties on the value (ADVICE_r4) — deterministic for ANY fixture,
     matching the (ts, value) ordering the sequential folds pin."""
     obs = sensor_obs(spark, sf_dir)
+    # open/close rank NON-NULL readings only (repo-wide null-measurement
+    # convention): unfiltered, a null sharing the boundary timestamp with
+    # a real reading diverges across engines — Spark's struct comparator
+    # sorts the null field FIRST while the oracle's ORDER BY is NULLS
+    # LAST, so min_by returned NULL where row_number picked the value.
     return obs.groupBy("sensor_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.expr("min_by(temperature, struct(time, temperature))").alias("open"),
+        F.expr(
+            "min_by(temperature, struct(time, temperature)) "
+            "FILTER (WHERE temperature IS NOT NULL)"
+        ).alias("open"),
         F.max("temperature").alias("high"),
         F.min("temperature").alias("low"),
-        F.expr("max_by(temperature, struct(time, temperature))").alias("close"),
+        F.expr(
+            "max_by(temperature, struct(time, temperature)) "
+            "FILTER (WHERE temperature IS NOT NULL)"
+        ).alias("close"),
     )
 
 
@@ -1753,13 +1798,17 @@ WITH ranked AS (
     row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn_a,
     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn_d
   FROM events
+  WHERE value IS NOT NULL
+), counts AS (
+  SELECT user_id, count(*) AS n_obs FROM events GROUP BY user_id
 )
-SELECT user_id AS sensor_id, count(*) AS n_obs,
+SELECT c.user_id AS sensor_id, c.n_obs AS n_obs,
        max(CASE WHEN rn_a = 1 THEN value END) AS open,
        max(value) AS high,
        min(value) AS low,
        max(CASE WHEN rn_d = 1 THEN value END) AS close
-FROM ranked GROUP BY user_id
+FROM counts c LEFT JOIN ranked r ON c.user_id = r.user_id
+GROUP BY c.user_id, c.n_obs
 """
 
 
@@ -1784,7 +1833,7 @@ def g10_error_rate_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ERROR_RATE_ORACLE = """
-SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bin,
+SELECT make_timestamp(epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) AS bin,
        count(*) AS n_total,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / count(*)
@@ -1813,7 +1862,7 @@ def g8_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HEATMAP_ORACLE = f"""
-SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bin,
+SELECT make_timestamp(epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) AS bin,
        (floor(value / {_HEATMAP_BAND}) * {_HEATMAP_BAND})::BIGINT AS band_low,
        count(*) AS n
 FROM events GROUP BY 1, 2
