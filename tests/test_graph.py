@@ -102,6 +102,23 @@ def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
     assert written, "reliable mode wrote no checkpoint files"
 
 
+def test_label_propagation_ties_prefer_real_labels_over_null(spark):
+    # tie-break is nulls-LAST (the SQL oracle's `ORDER BY votes DESC,
+    # label` and the kNN convention) — F.asc's nulls-first default would
+    # hand a tied node the NULL label
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from time_series_and_data_lakes_spark.operators.graph import label_propagation
+
+    edges = [("s1", "n"), ("s2", "n")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("s1", None), ("s2", "spam")], "node string, label string"
+    )
+    (row,) = label_propagation(e, seeds, iters=1).collect()
+    assert (row["node"], row["label"], row["votes"]) == ("n", "spam", 1)
+
+
 def test_label_propagation_matches_python_reference(spark):
     # Synchronous unweighted LP on a random graph vs a brute-force Python
     # implementation of the same update rule (majority of neighbors'

@@ -163,7 +163,12 @@ def label_propagation(
         F.col(node_col).alias("node"), F.col(label_col).alias("label")
     )
     labels = seed_lab
-    w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
+    # nulls-last tie-break: matches the SQL oracle's `ORDER BY votes DESC,
+    # label` (DuckDB NULLS LAST) and the kNN twin's convention — F.asc's
+    # nulls-FIRST default would prefer a NULL-labeled vote on ties
+    w = Window.partitionBy("node").orderBy(
+        F.desc("votes"), F.asc_nulls_last("label")
+    )
     new = None
     for _ in range(iters):
         votes = (

@@ -152,10 +152,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_oracle() -> str:
-    return f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-sym AS (
+# Shared recursive fixpoint over a `pairs` CTE — the SQL twin of
+# operators/graph.py::connected_components, used by every oracle that
+# labels dup clusters (a second hand-copy of this block once risked the
+# two formulations silently diverging).
+_COMPONENTS_CTES = """sym AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
   SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -167,7 +168,13 @@ reach(a, b) AS (
 ),
 labels AS (
   SELECT a AS doc_id, least(a, min(b)) AS component_id FROM reach GROUP BY a
-)
+)"""
+
+
+def _components_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+{_COMPONENTS_CTES}
 SELECT doc_id, component_id,
        count(*) OVER (PARTITION BY component_id) AS component_size
 FROM labels
@@ -302,19 +309,7 @@ def dedup_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_retention_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-sym AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b AS a, doc_a AS b FROM pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
-),
-labels AS (
-  SELECT a AS doc_id, least(a, min(b)) AS component_id FROM reach GROUP BY a
-),
+{_COMPONENTS_CTES},
 dropped AS (
   SELECT doc_id FROM labels WHERE doc_id <> component_id
 )
@@ -341,6 +336,13 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast anchors; all counts integer-exact, ratios rational."""
     docs = _load_docs(spark, sf_dir)
     approx = D.minhash_lsh_dedup(docs, threshold=0.8).select("doc_a", "doc_b")
+    return _pair_eval(docs, approx)
+
+
+def _pair_eval(docs: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared audit shape for the sketch-vs-exact evaluations: recall /
+    precision of ``approx`` against the exact Jaccard >= 0.8 join, as
+    three broadcast 1-row aggregates (integer counts, rational ratios)."""
     exact = D.ngram_jaccard_pairs(docs, threshold=0.8, max_df=None).select(
         "doc_a", "doc_b"
     )
@@ -359,8 +361,10 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_EVAL_ORACLE = f"""
-WITH approx AS ({_minhash_oracle()}),
+def _eval_oracle(approx_sql: str) -> str:
+    """SQL twin of :func:`_pair_eval`, parameterized on the sketch CTE."""
+    return f"""
+WITH approx AS ({approx_sql}),
 exact AS ({_ngram_jaccard_oracle(threshold=0.8, max_df=None)}),
 hit AS (
   SELECT a.doc_a, a.doc_b FROM approx a
@@ -372,6 +376,9 @@ SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
        (SELECT count(*) FROM hit) / (SELECT count(*) FROM exact) AS recall,
        (SELECT count(*) FROM hit) / (SELECT count(*) FROM approx) AS precision
 """
+
+
+DEDUP_MINHASH_EVAL_ORACLE = _eval_oracle(_minhash_oracle())
 
 
 def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,37 +392,10 @@ def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = D.simhash_dedup(docs, n_bits=48, max_hamming=2).select(
         "doc_a", "doc_b"
     )
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.8, max_df=None).select(
-        "doc_a", "doc_b"
-    )
-    hit = approx.join(exact, on=["doc_a", "doc_b"], how="inner")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(F.broadcast(approx.agg(F.count(F.lit(1)).alias("n_approx"))))
-        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
-        .select(
-            "n_exact",
-            "n_approx",
-            "n_hit",
-            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
-            (F.col("n_hit") / F.col("n_approx")).alias("precision"),
-        )
-    )
+    return _pair_eval(docs, approx)
 
 
-DEDUP_SIMHASH_EVAL_ORACLE = f"""
-WITH approx AS ({_simhash_oracle(n_bits=48, max_hamming=2)}),
-exact AS ({_ngram_jaccard_oracle(threshold=0.8, max_df=None)}),
-hit AS (
-  SELECT a.doc_a, a.doc_b FROM approx a
-  JOIN exact e ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
-)
-SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
-       (SELECT count(*) FROM approx)::BIGINT AS n_approx,
-       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
-       (SELECT count(*) FROM hit) / (SELECT count(*) FROM exact) AS recall,
-       (SELECT count(*) FROM hit) / (SELECT count(*) FROM approx) AS precision
-"""
+DEDUP_SIMHASH_EVAL_ORACLE = _eval_oracle(_simhash_oracle(n_bits=48, max_hamming=2))
 
 
 _CONTAINMENT_THRESHOLD = 0.9
@@ -526,14 +506,36 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_case_sql(toks_expr: str) -> str:
+    """SQL twin of ``operators/text.py::quality_score``, parameterized on
+    the token-list expression — THE shared fragment: three oracles
+    (text_quality, the funnel, the deciles) carry this formula, and a
+    hand-copy once drifted."""
+    return f"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
+  (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
+  + (CASE WHEN length(text) / len({toks_expr}) >= 3.0
+          AND length(text) / len({toks_expr}) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3
+  END"""
+
+
+def _lang_score_cols(toks: str = "toks") -> list[str]:
+    """Per-language stopword-ratio SELECT items — the SQL twin of
+    ``operators/text.py::lang_scores``, shared by the lang-id and funnel
+    oracles (whose lang copy once lost the null-text guard)."""
+    cols = []
+    for lang in sorted(X.LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
+        cols.append(
+            f"len(list_filter({toks}, t -> list_contains([{words}], t)))"
+            f" / len({toks}) AS s_{lang}"
+        )
+    return cols
+
+
 def _lang_oracle() -> str:
     langs = sorted(X.LANG_STOPWORDS)
-    score_cols = []
-    for lang in langs:
-        words = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
-        score_cols.append(
-            f"len(list_filter(toks, t -> list_contains([{words}], t))) / len(toks) AS s_{lang}"
-        )
+    score_cols = _lang_score_cols()
     m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     # null text -> NULL label (the operator null-propagates; without the
     # guard both engines' null CASE conditions would fall through to the
@@ -562,12 +564,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUALITY_ORACLE = f"""
 SELECT doc_id,
-  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-  (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
-  + (CASE WHEN length(text) / len({_TOKS}) >= 3.0
-          AND length(text) / len({_TOKS}) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
-  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3
-  END AS quality
+  {_quality_case_sql(_TOKS)} AS quality
 FROM documents
 """
 
@@ -613,7 +610,6 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_H = _h64_sql("g", 0).replace("{s}", "g")
 TEXT_WINNOW_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 roll AS (

@@ -23,8 +23,10 @@ from time_series_and_data_lakes_spark.queries_ext import (
     _cosine_sql,
     _dot_sql,
     _h64_sql,
+    _lang_score_cols,
     _load_docs,
     _load_embeddings,
+    _quality_case_sql,
     _SHINGLES,
     _TOKS,
 )
@@ -236,25 +238,17 @@ def pipe_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _funnel_oracle() -> str:
     langs = sorted(X.LANG_STOPWORDS)
-    score_cols = []
-    for lang in langs:
-        words = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
-        score_cols.append(
-            f"len(list_filter(toks, t -> list_contains([{words}], t))) / len(toks) AS s_{lang}"
-        )
+    score_cols = _lang_score_cols()
     m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # null-text guard mirrors _lang_oracle/predicted_lang (this copy once
+    # LACKED it — every null CASE condition fell through to the ELSE
+    # label, counting null-text docs as the last language)
     plang = (
-        "CASE "
+        "CASE WHEN text IS NULL THEN NULL "
         + " ".join(f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs[:-1])
         + f" ELSE '{langs[-1]}' END"
     )
-    quality = f"""
-  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-  (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
-  + (CASE WHEN length(text) / len(toks) >= 3.0
-          AND length(text) / len(toks) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
-  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3
-  END"""
+    quality = _quality_case_sql("toks")
     fp = f"list_min(list_transform({_SHINGLES}, s -> {_h64_sql('s', 0)}))"
     return f"""
 WITH sc AS (
@@ -637,13 +631,7 @@ def pipe_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_deciles_oracle() -> str:
-    quality = f"""
-  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-  (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END) * 0.4
-  + (CASE WHEN length(text) / len({_TOKS}) >= 3.0
-          AND length(text) / len({_TOKS}) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
-  + (length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) / length(text)) * 0.3
-  END"""
+    quality = _quality_case_sql(_TOKS)
     return f"""
 WITH scored AS (
   SELECT doc_id, ({quality}) AS q FROM documents WHERE text IS NOT NULL
