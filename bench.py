@@ -84,12 +84,17 @@ HEADLINE = [
 NOISE_NOTE = (
     "adjudication rule: timing moved but plan_hash unchanged vs prior round "
     "=> shared-host noise (re-measure standalone); plan_hash changed => real "
-    "plan change, audit it. Precedents: f2/g2 r3->r4 and q17/q21 r4->r5 both "
-    "adjudicated noise (plans bit-identical, standalone re-measures in line); "
-    "round-6 session: host load 4-9 all day, two local bench runs hours "
-    "apart had ZERO hash drift while Python-worker-heavy queries "
-    "(simhash/decode_stats/resize_pixels) swung 2-10x and q17 returned to "
-    "0.48s — the r5 q17/q21 numbers confirmed as stalls"
+    "plan change, audit it. Hashes compare BENCH-TO-BENCH (same procedure/"
+    "session confs): round 7 found HOF lambda variables carry a session-"
+    "global counter — canonicalized now (plans.py), since an upstream "
+    "lambda-count change used to cascade phantom hash drift onto every "
+    "later query; queries that execute jobs at construction can still "
+    "hash differently under ad-hoc session confs. Round-7 real changes, "
+    "all adjudicated deliberate: ann_lsh_dup_pairs (dim-mismatch guard), "
+    "pipe_mix_weights (validation persist), pipe_quality_funnel (lang "
+    "let-binding), pipe_token_budget (decimal widening). Precedents: "
+    "f2/g2 r3->r4 and q17/q21 r4->r5 adjudicated noise; round-6: two runs "
+    "hours apart, zero hash drift, Python-worker queries swung 2-10x"
 )
 
 # Per-query timing aggregation: this VM shares a host and random multi-second

@@ -588,3 +588,16 @@ def test_plan_fingerprint_stable_and_shape_sensitive(spark, sf_dir, tmp_path):
     ck1 = plan_fingerprint(df.localCheckpoint(eager=True))
     ck2 = plan_fingerprint(df.localCheckpoint(eager=True))
     assert ck1 == ck2
+
+    # 5. INSENSITIVE to the session-global HOF lambda counter: lambda
+    #    variables print as `lambda x_<N>#` where N keeps incrementing
+    #    across the session, so a query fingerprinted after OTHER
+    #    HOF-bearing queries compiled must hash the same as in a fresh
+    #    session (found in round 7: ten unrelated bench hashes drifted
+    #    together when an upstream query's lambda count changed).
+    hof = Q.analytics_ewma(spark, sf_dir)
+    h1 = plan_fingerprint(hof)
+    # burn a few dozen lambda ids, then recompile the same query
+    for _ in range(3):
+        Q.analytics_ewma(spark, sf_dir).schema
+    assert plan_fingerprint(Q.analytics_ewma(spark, sf_dir)) == h1

@@ -77,6 +77,13 @@ def plan_fingerprint(plan: str | DataFrame) -> str:
     # (MapPartitionsRDD[115] at localCheckpoint at ...) — found as the
     # one nondeterministic hash in a bench-twice compare (dedup_components)
     canon = re.sub(r"RDD\[\d+\]", "RDD[]", canon)
+    # HOF lambda variables print with a SESSION-GLOBAL counter suffix
+    # (`lambda x_3#` in a fresh session, `lambda x_417#` after other
+    # queries ran) — un-canonicalized, a lambda-count change in ANY
+    # earlier query cascades phantom "plan changes" onto every later
+    # fingerprint in the bench loop (found when ten unrelated hashes
+    # drifted together in round 7; bench order being fixed had masked it)
+    canon = re.sub(r"\b(lambda \w+?)_\d+#", r"\1_#", canon)
     # InMemoryFileIndex elides long path lists nondeterministically
     canon = re.sub(r"\[[^\]]*\.\.\. \d+ entries\]", "[paths]", canon)
     # Scan locations are DATA-DIRECTORY text, not plan shape: hashing the
