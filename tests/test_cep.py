@@ -521,3 +521,55 @@ def _write_synthetic_events(tmp_path, rows):
     )
     pq.write_table(table, f"{tmp_path}/events.parquet")
     return str(tmp_path)
+
+
+def test_stream_advance_drops_null_event_times():
+    """pandas 2.x converts NaT to INT64_MIN through .astype('int64') —
+    un-dropped, a null-time ERROR row feeds the NFA as an impossibly old
+    event and fabricates matches with garbage negative elapsed. The batch
+    twin's window arithmetic null-propagates such rows out."""
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.streaming.cep_stream import _advance_key
+
+    t0 = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "time": [pd.NaT, t0, t0 + pd.Timedelta(seconds=1), t0 + pd.Timedelta(seconds=2)],
+            "status": ["ERROR", "ERROR", "OK", "ERROR"],
+            "temperature": [99.0, 1.0, 2.0, 3.0],
+        }
+    )
+    state, out = _advance_key(
+        None, iter([pdf]), "time", "status", "temperature",
+        "ERROR", 1, 5, 60_000_000, 2, None,
+    )
+    assert len(out) == 1
+    assert out[0]["elapsed"] == 2 and out[0]["history"] == "OK"
+
+
+def test_stream_frontier_survives_epoch_zero_max_seen():
+    """A stored event-time frontier of exactly epoch 0 is falsy; an
+    `or`-based default would discard it and let pre-1970 rows drag the
+    frontier backwards."""
+    import pandas as pd
+
+    from time_series_and_data_lakes_spark.streaming.cep_stream import _advance_key
+
+    # state: no candidate, empty reorder buffer, max_seen == epoch 0
+    state = (None, None, [], [], [], [], [], 0)
+    pdf = pd.DataFrame(
+        {
+            "time": [pd.Timestamp("1969-12-31 23:59:50")],  # -10 s epoch
+            "status": ["OK"],
+            "temperature": [1.0],
+        }
+    )
+    new_state, _ = _advance_key(
+        state, iter([pdf]), "time", "status", "temperature",
+        "ERROR", 1, 5, 60_000_000, 2, 1_000_000,  # 1 s lateness
+    )
+    # frontier stays epoch0 - 1s: the -10 s row is releasable, not
+    # re-buffered behind a regressed frontier
+    assert new_state[4] == []  # pending times drained
+    assert new_state[7] == 0  # frontier anchor did not regress

@@ -152,3 +152,17 @@ def test_range_join_cep_invariant(spark, sf_dir):
     assert rows, "expected CEP matches in the fixture"
     for r in rows:
         assert r["n"] == int(r["non_errors"]) + 2, r
+
+
+def test_range_join_rejects_nonpositive_bucket(spark):
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.intervals import range_join
+
+    pts = spark.createDataFrame([("k", _t(1))], "k string, t timestamp")
+    ivs = spark.createDataFrame(
+        [("k", _t(0), _t(2))], "k string, s timestamp, e timestamp"
+    )
+    for bad in (0, -60):
+        with pytest.raises(ValueError, match="bucket_s"):
+            range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=bad)

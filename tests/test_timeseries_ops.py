@@ -309,3 +309,20 @@ def test_interval_parser_rejects_nonfinite_and_nonpositive_quantities():
     for bad in ("inf hours", "nan days", "1e400 seconds", "0 seconds", "-5 minutes"):
         with pytest.raises(ValueError, match="positive finite"):
             _interval_micros(bad)
+
+
+def test_grafana_macros_escape_quotes():
+    """The macro values land inside SQL string literals that spark.sql
+    executes — embedded quotes must be doubled, not break the literal or
+    inject a predicate."""
+    from time_series_and_data_lakes_spark.functions import grafana_macros
+
+    sql = grafana_macros(
+        "SELECT * FROM t WHERE $__timeFilter AND measure_name = $__measure",
+        start="2024-01-05",
+        finish="2024-01-20' OR '1'='1",
+        interval_ms=30000,
+        measure="o'clock",
+    )
+    assert "TIMESTAMP '2024-01-20'' OR ''1''=''1'" in sql
+    assert "measure_name = 'o''clock'" in sql

@@ -89,6 +89,29 @@ def test_salted_agg_equals_direct(spark):
     assert got == want
 
 
+def test_salted_agg_salt_is_deterministic_row_function(spark):
+    # the salt must be a pure function of row content: a nondeterministic
+    # salt (monotonically_increasing_id / rand) re-salts rows differently
+    # when a lost shuffle-map task recomputes, double-counting or losing
+    # rows in the partial aggregates (SPARK-23207 class)
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", float(i)) for i in range(200)], "k string, v double"
+    )
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(16)),
+    )
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, salted.repartition(7).collect()))
+    assert a == b  # same rows -> same salts under any partitioning
+    with pytest.raises(ValueError, match="salt_buckets"):
+        salted_agg(df, ["k"], {"n": ("count", "v")}, salt_buckets=0)
+
+
 def test_sliding_stats_stream_matches_batch(spark, tmp_path):
     from time_series_and_data_lakes_spark.streaming.windows import sliding_stats_stream
 

@@ -33,9 +33,18 @@ def grafana_macros(sql: str, start: str, finish: str, interval_ms: int, measure:
     """Substitute the Grafana template macros the dashboard queries use
     (`grafana…json:121,203,285,337,392,614`): ``$__timeFilter`` →
     time BETWEEN bounds, ``$__interval_ms`` → panel interval,
-    ``$__measure`` → selected measure name."""
+    ``$__measure`` → selected measure name.
+
+    The values land inside SQL string literals that ``spark.sql`` then
+    executes, so embedded quotes are doubled (SQL-standard escaping) —
+    a measure named ``o'clock``, or a template value fed from a request
+    parameter, must not break the literal or inject a predicate."""
+    q = lambda s: s.replace("'", "''")  # noqa: E731
     return (
-        sql.replace("$__timeFilter", f"time BETWEEN TIMESTAMP '{start}' AND TIMESTAMP '{finish}'")
-        .replace("$__interval_ms", str(interval_ms))
-        .replace("$__measure", f"'{measure}'")
+        sql.replace(
+            "$__timeFilter",
+            f"time BETWEEN TIMESTAMP '{q(start)}' AND TIMESTAMP '{q(finish)}'",
+        )
+        .replace("$__interval_ms", str(int(interval_ms)))
+        .replace("$__measure", f"'{q(measure)}'")
     )

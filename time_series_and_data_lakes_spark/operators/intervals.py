@@ -44,6 +44,12 @@ def range_join(
     optionally also matching equi ``keys``. Timestamp columns on both
     sides; helper columns are dropped from the result.
     """
+    if bucket_s <= 0:
+        # unvalidated, a zero width surfaces as a mid-job ANSI
+        # DIVIDE_BY_ZERO from an executor (or, ANSI off, all-null buckets
+        # and a silently empty join) — reject descriptively at construct
+        # time, the interval-knob convention everywhere else
+        raise ValueError(f"bucket_s must be a positive number of seconds, got {bucket_s}")
     width_us = int(bucket_s) * 1_000_000
     p = points.withColumn("__t_us", F.unix_micros(F.col(point_time))).withColumn(
         "__bucket", F.floor(F.col("__t_us") / F.lit(width_us))

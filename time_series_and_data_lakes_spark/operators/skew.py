@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 # (partial_expr, merge_fn) per supported aggregate
 _MERGES = {
     "sum": (F.sum, F.sum),
-    "count": (lambda c: F.count(c), F.sum),
+    "count": (F.count, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
@@ -39,8 +39,21 @@ def salted_agg(
     ``aggs`` maps output name → (function, input column) with function in
     {sum, count, min, max, avg}. avg is decomposed into sum+count and
     re-divided after the merge, so results equal the direct aggregation.
+
+    The salt is a DETERMINISTIC function of row content (xxhash64 over
+    every column): a nondeterministic salt (monotonically_increasing_id,
+    rand) re-salts rows differently when a lost shuffle-map task is
+    recomputed after some reducers already fetched its output — rows then
+    double-count or vanish from the partial aggregates (the classic
+    SPARK-23207 hazard). Identical duplicate rows share a salt, which
+    only concentrates exact duplicates, not a hot key's distinct rows.
     """
-    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+    )
 
     partials: list[Column] = []
     finals: list[Column] = []

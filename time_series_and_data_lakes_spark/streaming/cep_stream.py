@@ -13,7 +13,13 @@ Ordering: the reference orders by processing time (`notebook.txt:52` —
 processes rows in ascending ``time_col`` *within* each micro-batch and
 carries state across batches, so feeding event-ordered batches reproduces
 the batch operator (:func:`...operators.cep.match_error_pattern`) exactly —
-that batch form is this operator's oracle in tests. The WITHIN bound also
+that batch form is this operator's oracle in tests, with ONE documented
+exception: a genuine IEEE NaN temperature (not a null). Arrow float64
+batches conflate null with NaN, so this operator must treat NaN as the
+null measurement (skipped by min/max, excluded from the avg sum), while
+the batch plan lets a true NaN poison its fold and greatest() — data
+carrying real NaN measurements diverges between the two by Arrow's
+design, not by contract. The WITHIN bound also
 acts as the state timeout: a candidate older than the bound can never
 complete and is dropped on the next row (T3's timer semantics without
 wall-clock timers, so replays stay deterministic).
@@ -178,6 +184,13 @@ def _advance_key(
 
     rows: list[tuple[int, str, float]] = []
     for pdf in batches:
+        # a NULL event time is no event: pandas 2.x silently converts NaT
+        # to INT64_MIN via .astype('int64'), which would feed the NFA an
+        # impossibly old row (negative elapsed matches; in event-time mode
+        # always below the frontier). The batch twin's window arithmetic
+        # null-propagates such rows out — drop them here for parity.
+        if pdf[time_col].isna().any():
+            pdf = pdf[pdf[time_col].notna()]
         times_us = pdf[time_col].astype("datetime64[us]").astype("int64")
         rows += [
             # a null temp is NaN from a float64 Arrow batch, but an object
@@ -195,7 +208,14 @@ def _advance_key(
         pending.extend(rows)
         pending.sort(key=_row_order)
         if pending:
-            max_seen = max(max_seen or pending[-1][0], pending[-1][0])
+            # explicit None check: a stored frontier of exactly epoch 0 is
+            # falsy and `or` would discard it, letting the frontier regress
+            # on a batch of pre-1970 rows
+            max_seen = (
+                pending[-1][0]
+                if max_seen is None
+                else max(max_seen, pending[-1][0])
+            )
         frontier = (max_seen - lateness_us) if max_seen is not None else None
         ready = [r for r in pending if r[0] <= frontier] if frontier is not None else []
         pending = (
@@ -291,6 +311,7 @@ def match_error_pattern_stream(
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
     from time_series_and_data_lakes_spark.streaming.state_ttl import (
+        check_ttl_covers_window as _check_ttl,
         timeout_conf as _timeout_conf,
         ttl_millis as _ttl_millis,
     )
@@ -298,12 +319,7 @@ def match_error_pattern_stream(
     within_us = _interval_micros(within)
     lateness_us = _interval_micros(allowed_lateness) if allowed_lateness else None
     ttl_ms = _ttl_millis(state_ttl)
-    if ttl_ms is not None and ttl_ms * 1000 < within_us + (lateness_us or 0):
-        raise ValueError(
-            f"state_ttl {state_ttl!r} is shorter than within"
-            f"{' + allowed_lateness' if lateness_us else ''} — eviction "
-            f"would drop candidates that could still complete"
-        )
+    _check_ttl(ttl_ms, within_us, lateness_us, state_ttl)
 
     def process(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -505,19 +521,14 @@ def match_error_pattern_tws(
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
     from time_series_and_data_lakes_spark.streaming.state_ttl import (
+        check_ttl_covers_window as _check_ttl,
         ttl_millis as _ttl_millis,
     )
 
+    within_us = _interval_micros(within)
     lateness_us = _interval_micros(allowed_lateness) if allowed_lateness else None
     ttl_ms = _ttl_millis(state_ttl)
-    if ttl_ms is not None and ttl_ms * 1000 < _interval_micros(within) + (
-        lateness_us or 0
-    ):
-        raise ValueError(
-            f"state_ttl {state_ttl!r} is shorter than within"
-            f"{' + allowed_lateness' if lateness_us else ''} — eviction "
-            f"would drop candidates that could still complete"
-        )
+    _check_ttl(ttl_ms, within_us, lateness_us, state_ttl)
 
     _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
     _HDFS_DEFAULT = (
@@ -547,7 +558,7 @@ def match_error_pattern_tws(
         error_value,
         min_b,
         max_b,
-        _interval_micros(within),
+        within_us,
         round_avg,
         lateness_us,
         ttl_ms,

@@ -36,3 +36,21 @@ def timeout_conf(ttl_ms: int | None) -> str:
         if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
+
+
+def check_ttl_covers_window(
+    ttl_ms: int | None,
+    within_us: int,
+    lateness_us: int | None,
+    state_ttl: str | None,
+) -> None:
+    """Reject a TTL shorter than the pattern's completion window
+    (``within`` + ``allowed_lateness``): eviction would drop candidates
+    that could still complete. One rule shared by both CEP bindings —
+    two hand copies of it once risked drifting apart."""
+    if ttl_ms is not None and ttl_ms * 1000 < within_us + (lateness_us or 0):
+        raise ValueError(
+            f"state_ttl {state_ttl!r} is shorter than within"
+            f"{' + allowed_lateness' if lateness_us else ''} — eviction "
+            f"would drop candidates that could still complete"
+        )
