@@ -315,7 +315,11 @@ def test_tsdl_fake_header_parse_keeps_error_contract():
 
     payload = pack_fake_payload(640, 480, 3, b"body")
     assert _decode_payload(payload, "tsdl-fake") == (640, 480, 3)
-    assert _decode_payload(b"nope", "tsdl-fake") == (0, 0, 0)  # degrade
+    # wrong magic is corrupt data, not a silent (0,0,0) degrade: the old
+    # degrade let resize 'repair' corrupt payloads into valid zero-dim
+    # headers that media_errors never flagged
+    with pytest.raises(ValueError, match="not a tsdl-fake"):
+        _decode_payload(b"nope", "tsdl-fake")
     for cut in range(4, 10):  # magic intact, header cut
         with pytest.raises(ValueError, match="truncated tsdl-fake"):
             _decode_payload(payload[:cut], "tsdl-fake")

@@ -705,3 +705,15 @@ def test_progressive_encoder_rejects_malformed_scripts():
                 ((0,), 1, 63, 1, 0),  # skips the Ah=2 -> Al=1 step
             ),
         )
+
+
+def test_stray_standalone_markers_before_sos_are_skipped():
+    """T.81 tolerates standalone markers (TEM, stray RSTn) in the header
+    section; treating them as length-prefixed segments read the next
+    marker's bytes as a ~64 KB length and lost the stream (the sibling
+    walks in jpeg_dims and _decode_multi already skipped them)."""
+    arr = np.full((8, 8, 3), 77, np.uint8)
+    clean = jpeg_encode(arr)
+    assert clean[:2] == b"\xff\xd8"
+    patched = clean[:2] + b"\xff\xd0\xff\x01" + clean[2:]
+    assert np.array_equal(jpeg_decode(patched), jpeg_decode(clean))

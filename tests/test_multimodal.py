@@ -353,22 +353,26 @@ def test_codec_roundtrip_property_hypothesis():
         assert (bmp_decode(bmp_encode(arr)) == arr).all()
         assert (ppm_decode(ppm_encode(arr)) == arr).all()
         nw, nh = _resize_dims(w, h, max_w, max_h)
-        # never upsizes; fits the box whenever a resize happened
+        # never upsizes; fits the box whenever a resize happened; and a
+        # non-degenerate image NEVER collapses to a zero dimension (an
+        # extreme aspect ratio used to floor the short axis to 0 and the
+        # re-encode emitted a zero-pixel payload)
         assert nw <= w and nh <= h
+        assert nw >= 1 and nh >= 1
         if (w, h) != (nw, nh):
             assert nw <= max_w and nh <= max_h
-            # aspect preserved to floor precision on the driven axis
+            # aspect preserved to floor precision on the driven axis,
+            # clamped to the 1-pixel floor
             if w * max_h <= h * max_w:
-                assert nh == max_h and nw == (w * max_h) // h
+                assert nh == max_h and nw == max(1, (w * max_h) // h)
             else:
-                assert nw == max_w and nh == (h * max_w) // w
-        if nw > 0 and nh > 0:
-            out = nn_resize(arr, nw, nh)
-            assert out.shape == (nh, nw, 3)
-            # every output pixel is a genuine source pixel
-            ys = (np.arange(nh) * h) // nh
-            xs = (np.arange(nw) * w) // nw
-            assert (out == arr[ys][:, xs]).all()
+                assert nw == max_w and nh == max(1, (h * max_w) // w)
+        out = nn_resize(arr, nw, nh)
+        assert out.shape == (nh, nw, 3)
+        # every output pixel is a genuine source pixel
+        ys = (np.arange(nh) * h) // nh
+        xs = (np.arange(nw) * w) // nw
+        assert (out == arr[ys][:, xs]).all()
 
     check()
 
@@ -1810,3 +1814,146 @@ def test_on_error_skip_drops_only_bad_rows_and_media_errors_reports_them(spark):
     assert report[5]["error_kind"] == "unsupported"
     assert report[7]["error_kind"] == "corrupt"
     assert "IDAT" in report[2]["error"]
+
+
+def test_null_meta_rows_skip_not_crash(spark):
+    """meta is a nullable struct: one null-meta row used to TypeError out
+    of the codec map — crashing every operator AND the media_errors audit
+    under both policies. It is corrupt row metadata: skipped under
+    'skip', reported by media_errors, loud ValueError under 'fail'."""
+    import pytest as _pytest
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        media_errors,
+        pack_fake_payload,
+        resize_media,
+    )
+
+    rows = [
+        (1, "image", pack_fake_payload(8, 6, 1, b"x"), ("s3", "tsdl-fake")),
+        (2, "image", pack_fake_payload(8, 6, 1, b"y"), None),  # null meta
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_media(df, on_error="skip").collect()
+    assert [r["media_id"] for r in got] == [1]
+    assert [r["media_id"] for r in resize_media(df, on_error="skip").collect()] == [1]
+    with _pytest.raises(Exception, match="null meta"):
+        decode_media(df, on_error="fail").collect()
+    errs = {r["media_id"]: r for r in media_errors(df).collect()}
+    assert 2 in errs  # the audit reports the row instead of dying
+
+
+def test_corrupt_tsdl_magic_is_flagged_not_repaired(spark):
+    """A tsdl-fake payload with the wrong magic used to decode as (0,0,0)
+    — resize then fabricated a VALID zero-dim header from the corrupt
+    bytes and media_errors never flagged the row."""
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_errors,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", b"XXXX" + b"\x00" * 12, ("s3", "tsdl-fake"))], MEDIA_SCHEMA
+    )
+    assert resize_media(df, on_error="skip").count() == 0  # dropped, not repaired
+    (err,) = media_errors(df).collect()
+    assert err["media_id"] == 1 and "tsdl-fake" in err["error"]
+
+
+def test_avi_deep_nesting_is_valueerror_not_recursion(spark):
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from time_series_and_data_lakes_spark.operators.multimodal import avi_decode
+
+    # ~2000 nested LISTs: a recursive walk RecursionErrors out of the
+    # ValueError contract; the iterative walk reports the real problem
+    depth = 2000
+    inner = b""
+    body = inner
+    for _ in range(depth):
+        body = b"LIST" + _struct.pack("<I", len(body) + 4) + b"xxxx" + body
+    payload = b"RIFF" + _struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with _pytest.raises(ValueError, match="avih"):
+        avi_decode(payload)
+
+
+def test_extreme_aspect_resize_keeps_one_pixel(spark):
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        bmp_decode,
+        bmp_encode,
+        resize_media,
+    )
+
+    arr = np.zeros((1, 1000, 3), np.uint8)  # 1000x1 banner
+    df = spark.createDataFrame([(1, "image", bmp_encode(arr), ("s3", "bmp"))], MEDIA_SCHEMA)
+    (row,) = resize_media(df, max_width=640, max_height=480).collect()
+    out = bmp_decode(bytes(row["payload"]))
+    assert out.shape == (1, 640, 3)  # clamped to 1 row, not destroyed to 0
+
+
+def test_resample_audio_validates_factor(spark):
+    import numpy as np
+
+    import pytest as _pytest
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resample_audio,
+        wav_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", wav_encode(np.zeros(100, np.int16), 8000), ("s3", "wav"))],
+        MEDIA_SCHEMA,
+    )
+    for bad in (0, -2):
+        with _pytest.raises(ValueError, match="factor"):
+            resample_audio(df, factor=bad, on_error="skip")
+    with _pytest.raises(Exception, match="exceeds the payload"):
+        resample_audio(df, factor=9000).collect()  # 0 Hz header otherwise
+
+
+def test_extract_frames_rejects_single_image_codecs(spark):
+    import numpy as np
+
+    import pytest as _pytest
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        bmp_encode,
+        extract_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", bmp_encode(np.zeros((2, 2, 3), np.uint8)), ("s3", "bmp"))],
+        MEDIA_SCHEMA,
+    )
+    # a VALID bmp fed to the frame op is 'unsupported', not corrupt RIFF
+    with _pytest.raises(Exception, match="frame extraction supports gif/avi"):
+        extract_frames(df).collect()
+    assert extract_frames(df, on_error="skip").count() == 0
+
+
+def test_decode_media_reports_avi_header_dims(spark):
+    import numpy as np
+
+    from time_series_and_data_lakes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        avi_encode,
+        decode_media,
+    )
+
+    frames = np.zeros((4, 6, 8, 3), np.uint8)
+    df = spark.createDataFrame(
+        [(1, "video", avi_encode(frames, fps=10), ("s3", "avi"))], MEDIA_SCHEMA
+    )
+    (row,) = decode_media(df).collect()
+    assert (row["width"], row["height"], row["n_frames"]) == (8, 6, 4)

@@ -367,6 +367,13 @@ def jpeg_decode(payload: bytes) -> "np.ndarray":
             continue
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers (TEM, stray RSTn, a repeated SOI) carry
+            # no length word — treating the next two bytes as a segment
+            # length jumps past the real stream (the sibling walks in
+            # jpeg_dims and _decode_multi already skip these)
+            i += 2
+            continue
         if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE):
             raise NotImplementedError("arithmetic-coded JPEG not implemented")
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCF):

@@ -1092,9 +1092,19 @@ def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
     gif_dims); 'tsdl-fake' is the deterministic test codec; audio/video
     codecs (which need ffmpeg/soundfile, absent here) are explicitly not
     implemented. Still images report n_frames=1."""
+    if codec is None:
+        # a null meta struct carries no codec: corrupt ROW metadata (the
+        # payload may be fine) — the contract ValueError, absorbed by
+        # on_error='skip' and reported by media_errors
+        raise ValueError("null meta struct: row carries no codec")
     if codec == "tsdl-fake":
         if payload[:4] != _MAGIC:
-            return (0, 0, 0)
+            # wrong magic is corrupt DATA — returning (0, 0, 0) here used
+            # to let _transcode_resize 'repair' the payload into a valid
+            # zero-dim header and media_errors never flagged the row
+            raise ValueError(
+                f"not a tsdl-fake payload (magic {bytes(payload[:4])!r})"
+            )
         if len(payload) < 10:
             # magic present but header cut: corrupt data, and it must be
             # the contract ValueError — a struct.error here escapes
@@ -1120,9 +1130,53 @@ def _decode_payload(payload: bytes, codec: str) -> tuple[int, int, int]:
     if codec == "ppm":
         w, h = ppm_dims(bytes(payload))
         return (w, h, 1 if w else 0)
+    if codec == "avi":
+        return _avi_dims(bytes(payload))
+    if codec == "wav":
+        raise NotImplementedError(
+            "codec 'wav' carries no pixel dimensions — use audio_stats/"
+            "resample_audio for the audio pipeline"
+        )
     raise NotImplementedError(
-        f"codec {codec!r}: pixel/AV decoders (PIL/ffmpeg/soundfile) are stubbed out"
+        f"codec {codec!r} requires an external decoder (ffmpeg-class "
+        "compressed AV formats are out of the from-scratch codec scope)"
     )
+
+
+def _avi_dims(b: bytes) -> tuple[int, int, int]:
+    """Header-only AVI probe for :func:`decode_media`: width, height, and
+    declared frame count from the ``avih`` chunk — no frame decoding, so
+    the probe is metadata-cheap regardless of payload size. Same iterative
+    RIFF walk (and corrupt-data taxonomy) as :func:`avi_decode`."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    stack = [(12, len(b))]
+    while stack:
+        lo, hi = stack.pop()
+        hi = min(hi, len(b))
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if cid == b"LIST":
+                stack.append((body_lo + 4, body_hi))
+            elif cid == b"avih":
+                if body_lo + 56 > len(b):
+                    raise ValueError("truncated AVI avih header")
+                vals = struct.unpack("<14I", b[body_lo : body_lo + 56])
+                return (vals[8], vals[9], vals[4])  # dwWidth/Height/TotalFrames
+            pos = body_hi + (size & 1)
+    raise ValueError("missing avih header")
+
+
+def _codec_of(m) -> str | None:
+    """Null-safe codec extraction from the (nullable) meta struct: a bare
+    ``m['codec']`` map raises TypeError on a null meta — which no error
+    policy absorbs, so one such row crashed every operator INCLUDING the
+    media_errors audit. None propagates into the row function, whose
+    decode raises the contract ValueError instead."""
+    return m["codec"] if m is not None else None
 
 
 def _check_on_error(on_error: str) -> None:
@@ -1200,7 +1254,7 @@ def decode_media(
                 pdf,
                 on_error,
                 _decode_payload,
-                zip(pdf["payload"], pdf["meta"].map(lambda m: m["codec"])),
+                zip(pdf["payload"], pdf["meta"].map(_codec_of)),
             )
             if sub is None:
                 continue
@@ -1237,11 +1291,15 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for p in pdf["payload"]:
-                hist = [0.0] * FEATURE_DIM
-                for b in p:
-                    hist[b % FEATURE_DIM] += 1.0
-                total = sum(hist) or 1.0
-                rows.append([v / total for v in hist])
+                # vectorized: one interpreted iteration PER PAYLOAD BYTE
+                # is minutes of pure Python per GB at corpus scale; the
+                # bincount computes the identical histogram
+                hist = np.bincount(
+                    np.frombuffer(p, np.uint8) % FEATURE_DIM,
+                    minlength=FEATURE_DIM,
+                )
+                total = int(hist.sum()) or 1
+                rows.append([float(v) / total for v in hist])
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": rows})
 
     return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
@@ -1249,12 +1307,16 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 def _resize_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
     """Aspect-preserving fit in pure integer arithmetic (floor division),
-    so the resize plan is reproducible in the SQL oracle bit-for-bit."""
+    so the resize plan is reproducible in the SQL oracle bit-for-bit.
+    Each computed dimension clamps to >= 1: an extreme aspect ratio
+    (1000x1 into 640x480) otherwise floors the short axis to ZERO and the
+    re-encode silently emits a zero-pixel payload — the image's whole
+    content destroyed with no error under either policy."""
     if (w <= max_w and h <= max_h) or w == 0 or h == 0:
         return w, h
     if w * max_h <= h * max_w:  # height is the tighter axis
-        return (w * max_h) // h, max_h
-    return max_w, (h * max_w) // w
+        return max(1, (w * max_h) // h), max_h
+    return max_w, max(1, (h * max_w) // w)
 
 
 _RESAMPLERS = {"nearest": nn_resize, "area": area_resize}
@@ -1277,6 +1339,8 @@ def _transcode_resize(
     per-row callers pass the registry in to avoid rebuilding it."""
     if codecs is None:
         codecs = active_pixel_codecs()
+    if codec is None:
+        raise ValueError("null meta struct: row carries no codec")
     if codec in codecs:
         decode, encode = codecs[codec]
         arr = decode(bytes(payload))
@@ -1340,7 +1404,7 @@ def resize_media(
                 (
                     (p, c, max_width, max_height, codecs, method)
                     for p, c in zip(
-                        pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
+                        pdf["payload"], pdf["meta"].map(_codec_of)
                     )
                 ),
             )
@@ -1395,7 +1459,7 @@ def pixel_stats(
                 (
                     (p, c, codecs)
                     for p, c in zip(
-                        pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
+                        pdf["payload"], pdf["meta"].map(_codec_of)
                     )
                 ),
             )
@@ -1436,7 +1500,7 @@ def frame_sample(df: DataFrame, every_n: int = 2, on_error: str = "fail") -> Dat
         for pdf in batches:
             out_ids, out_idx = [], []
             for mid, p, c in zip(
-                pdf["media_id"], pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
+                pdf["media_id"], pdf["payload"], pdf["meta"].map(_codec_of)
             ):
                 d = _row_attempt(on_error, _decode_payload, p, c)
                 if d is None:
@@ -1673,9 +1737,20 @@ def resample_audio(df: DataFrame, factor: int, on_error: str = "fail") -> DataFr
     schema, so it chains with :func:`audio_stats`.
     ``on_error='skip'`` drops undecodable rows (see :func:`_row_attempt`)."""
     _check_on_error(on_error)
+    if not isinstance(factor, int) or factor < 1:
+        # a caller-argument error, validated at ENTRY: inside the per-row
+        # policy a factor of 0 (slice step zero -> ValueError) would be
+        # absorbed by 'skip' as if every payload were corrupt, silently
+        # returning an empty frame; a negative factor reverses the audio
+        raise ValueError(f"factor must be a positive int, got {factor!r}")
 
     def one(p):
         rate, ch, samples = wav_decode(p)
+        if factor > rate:
+            # rate // factor would write an invalid 0 Hz WAV header
+            raise ValueError(
+                f"factor {factor} exceeds the payload's sample rate {rate}"
+            )
         if ch == 1:
             kept = samples[::factor]
         else:
@@ -1765,19 +1840,28 @@ def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
     compression = 0
     frames: list[bytes] = []
 
-    def walk(lo: int, hi: int) -> None:
-        nonlocal us_per_frame, w, h, compression
+    # ITERATIVE chunk walk (explicit stack): a recursive descent hits
+    # Python's recursion limit on ~1000 nested LIST headers, and
+    # RecursionError escapes the ValueError corrupt-data contract — one
+    # crafted payload would crash the task through on_error='skip' and
+    # through media_errors. Descend-then-resume ordering preserves the
+    # recursive walk's stream order exactly.
+    stack = [(12, len(b))]
+    while stack:
+        pos, hi = stack.pop()
         # a lying parent LIST size can push hi past the buffer; clamp so
         # the header slices below are always complete (corrupt-data
         # contract: truncation surfaces as ValueError, not struct.error)
         hi = min(hi, len(b))
-        pos = lo
         while pos + 8 <= hi:
             cid = b[pos : pos + 4]
             size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
             body_lo, body_hi = pos + 8, pos + 8 + size
+            nxt = body_hi + (size & 1)
             if cid == b"LIST":
-                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+                stack.append((nxt, hi))  # resume after the list...
+                stack.append((body_lo + 4, body_hi))  # ...after descending
+                break
             elif cid == b"avih":
                 if body_lo + 56 > len(b):
                     raise ValueError("truncated AVI avih header")
@@ -1789,9 +1873,7 @@ def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
                 compression = struct.unpack("<I", b[body_lo + 16 : body_lo + 20])[0]
             elif cid in (b"00db", b"00dc"):
                 frames.append(b[body_lo:body_hi])
-            pos = body_hi + (size & 1)
-
-    walk(12, len(b))
+            pos = nxt
     if us_per_frame is None or w is None:
         raise ValueError("missing avih header")
     if us_per_frame == 0:
@@ -1829,15 +1911,25 @@ def extract_frames(df: DataFrame, every_n: int = 1, on_error: str = "fail") -> D
     _check_on_error(on_error)
 
     def one(p, codec):
+        if codec is None:
+            raise ValueError("null meta struct: row carries no codec")
         if codec == "gif":
             return gif_decode_frames(p)
-        return avi_decode(p)[1]
+        if codec == "avi":
+            return avi_decode(p)[1]
+        # a bmp/png/jpeg payload here is VALID data fed to the wrong op —
+        # the 'unsupported' kind, not avi_decode's misleading
+        # corrupt-RIFF ValueError
+        raise NotImplementedError(
+            f"frame extraction supports gif/avi, got codec {codec!r} — "
+            "single images go through decode_media/resize_media"
+        )
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, types, payloads, metas, idxs = [], [], [], [], []
             for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                frames = _row_attempt(on_error, one, p, m["codec"])
+                frames = _row_attempt(on_error, one, p, _codec_of(m))
                 if frames is None:
                     continue
                 for k in range(0, len(frames), every_n):
@@ -1915,7 +2007,7 @@ def media_errors(df: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, cods, kinds, msgs = [], [], [], []
             for mid, p, c in zip(
-                pdf["media_id"], pdf["payload"], pdf["meta"].map(lambda m: m["codec"])
+                pdf["media_id"], pdf["payload"], pdf["meta"].map(_codec_of)
             ):
                 if p is None:
                     # silently dropped by every op (_attempt_rows); the
