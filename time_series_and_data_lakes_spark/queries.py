@@ -2348,20 +2348,51 @@ ORACLES.update(PIPELINE_ORACLES)
 # oracle row can ever exist); every query with fewer than two green rounds
 # must occupy a window slot until it banks its second green.
 #
-# Round-7 rotation (audited programmatically against CORRECTNESS_r01-r06 by
+# Round-8 rotation (audited programmatically against CORRECTNESS_r01-r07 by
 # tests/test_registry.py — green counts are derived from the driver's own
-# JSON rows, never from comments). Every catalog entry is >=2x driver-green
-# (or approximate-by-design), so composition follows the VERDICT_r6 item-3
+# JSON rows, never from comments). Composition follows the VERDICT_r7 item-1
 # banking directive: the window = the 19-query core reference surface
-# (q1-q3, the Grafana panels g1-g10, the Athena join a1, CEP f2/f3, melt)
-# kept under continuous driver check + the alphabetically-first 31 of the 64
-# non-core entries still at exactly 2x green, each banking its third green.
-# The remaining 33 2x entries sit in the tail this round and rotate into the
-# round-8 window next.
+# (q1-q3, the Grafana panels g1-g10 incl. g4b and the CEP pivot g1, the
+# Athena join a1, CEP f2/f3, melt) kept under continuous driver check + the
+# alphabetically-first 31 of the 33 entries still at exactly 2x green, each
+# banking its third green. The two alphabetical-overflow entries
+# (tpch_q8_market_share, tpch_q9_profit_by_nation, both 2x) rotate into the
+# round-9 window, which then retires the 2x population entirely.
 # ---------------------------------------------------------------------------
 
 _DRIVER_TAIL: list[str] = [
     # >=3x driver-green, rotated out to free window slots for 2x entries:
+    "a2_enrichment_view",
+    "distinct_part_suppliers",
+    "analytics_ewma",
+    "analytics_holt",
+    "analytics_cusum",
+    "analytics_lttb_downsample",
+    "analytics_anomaly_zscore",
+    "asof_latest_order",
+    "correlated_min_price_lines",
+    "cube_pricing_matrix",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_retention_report",
+    "dedup_minhash_eval",
+    "dedup_simhash_eval",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_dup_pairs",
+    "ann_quantize_int8",
+    "multimodal_audio_stats",
+    "multimodal_audio_resample",
+    "multimodal_video_frames",
+    "pipe_sample_per_source",
+    "pipe_decontaminate",
+    "pipe_knn_label_vote",
+    "pipe_knn_label_vote_ivf",
+    "pipe_mix_weights",
+    "pipe_quality_funnel",
+    "pipe_label_propagation",
+    "pipe_pack_sequences",
+    "pipe_quality_deciles",
     "rollup_cascade_stats",
     "json_props_extract",
     "analytics_moving_window",
@@ -2385,41 +2416,10 @@ _DRIVER_TAIL: list[str] = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
-    # exactly 2x green, waiting for a round-8 window slot (alphabetical
+    # exactly 2x green, waiting for a round-9 window slot (alphabetical
     # overflow past this round's 31 rotated-in entries):
-    "pipe_semdedup",
-    "pipe_split_train_test",
-    "pipe_token_budget",
-    "pivot_wide",
-    "range_join_cep_context",
-    "rollup_pricing_totals",
-    "semi_anti_customers",
-    "sessionize_events",
-    "setops_priority_cohorts",
-    "text_repetition_stats",
-    "text_rrf_hybrid_topk",
-    "text_tfidf_keywords",
-    "text_top_tokens",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_with_returns",
-    "tpch_q5_region_revenue",
-    "tpch_q6_selective",
-    "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q9_profit_by_nation",
-    "tpch_q10_returned_revenue",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_by_status",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier_revenue",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_share_suppliers",
-    "tpch_q21_sole_late_suppliers",
-    "tpch_q22_idle_rich_customers",
     # approximate by design — no exact oracle can exist; error-bounded by
     # property tests (tests/test_properties.py) with exact driver-green twins.
     # Kept LAST so a catalog shrink can never slide them into the window:
