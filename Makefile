@@ -4,7 +4,7 @@
 # scale smoke) — so "the sweeps ran on the final commit" is a single
 # `make verify` away instead of three remembered env vars.
 
-.PHONY: test verify bench
+.PHONY: test verify bench bench-commit
 
 test:
 	python3 -m pytest tests/ -x -q
@@ -13,5 +13,11 @@ verify:
 	TSDL_DIRTY_SWEEP=1 TSDL_EMPTY_SWEEP=1 TSDL_SCALE_SMOKE=1 \
 		python3 -m pytest tests/ -q
 
+# plain bench writes the gitignored BENCH_PLANS.run.json sidecar only;
+# bench-commit (round-8 verdict item 2) deliberately refreshes the
+# committed per-round adjudication record BENCH_PLANS.json
 bench:
 	python3 bench.py
+
+bench-commit:
+	python3 bench.py --commit-plans

@@ -74,27 +74,18 @@ HEADLINE = [
     "f3_cep_event_time",
 ]
 
-# Round-5 plan-diff audit of the two r3->r4 nominal regressions (VERDICT_r4
-# item 3): f2_cep_match_recognize (+46%) and g2_measure_series (+47%). Both
-# physical plans are BIT-IDENTICAL to the round-3 commit (61d7129) modulo
-# expression ids — no extra exchange appeared from the round-4 window edits —
-# and standalone min-of-3 at sf0.1 re-measured f2 at 1.045 s (r3 0.865 /
-# r4 1.259) and g2 at 0.269 s (r3 0.262 / r4 0.384). Verdict: host-VM
-# scheduler noise (perf-traps item 3), not a plan change.
 NOISE_NOTE = (
     "adjudication rule: timing moved but plan_hash unchanged vs prior round "
-    "=> shared-host noise (re-measure standalone); plan_hash changed => real "
-    "plan change, audit it. Hashes compare BENCH-TO-BENCH (same procedure/"
-    "session confs): round 7 found HOF lambda variables carry a session-"
-    "global counter — canonicalized now (plans.py), since an upstream "
-    "lambda-count change used to cascade phantom hash drift onto every "
-    "later query; queries that execute jobs at construction can still "
-    "hash differently under ad-hoc session confs. Round-7 real changes, "
-    "all adjudicated deliberate: ann_lsh_dup_pairs (dim-mismatch guard), "
-    "pipe_mix_weights (validation persist), pipe_quality_funnel (lang "
-    "let-binding), pipe_token_budget (decimal widening). Precedents: "
-    "f2/g2 r3->r4 and q17/q21 r4->r5 adjudicated noise; round-6: two runs "
-    "hours apart, zero hash drift, Python-worker queries swung 2-10x"
+    "=> shared-host noise (re-measure standalone; precedents in the r4-r7 "
+    "BENCH records — Python-worker queries swing 2-10x on this host); "
+    "plan_hash changed => real plan change, audit it. Hashes compare "
+    "BENCH-TO-BENCH (same procedure/session confs): HOF lambda counters are "
+    "canonicalized (plans.py), but queries that execute jobs at construction "
+    "can still hash differently under ad-hoc session confs. Round-8 real "
+    "changes, both deliberate ADVICE/review fixes: ann_lsh_dup_pairs "
+    "(explicit null-embedding pre-filter) and pipe_mix_weights (the "
+    "mixture rate table is now a driver-materialized local relation so "
+    "the availability cache can be unpersisted)."
 )
 
 # Per-query timing aggregation: this VM shares a host and random multi-second
@@ -106,6 +97,7 @@ AGG = f"min-of-{N_RUNS}"
 
 
 def main() -> None:
+    commit_plans = "--commit-plans" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="tsdl-bench")
@@ -164,14 +156,22 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    line, full, write_plans = format_records(timings, plans, sf, sf_dir)
-    if write_plans:
-        plans_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANS.json"
+    line, full, default_scale = format_records(timings, plans, sf, sf_dir)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    target = os.path.join(repo, plans_target(default_scale, commit_plans))
+    with open(target, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    committed = os.path.join(repo, "BENCH_PLANS.json")
+    if target != committed and os.path.exists(committed):
+        with open(committed) as f:
+            old = json.load(f).get("plan_hashes", {})
+        drift = sorted(n for n, h in plans.items() if old.get(n) not in (None, h))
+        print(
+            "bench: plan-hash drift vs committed BENCH_PLANS.json: "
+            f"{drift if drift else 'none'}",
+            file=sys.stderr,
         )
-        with open(plans_path, "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-            f.write("\n")
     print(line)
     spark.stop()
 
@@ -193,12 +193,12 @@ def format_records(
 ) -> tuple[str, dict, bool]:
     """Build the stdout line + the BENCH_PLANS.json record.
 
-    Returns ``(line, full_record, write_plans)``. The line degrades
+    Returns ``(line, full_record, default_scale)``. The line degrades
     LOUDLY, never truncates: if headline growth pushes it past the
     driver's tail-capture window it drops fields until it fits — notes
     first, then the per-query timings (both always live in the full
-    record) — warning on stderr each step. ``write_plans`` is False for
-    any non-default ``sf_dir``: BENCH_PLANS.json is the COMMITTED
+    record) — warning on stderr each step. ``default_scale`` is False
+    for any non-default ``sf_dir``: BENCH_PLANS.json is the COMMITTED
     per-round adjudication record for the default bench scale, and a
     quick sanity run at another SF must not clobber it."""
     compact = {
@@ -223,16 +223,28 @@ def format_records(
         compact.pop(drop, None)
         line = json.dumps(compact)
     full = dict(compact, queries=timings, plan_hashes=plans, notes=NOISE_NOTE)
-    write_plans = os.path.realpath(sf_dir) == os.path.realpath(
+    default_scale = os.path.realpath(sf_dir) == os.path.realpath(
         "/root/testdata/sf0.1"
     )
-    if not write_plans:
+    if not default_scale:
         print(
             f"bench: sf_dir {sf_dir} is not the default bench scale — "
             "NOT rewriting the committed BENCH_PLANS.json",
             file=sys.stderr,
         )
-    return line, full, write_plans
+    return line, full, default_scale
+
+
+def plans_target(default_scale: bool, commit_plans: bool) -> str:
+    """BENCH_PLANS.json is the committed adjudication record (round-8
+    verdict item 2): only an explicit ``--commit-plans`` run at the
+    default bench scale rewrites it. Every other run — ad-hoc timing
+    checks, the driver's per-round capture, non-default scales — writes
+    the gitignored BENCH_PLANS.run.json sidecar, so a plain
+    ``python3 bench.py`` leaves ``git status`` clean."""
+    if default_scale and commit_plans:
+        return "BENCH_PLANS.json"
+    return "BENCH_PLANS.run.json"
 
 
 if __name__ == "__main__":

@@ -61,8 +61,18 @@ def test_full_record_always_carries_everything():
 
 
 def test_non_default_sf_dir_never_rewrites_committed_plans(capsys):
-    _line, _full, write_plans = _records(
+    _line, _full, default_scale = _records(
         bench.HEADLINE[:5], sf_dir="/root/testdata/sf0.001"
     )
-    assert not write_plans
+    assert not default_scale
     assert "NOT rewriting" in capsys.readouterr().err
+
+
+def test_committed_plans_need_explicit_flag_and_default_scale():
+    # Round-8 verdict item 2: a plain `python3 bench.py` must leave
+    # `git status` clean — only --commit-plans at the default scale may
+    # touch the committed BENCH_PLANS.json.
+    assert bench.plans_target(True, True) == "BENCH_PLANS.json"
+    assert bench.plans_target(True, False) == "BENCH_PLANS.run.json"
+    assert bench.plans_target(False, True) == "BENCH_PLANS.run.json"
+    assert bench.plans_target(False, False) == "BENCH_PLANS.run.json"
