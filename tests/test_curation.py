@@ -155,6 +155,25 @@ def test_weighted_mixture_capacity_and_determinism(spark):
     assert kept.filter(~F.col("source").isin("a", "b")).count() == 0
 
 
+def test_weighted_mixture_releases_cache_on_success(spark):
+    # the success path used to leak the persisted availability counts for
+    # the session lifetime (round-8 ADVICE); both paths must unpersist
+    import pytest as _pytest
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(50)],
+        "doc_id bigint, source string",
+    )
+    kept = C.weighted_mixture(df, {"a": 0.5, "b": 0.5})
+    assert jsc.getPersistentRDDs().size() == before
+    assert kept.count() > 0  # the materialized rate table still executes
+    with _pytest.raises(ValueError, match="zero available rows"):
+        C.weighted_mixture(df, {"a": 0.5, "missing": 0.5})
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_weighted_mixture_rejects_zero_row_sources(spark):
     # a weighted source with no rows makes the target proportions
     # unachievable (capacity 0); silently ignoring it would return a

@@ -205,6 +205,55 @@ def test_events_loader_adapts_nanos_long_generation(spark, tmp_path):
     assert vals == micros  # nanos floor to micros, sub-micro digits dropped
 
 
+def test_events_nanos_probe_walks_partitioned_store(spark, tmp_path):
+    """_events_ts_is_nanos probes RECURSIVELY (round-8 ADVICE): a
+    partitioned events store has no top-level part files, and a corrupt
+    or sidecar file must be skipped, not treated as "no nanos" — the
+    old single-file probe returned False and the read then failed
+    outright on the TIMESTAMP(NANOS) column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from time_series_and_data_lakes_spark.queries import _events_ts_is_nanos, load
+
+    micros = [1_700_000_000_000_000 + i * 1_000_000 for i in range(4)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array([m * 1000 + 7 for m in micros], pa.int64()).cast(
+                pa.timestamp("ns")
+            ),
+            "user_id": pa.array([1, 2, 1, 2], pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([0.5] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    store = tmp_path / "events.parquet"
+    part = store / "day=2024-01-01"
+    part.mkdir(parents=True)
+    (store / "_SUCCESS").touch()  # sidecar: ignored
+    pq.write_table(table, str(part / "part-000.parquet"))
+    assert _events_ts_is_nanos(str(store)) is True
+
+    # probe-only: a corrupt part file is skipped, not read as "no nanos"
+    # (Spark itself cannot read a store containing one, so this dir is
+    # never loaded)
+    corrupt = tmp_path / "corrupt" / "events.parquet" / "day=2024-01-01"
+    corrupt.mkdir(parents=True)
+    (corrupt / "aaa.parquet").write_bytes(b"")
+    pq.write_table(table, str(corrupt / "part-000.parquet"))
+    assert _events_ts_is_nanos(str(corrupt.parent)) is True
+    got = load(spark, str(tmp_path), "events")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    from pyspark.sql import functions as F
+
+    vals = sorted(
+        r["us"] for r in got.select(F.unix_micros("ts").alias("us")).collect()
+    )
+    assert vals == micros  # nanos floor to micros through the long branch
+
+
 def test_parquet_footer_max_matches_scan_and_falls_back(spark, tmp_path):
     """sources/stats.py: the footer max equals a real scan's max; files
     written without statistics return None (scan fallback), and the
@@ -237,6 +286,14 @@ def test_parquet_footer_max_matches_scan_and_falls_back(spark, tmp_path):
     p_nostats = str(tmp_path / "nostats.parquet")
     pq.write_table(table, p_nostats, write_statistics=False)
     assert parquet_footer_max_micros(p_nostats, "ts") is None
+    # a PARTITIONED store (no top-level part files) is walked recursively,
+    # skipping sidecars — falling back to a scan there defeats the helper
+    part_store = tmp_path / "partitioned.parquet"
+    day = part_store / "day=2024-03-01"
+    day.mkdir(parents=True)
+    (part_store / "_SUCCESS").touch()
+    pq.write_table(table, str(day / "part-000.parquet"))
+    assert parquet_footer_max_micros(str(part_store), "ts") == expected
     # missing column -> None
     assert parquet_footer_max_micros(p, "nope") is None
 

@@ -760,6 +760,32 @@ def test_hyperplane_dim_mismatch_raises_not_bucket_zero(spark):
     assert lsh_bucket_pairs(emb, dim=128, threshold=0.5).count() >= 0
 
 
+def test_hyperplane_null_embedding_named_error_and_explicit_drop(spark):
+    """A NULL vector fed straight to hyperplane_signature used to fall
+    into the length-mismatch raise with a NULL-concatenated (blank)
+    message; it must raise its own diagnosis. lsh_bucket_pairs drops
+    null embeddings EXPLICITLY (they can never pair) instead of leaving
+    their fate to an optimizer-inferred join-key filter."""
+    import pytest
+
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        as_double,
+        hyperplane_signature,
+        lsh_bucket_pairs,
+        plane_weights,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, None), (3, [0.1] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    sig = hyperplane_signature(as_double(F.col("embedding")), plane_weights(4, 8))
+    with pytest.raises(Exception, match="null embedding"):
+        emb.select(sig.alias("b")).collect()
+    pairs = lsh_bucket_pairs(emb, dim=8, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+
+
 def test_melt_escapes_exotic_column_names(spark):
     from time_series_and_data_lakes_spark.operators.melt import melt
 

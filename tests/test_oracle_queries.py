@@ -115,6 +115,56 @@ def test_g9_ohlc_oracle_parity_under_duplicate_timestamps(spark, tmp_path):
     assert_matches_oracle(out, sf_dir, Q.ORACLES["g9_ohlc_per_sensor"], "g9_dup_ts")
 
 
+def test_q16_null_supplier_links_match_not_in_semantics(spark, tmp_path):
+    # round-8 review: SQL NOT IN drops NULL-suppkey links via three-valued
+    # logic (flagged set non-empty), while a plain left-anti join keeps
+    # them — a part whose links are ALL null then mints a phantom
+    # zero-count group on the Spark side only. Both engines now exclude
+    # null links unconditionally.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_util import assert_matches_oracle
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_brand": pa.array(["Brand#1", "Brand#2"]),
+                "p_type": pa.array(["STANDARD", "STANDARD"]),
+                "p_size": pa.array([9, 9], pa.int32()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([10, 20, 30], pa.int64()),
+                "s_acctbal": pa.array([100.0, -5.0, 50.0]),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                # part 1: one flagged link, one NULL link, two real ones;
+                # part 2: ONLY a null link — must not appear at all
+                "l_suppkey": pa.array([10, 20, None, 30, None], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = Q.QUERIES["tpch_q16_supplier_count"](spark, str(tmp_path))
+    rows = out.collect()
+    assert [(r["p_brand"], r["supplier_cnt"]) for r in rows] == [("Brand#1", 2)]
+    assert_matches_oracle(
+        out, str(tmp_path), Q.ORACLES["tpch_q16_supplier_count"], "q16_null_links"
+    )
+
+
 def test_ewma_oracle_parity_at_fold_cap(spark, tmp_path):
     # End-to-end cap parity: a key with more observations than
     # _FOLD_MAX_POINTS — including duplicate timestamps near the cap

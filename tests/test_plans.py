@@ -20,6 +20,29 @@ from time_series_and_data_lakes_spark.plans import formatted_plan as _plan  # no
 from time_series_and_data_lakes_spark.plans import hash_exchange_keys as _hash_keys  # noqa: E402
 
 
+def test_pushed_filters_brackets_exact_on_both_renderings():
+    # round-8 ADVICE: the closing bracket is the first `]` at end-of-line
+    # or before a `, Field:` label — an In() pushdown's inner brackets
+    # must not truncate the capture, and a single-line scan rendering's
+    # trailing bracketed field must not be absorbed into it.
+    from time_series_and_data_lakes_spark.plans import pushed_filters
+
+    formatted = (
+        "(1) Scan parquet\n"
+        "PushedFilters: [In(flag, [A,B]), IsNotNull(k), In(s, [x,y])]\n"
+        "ReadSchema: struct<k:int>\n"
+    )
+    assert pushed_filters(formatted) == [
+        "In(flag, [A,B]), IsNotNull(k), In(s, [x,y])"
+    ]
+    one_line = (
+        "+- FileScan parquet [k#1] PushedFilters: [IsNotNull(k)], "
+        "Bucketing: [enabled], ReadSchema: struct<k:int>\n"
+    )
+    assert pushed_filters(one_line) == ["IsNotNull(k)"]
+    assert pushed_filters("(1) Scan parquet\nPushedFilters: []\n") == [""]
+
+
 def test_enrichment_join_broadcasts_all_dims(spark, sf_dir):
     plan = _plan(Q.a1_enrichment_join(spark, sf_dir))
     assert _nodes(plan, "BroadcastHashJoin") == 3  # customer, nation, region

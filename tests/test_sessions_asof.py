@@ -112,6 +112,30 @@ def test_range_join_inclusive_bounds_and_bucket_spans(spark):
     ]  # t(3.001) is outside B; k2's point t(1) is before C
 
 
+def test_range_join_inverted_and_null_intervals_drop_cheaply(spark):
+    # an inverted interval (end < start) can never satisfy the BETWEEN
+    # filter, but pre-fix it fed sequence() a start > stop pair — a
+    # DESCENDING bucket list that produced spurious join candidates (and,
+    # wildly inverted, an array big enough to fail the job). It must be
+    # filtered BEFORE the explode; null bounds drop the same way.
+    from time_series_and_data_lakes_spark.operators.intervals import range_join
+
+    points = spark.createDataFrame(
+        [("k", _t(1)), ("k", _t(2))], "key string, t timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("k", "ok", _t(0), _t(3)),
+            ("k", "inv", _t(3), _t(0)),  # inverted
+            ("k", "null_e", _t(0), None),
+            ("k", "wild", _t(500_000_000), _t(0)),  # ~10^7 buckets if exploded
+        ],
+        "key string, iv string, s timestamp, e timestamp",
+    )
+    got = range_join(points, intervals, "t", "s", "e", keys=["key"], bucket_s=60)
+    assert sorted(r["iv"] for r in got.collect()) == ["ok", "ok"]
+
+
 def test_range_join_pairs_are_unique(spark):
     from time_series_and_data_lakes_spark.operators.intervals import range_join
 

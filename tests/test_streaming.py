@@ -505,6 +505,80 @@ def test_read_json_stream_rejects_nonpositive_trigger(spark, tmp_path):
         read_json_stream(spark, str(src), max_files_per_trigger=0)
 
 
+def test_streaming_cep_integer_key_schema_runs(spark, tmp_path):
+    """Both CEP bindings derive the key output field's name AND type from
+    the input stream: a bigint device key used to hit the hardcoded
+    sensor_id:string first field and crash the Arrow conversion — the
+    same defect fixed in analytics_stream's _keyed_output_schema."""
+    rows = [
+        {
+            "device": int(r["sensor_id"].rsplit("-", 1)[1]),
+            "event_time": r["event_time"],
+            "temperature": r["temperature"],
+            "status": r["status"],
+        }
+        for r in sensor_readings(seed=3, sensors=4, span_seconds=90)
+    ]
+    src = _write_json_batches(tmp_path, rows, n_batches=3)
+    typed = (
+        spark.readStream.schema(
+            "device bigint, event_time long, temperature double, status string"
+        )
+        .json(src)
+        .select(
+            "device",
+            F.timestamp_millis("event_time").alias("time"),
+            "status",
+            "temperature",
+        )
+    )
+    matches = match_error_pattern_stream(
+        typed, key="device", within="INTERVAL 1 MINUTE"
+    )
+    assert dict(matches.dtypes)["device"] == "bigint"  # key-typed schema
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cep_intkey")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table("cep_intkey").collect())
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                r["device"],
+                dt.datetime.utcfromtimestamp(r["event_time"] / 1000.0),
+                r["status"],
+                r["temperature"],
+            )
+            for r in rows
+        ],
+        "device bigint, time timestamp, status string, temperature double",
+    )
+    want = sorted(
+        tuple(r)
+        for r in match_error_pattern(
+            batch_df, key="device", within="INTERVAL 1 MINUTE"
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+    # the tws binding shares the schema derivation — construction suffices
+    # to pin it (e2e tws parity runs in test_streaming_cep_tws_equals_batch)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return
+    from time_series_and_data_lakes_spark.streaming import match_error_pattern_tws
+
+    tws = match_error_pattern_tws(typed, key="device", within="INTERVAL 1 MINUTE")
+    assert dict(tws.dtypes)["device"] == "bigint"
+
+
 def test_streaming_cep_tws_equals_batch(spark, tmp_path):
     """Same NFA on Spark 4's transformWithStateInPandas typed-state API —
     the streaming output must equal the batch operator (and therefore the

@@ -167,23 +167,33 @@ def weighted_mixture(
     # aggregate, the min would ignore it, and the returned "mixture" would
     # silently carry the wrong proportions (a typo'd source name sells a
     # 100/0 split as 50/50). Validate by name instead.
-    present = {r[0] for r in avail.select(group_col).collect()}
-    missing = sorted(set(weights) - present)
-    if missing:
-        avail.unpersist()
-        raise ValueError(
-            f"weighted sources with zero available rows: {missing} — "
-            "capacity min(avail/w) is 0, so the target proportions are "
-            "unachievable; drop them from weights or fix the corpus"
-        )
     # |sources| rows: the unpartitioned window is free here
-    rates = (
+    rates_plan = (
         avail.withColumn(
             "__cap", F.min(F.col("n_avail") / F.col("__w")).over(Window.partitionBy())
         )
         .withColumn("keep_frac", F.col("__w") * F.col("__cap") / F.col("n_avail"))
         .select(group_col, "n_avail", "keep_frac")
     )
+    try:
+        present = {r[0] for r in avail.select(group_col).collect()}
+        missing = sorted(set(weights) - present)
+        if missing:
+            raise ValueError(
+                f"weighted sources with zero available rows: {missing} — "
+                "capacity min(avail/w) is 0, so the target proportions are "
+                "unachievable; drop them from weights or fix the corpus"
+            )
+        # Materialize the |sources|-row rate table driver-side so the
+        # returned plan carries a local relation rather than a live
+        # dependency on the cached count scan — which lets `avail` be
+        # unpersisted HERE instead of leaking its blocks for the session
+        # lifetime (the success path never freed them before).
+        rates = df.sparkSession.createDataFrame(
+            rates_plan.collect(), schema=rates_plan.schema
+        )
+    finally:
+        avail.unpersist()
     return (
         base.join(F.broadcast(rates), group_col)
         .filter(

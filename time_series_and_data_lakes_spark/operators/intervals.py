@@ -57,6 +57,13 @@ def range_join(
     iv = (
         intervals.withColumn("__s_us", F.unix_micros(F.col(interval_start)))
         .withColumn("__e_us", F.unix_micros(F.col(interval_end)))
+        # an INVERTED interval (end < start) can never match the BETWEEN
+        # filter, but unfiltered it would feed sequence() a start > stop
+        # pair, which generates a DESCENDING bucket list — spurious join
+        # candidates, and for a wildly inverted pair an array long enough
+        # to fail the job. Null bounds drop here too (null >= null is
+        # not-true), matching explode(null)'s behavior.
+        .filter(F.col("__e_us") >= F.col("__s_us"))
         .withColumn(
             "__bucket",
             F.explode(

@@ -317,7 +317,9 @@ def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
     of hashing: zip_with pads the shorter side with nulls, every
     projection goes null, and EVERY such vector would land in bucket 0 —
     silently turning the bucket join into the all-pairs quadratic it
-    exists to avoid."""
+    exists to avoid. A NULL vector raises its own named error: without
+    the explicit branch it fell into the length-mismatch raise with a
+    NULL-concatenated (blank) message."""
     dim = len(weights[0])
     sig = F.lit(0).cast("bigint")
     for p, w in enumerate(weights):
@@ -326,7 +328,15 @@ def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
         sig = sig + F.when(proj >= 0, F.lit(2**p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return F.when(F.size(vec) == dim, sig).otherwise(
+    return F.when(
+        vec.isNull(),
+        F.raise_error(
+            F.lit(
+                "hyperplane_signature: null embedding — filter or impute "
+                "null vectors before LSH bucketing"
+            )
+        ).cast("bigint"),
+    ).when(F.size(vec) == dim, sig).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("hyperplane_signature: vector length "),
@@ -346,13 +356,20 @@ def lsh_bucket_pairs(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: same-bucket candidates scored with
-    exact cosine, kept when >= threshold. Returns (id_a, id_b, score)."""
+    exact cosine, kept when >= threshold. Returns (id_a, id_b, score).
+
+    NULL embeddings are dropped EXPLICITLY before bucketing: they can
+    never pair (cosine with nothing), and without the filter their fate
+    depended on whether the optimizer's inferred isnotnull(bucket)
+    join-key filter happened to prune them before the signature's
+    null-raise evaluated."""
     weights = plane_weights(n_planes, dim)
     base = (
         corpus.select(
             F.col(id_col).alias("vid"),
             as_double(F.col(vec_col)).alias("v"),
         )
+        .filter(F.col("v").isNotNull())
         .withColumn("bucket", hyperplane_signature(F.col("v"), weights))
         .withColumn("nrm", norm(F.col("v")))
     )

@@ -33,13 +33,16 @@ def count_nodes(plan: str | DataFrame, name: str) -> int:
 
 def pushed_filters(plan: str | DataFrame) -> list[str]:
     """Every ``PushedFilters`` list in the plan's scans, one string per scan
-    — empty brackets mean the scan reads unfiltered. Greedy to the line's
-    LAST bracket: an ``In(col, [a,b])`` pushdown carries brackets of its
-    own, and a lazy match would truncate at the first one, silently
-    dropping every filter after it."""
+    — empty brackets mean the scan reads unfiltered. The closing bracket is
+    the first ``]`` followed by end-of-line or a ``, Field:`` label: a bare
+    lazy match would truncate inside an ``In(col, [a,b])`` pushdown's own
+    brackets, while a bare greedy one would absorb any bracketed field a
+    single-line scan rendering prints after PushedFilters."""
     if isinstance(plan, DataFrame):
         plan = formatted_plan(plan)
-    return re.findall(r"PushedFilters: \[(.*)\]", plan)
+    return re.findall(
+        r"PushedFilters: \[(.*?)\](?=\s*$|, \w+:)", plan, flags=re.M
+    )
 
 
 def plan_fingerprint(plan: str | DataFrame) -> str:

@@ -49,23 +49,33 @@ GRID_STEP_SQL = "INTERVAL 1 HOUR"
 def _events_ts_is_nanos(path: str) -> bool:
     """Footer peek (driver-side, no Spark job): does events.ts carry
     parquet TIMESTAMP(NANOS)? Decides whether ``load`` must engage the
-    session-wide ``nanosAsLong`` legacy conf."""
-    import glob
+    session-wide ``nanosAsLong`` legacy conf. Walks the store RECURSIVELY
+    (a partitioned layout has no top-level part files — probing only those
+    used to return False and the subsequent read failed) and answers from
+    the first part file whose footer yields a readable ``ts`` field,
+    skipping sidecars and corrupt/ts-less files."""
     import os
 
     import pyarrow.parquet as pq
 
-    sample = path
     if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not parts:
-            return False
-        sample = parts[0]
-    try:
-        field = pq.ParquetFile(sample).schema_arrow.field("ts")
-    except (KeyError, OSError):
-        return False
-    return str(field.type).startswith("timestamp[ns")
+        samples = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    else:
+        samples = [path]
+    for sample in samples:
+        try:
+            field = pq.ParquetFile(sample).schema_arrow.field("ts")
+        except (KeyError, OSError, ValueError):
+            # ValueError covers pyarrow's ArrowInvalid (corrupt/zero-byte
+            # part file — Spark's scan skips those too)
+            continue
+        return str(field.type).startswith("timestamp[ns")
+    return False
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -224,7 +224,14 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT IN compiles to a broadcast LEFT ANTI join against the (tiny) flagged
     set; the part qualification filters before its join. COUNT(DISTINCT
     l_suppkey) per group runs as Spark's two-phase distinct-aggregate
-    expand, keyed on the group columns."""
+    expand, keyed on the group columns.
+
+    NULL-suppkey links are excluded EXPLICITLY on both engines: SQL NOT IN
+    drops them via three-valued logic whenever the flagged set is
+    non-empty, while a plain anti join always keeps them (they could mint
+    phantom zero-count groups); the unconditional filter makes the two
+    agree in every world — a null link can never contribute to
+    supplier_cnt regardless."""
     flagged = (
         _load(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -232,6 +239,7 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     link = (
         _load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
         .select("l_partkey", "l_suppkey")
         .distinct()
         .join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
@@ -251,7 +259,8 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q16_ORACLE = """
 SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) link
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey IS NOT NULL) link
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#5'
   AND p_type <> 'PROMO'

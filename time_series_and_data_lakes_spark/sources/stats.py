@@ -15,7 +15,6 @@ unreadable part file, a missing pyarrow — anything unexpected returns
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
@@ -36,7 +35,16 @@ def parquet_footer_max_micros(path: str, column: str) -> int | None:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            # recursive: a PARTITIONED store has no top-level part files,
+            # and falling back to the aggregate pre-scan there would cost
+            # the full extra pass this helper exists to avoid (footers of
+            # every part file still carry the column's min/max)
+            paths = sorted(
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
         else:
             paths = [path]
         if not paths:

@@ -43,6 +43,9 @@ from pyspark.sql.streaming.stateful_processor import (
 
 _LOG = logging.getLogger(__name__)
 
+# First field is a placeholder: both bindings re-derive the key field's
+# name AND type from the input stream (_keyed_output_schema) — a hardcoded
+# sensor_id:string crashes the Arrow conversion for integer/custom keys.
 CEP_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("sensor_id", T.StringType()),
@@ -310,6 +313,9 @@ def match_error_pattern_stream(
     """
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        _keyed_output_schema,
+    )
     from time_series_and_data_lakes_spark.streaming.state_ttl import (
         check_ttl_covers_window as _check_ttl,
         timeout_conf as _timeout_conf,
@@ -369,7 +375,7 @@ def match_error_pattern_stream(
 
     return stream.groupBy(key).applyInPandasWithState(
         process,
-        outputStructType=CEP_OUTPUT_SCHEMA,
+        outputStructType=_keyed_output_schema(stream, key, CEP_OUTPUT_SCHEMA),
         stateStructType=CEP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=_timeout_conf(ttl_ms),
@@ -520,6 +526,9 @@ def match_error_pattern_tws(
     forbids changing the provider across restarts)."""
     from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
+    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+        _keyed_output_schema,
+    )
     from time_series_and_data_lakes_spark.streaming.state_ttl import (
         check_ttl_covers_window as _check_ttl,
         ttl_millis as _ttl_millis,
@@ -566,7 +575,7 @@ def match_error_pattern_tws(
     )
     return stream.groupBy(key).transformWithStateInPandas(
         statefulProcessor=processor,
-        outputStructType=CEP_OUTPUT_SCHEMA,
+        outputStructType=_keyed_output_schema(stream, key, CEP_OUTPUT_SCHEMA),
         outputMode="append",
         # the WITHIN bound expires candidates from the data clock (replay-
         # deterministic); ProcessingTime is engaged only for native TTL
