@@ -2214,57 +2214,65 @@ ORDER BY sensor_id, time_ms
 # Registry — the driver contract (__spark_entry__.queries / oracle_sql).
 # --------------------------------------------------------------------------
 
+# Single source of truth: (name, program, oracle) — None marks the two
+# approximate-by-design sketches whose exact oracle cannot exist (they are
+# error-bounded by tests/test_approx_bounds.py instead). The paired-dict
+# form this replaces let a query be registered without its oracle twin.
+_CATALOG: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]] = [
+    ("q1_flagship_interpolate", q1_flagship_interpolate, Q1_ORACLE),
+    ("q1_sql_flagship", q1_sql_flagship, Q1_ORACLE),
+    ("q2_interpolated_series", q2_interpolated_series, Q2_ORACLE),
+    ("q3_timeseries_roundtrip", q3_timeseries_roundtrip, Q3_ORACLE),
+    ("g2_measure_series", g2_measure_series, G2_ORACLE),
+    ("g3_raw_feed_ordered", g3_raw_feed_ordered, G3_ORACLE),
+    ("g4_status_counts", g4_status_counts, G4_ORACLE),
+    ("g4b_status_case_pivot", g4b_status_case_pivot, G4B_ORACLE),
+    ("g5_binned_percentiles", g5_binned_percentiles, G5_ORACLE),
+    ("g5b_approx_percentiles", g5b_approx_percentiles, None),
+    ("g6_top_sensors_recent_max", g6_top_sensors_recent_max, G6_ORACLE),
+    ("g7_per_sensor_interval_max", g7_per_sensor_interval_max, G7_ORACLE),
+    ("a2_enrichment_view", a2_enrichment_view, A2_ORACLE),
+    ("melt_narrow", melt_narrow, MELT_ORACLE),
+    ("pivot_wide", pivot_wide, PIVOT_ORACLE),
+    ("a1_enrichment_join", a1_enrichment_join, A1_ORACLE),
+    ("tpch_q1_pricing_summary", tpch_q1_pricing_summary, TPCH_Q1_ORACLE),
+    ("tpch_q3_top_orders", tpch_q3_top_orders, TPCH_Q3_ORACLE),
+    ("tpch_q5_region_revenue", tpch_q5_region_revenue, TPCH_Q5_ORACLE),
+    ("tpch_q6_selective", tpch_q6_selective, TPCH_Q6_ORACLE),
+    ("tpch_q4_priority_with_returns", tpch_q4_priority_with_returns, TPCH_Q4_ORACLE),
+    ("tpch_q10_returned_revenue", tpch_q10_returned_revenue, TPCH_Q10_ORACLE),
+    ("tpch_q14_promo_effect", tpch_q14_promo_effect, TPCH_Q14_ORACLE),
+    ("tpch_q18_large_orders", tpch_q18_large_orders, TPCH_Q18_ORACLE),
+    ("setops_priority_cohorts", setops_priority_cohorts, SETOPS_ORACLE),
+    ("rollup_cascade_stats", rollup_cascade_stats, ROLLUP_CASCADE_ORACLE),
+    ("json_props_extract", json_props_extract, JSON_PROPS_ORACLE),
+    ("rollup_pricing_totals", rollup_pricing_totals, ROLLUP_ORACLE),
+    ("distinct_part_suppliers", distinct_part_suppliers, DISTINCT_ORACLE),
+    ("approx_distinct_parts", approx_distinct_parts, None),
+    ("analytics_moving_window", analytics_moving_window, ANALYTICS_ORACLE),
+    ("analytics_ewma", analytics_ewma, EWMA_ORACLE),
+    ("analytics_holt", analytics_holt, HOLT_ORACLE),
+    ("analytics_cusum", analytics_cusum, CUSUM_ORACLE),
+    ("analytics_lttb_downsample", analytics_lttb_downsample, LTTB_ORACLE),
+    ("analytics_anomaly_zscore", analytics_anomaly_zscore, ZSCORE_ORACLE),
+    ("g8_heatmap_bins", g8_heatmap_bins, HEATMAP_ORACLE),
+    ("g9_ohlc_per_sensor", g9_ohlc_per_sensor, OHLC_ORACLE),
+    ("g10_error_rate_by_bin", g10_error_rate_by_bin, ERROR_RATE_ORACLE),
+    ("sessionize_events", sessionize_events, SESSIONIZE_ORACLE),
+    ("asof_latest_order", asof_latest_order, ASOF_ORACLE),
+    ("semi_anti_customers", semi_anti_customers, SEMI_ANTI_ORACLE),
+    ("tpch_q22_idle_rich_customers", tpch_q22_idle_rich_customers, TPCH_Q22_ORACLE),
+    ("correlated_min_price_lines", correlated_min_price_lines, CORRELATED_MIN_ORACLE),
+    ("cube_pricing_matrix", cube_pricing_matrix, CUBE_ORACLE),
+    ("gap_report_sensors", gap_report_sensors, GAP_REPORT_ORACLE),
+    ("f2_cep_match_recognize", f2_cep_match_recognize, F2_ORACLE),
+    ("f3_cep_event_time", f3_cep_event_time, F3_ORACLE),
+    ("g1_cep_pivot_by_bin", g1_cep_pivot_by_bin, G1_ORACLE),
+    ("range_join_cep_context", range_join_cep_context, RANGE_JOIN_ORACLE),
+]
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q1_flagship_interpolate": q1_flagship_interpolate,
-    "q1_sql_flagship": q1_sql_flagship,
-    "q2_interpolated_series": q2_interpolated_series,
-    "q3_timeseries_roundtrip": q3_timeseries_roundtrip,
-    "g2_measure_series": g2_measure_series,
-    "g3_raw_feed_ordered": g3_raw_feed_ordered,
-    "g4_status_counts": g4_status_counts,
-    "g4b_status_case_pivot": g4b_status_case_pivot,
-    "g5_binned_percentiles": g5_binned_percentiles,
-    "g5b_approx_percentiles": g5b_approx_percentiles,
-    "g6_top_sensors_recent_max": g6_top_sensors_recent_max,
-    "g7_per_sensor_interval_max": g7_per_sensor_interval_max,
-    "a2_enrichment_view": a2_enrichment_view,
-    "melt_narrow": melt_narrow,
-    "pivot_wide": pivot_wide,
-    "a1_enrichment_join": a1_enrichment_join,
-    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
-    "tpch_q3_top_orders": tpch_q3_top_orders,
-    "tpch_q5_region_revenue": tpch_q5_region_revenue,
-    "tpch_q6_selective": tpch_q6_selective,
-    "tpch_q4_priority_with_returns": tpch_q4_priority_with_returns,
-    "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
-    "tpch_q14_promo_effect": tpch_q14_promo_effect,
-    "tpch_q18_large_orders": tpch_q18_large_orders,
-    "setops_priority_cohorts": setops_priority_cohorts,
-    "rollup_cascade_stats": rollup_cascade_stats,
-    "json_props_extract": json_props_extract,
-    "rollup_pricing_totals": rollup_pricing_totals,
-    "distinct_part_suppliers": distinct_part_suppliers,
-    "approx_distinct_parts": approx_distinct_parts,
-    "analytics_moving_window": analytics_moving_window,
-    "analytics_ewma": analytics_ewma,
-    "analytics_holt": analytics_holt,
-    "analytics_cusum": analytics_cusum,
-    "analytics_lttb_downsample": analytics_lttb_downsample,
-    "analytics_anomaly_zscore": analytics_anomaly_zscore,
-    "g8_heatmap_bins": g8_heatmap_bins,
-    "g9_ohlc_per_sensor": g9_ohlc_per_sensor,
-    "g10_error_rate_by_bin": g10_error_rate_by_bin,
-    "sessionize_events": sessionize_events,
-    "asof_latest_order": asof_latest_order,
-    "semi_anti_customers": semi_anti_customers,
-    "tpch_q22_idle_rich_customers": tpch_q22_idle_rich_customers,
-    "correlated_min_price_lines": correlated_min_price_lines,
-    "cube_pricing_matrix": cube_pricing_matrix,
-    "gap_report_sensors": gap_report_sensors,
-    "f2_cep_match_recognize": f2_cep_match_recognize,
-    "f3_cep_event_time": f3_cep_event_time,
-    "g1_cep_pivot_by_bin": g1_cep_pivot_by_bin,
-    "range_join_cep_context": range_join_cep_context,
+    n: f for n, f, _ in _CATALOG
 }
 
 # LLM-pipeline extension operators (dedup / similarity / text analysis).
@@ -2293,56 +2301,7 @@ from time_series_and_data_lakes_spark.queries_pipeline import (  # noqa: E402
 
 QUERIES.update(PIPELINE_QUERIES)
 
-ORACLES: dict[str, str] = {
-    "q1_flagship_interpolate": Q1_ORACLE,
-    "q1_sql_flagship": Q1_ORACLE,
-    "q2_interpolated_series": Q2_ORACLE,
-    "q3_timeseries_roundtrip": Q3_ORACLE,
-    "g2_measure_series": G2_ORACLE,
-    "g3_raw_feed_ordered": G3_ORACLE,
-    "g4_status_counts": G4_ORACLE,
-    "g4b_status_case_pivot": G4B_ORACLE,
-    "g5_binned_percentiles": G5_ORACLE,
-    "g6_top_sensors_recent_max": G6_ORACLE,
-    "g7_per_sensor_interval_max": G7_ORACLE,
-    "a2_enrichment_view": A2_ORACLE,
-    "melt_narrow": MELT_ORACLE,
-    "pivot_wide": PIVOT_ORACLE,
-    "a1_enrichment_join": A1_ORACLE,
-    "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
-    "tpch_q3_top_orders": TPCH_Q3_ORACLE,
-    "tpch_q5_region_revenue": TPCH_Q5_ORACLE,
-    "tpch_q6_selective": TPCH_Q6_ORACLE,
-    "tpch_q4_priority_with_returns": TPCH_Q4_ORACLE,
-    "tpch_q10_returned_revenue": TPCH_Q10_ORACLE,
-    "tpch_q14_promo_effect": TPCH_Q14_ORACLE,
-    "tpch_q18_large_orders": TPCH_Q18_ORACLE,
-    "setops_priority_cohorts": SETOPS_ORACLE,
-    "rollup_cascade_stats": ROLLUP_CASCADE_ORACLE,
-    "json_props_extract": JSON_PROPS_ORACLE,
-    "rollup_pricing_totals": ROLLUP_ORACLE,
-    "distinct_part_suppliers": DISTINCT_ORACLE,
-    "analytics_moving_window": ANALYTICS_ORACLE,
-    "analytics_ewma": EWMA_ORACLE,
-    "analytics_holt": HOLT_ORACLE,
-    "analytics_cusum": CUSUM_ORACLE,
-    "analytics_lttb_downsample": LTTB_ORACLE,
-    "analytics_anomaly_zscore": ZSCORE_ORACLE,
-    "g8_heatmap_bins": HEATMAP_ORACLE,
-    "g9_ohlc_per_sensor": OHLC_ORACLE,
-    "g10_error_rate_by_bin": ERROR_RATE_ORACLE,
-    "sessionize_events": SESSIONIZE_ORACLE,
-    "asof_latest_order": ASOF_ORACLE,
-    "semi_anti_customers": SEMI_ANTI_ORACLE,
-    "tpch_q22_idle_rich_customers": TPCH_Q22_ORACLE,
-    "correlated_min_price_lines": CORRELATED_MIN_ORACLE,
-    "cube_pricing_matrix": CUBE_ORACLE,
-    "gap_report_sensors": GAP_REPORT_ORACLE,
-    "f2_cep_match_recognize": F2_ORACLE,
-    "f3_cep_event_time": F3_ORACLE,
-    "g1_cep_pivot_by_bin": G1_ORACLE,
-    "range_join_cep_context": RANGE_JOIN_ORACLE,
-}
+ORACLES: dict[str, str] = {n: s for n, _, s in _CATALOG if s is not None}
 
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH2_ORACLES)

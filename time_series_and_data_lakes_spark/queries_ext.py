@@ -1786,74 +1786,43 @@ FROM px GROUP BY doc_id, frame_index
 """
 
 
-EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "dedup_exact": dedup_exact,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_components": dedup_components,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash": dedup_simhash,
-    "dedup_containment": dedup_containment,
-    "dedup_edit_distance": dedup_edit_distance,
-    "dedup_retention_report": dedup_retention_report,
-    "dedup_minhash_eval": dedup_minhash_eval,
-    "dedup_simhash_eval": dedup_simhash_eval,
-    "text_stats": text_stats,
-    "text_lang_id": text_lang_id,
-    "text_quality": text_quality,
-    "text_fingerprint": text_fingerprint,
-    "text_winnow_fingerprint": text_winnow_fingerprint,
-    "text_bm25_topk": text_bm25_topk,
-    "text_repetition_stats": text_repetition_stats,
-    "text_top_tokens": text_top_tokens,
-    "text_tfidf_keywords": text_tfidf_keywords,
-    "text_rrf_hybrid_topk": text_rrf_hybrid_topk,
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
-    "ann_lsh_dup_pairs": ann_lsh_dup_pairs,
-    "ann_pq_adc_topk": ann_pq_adc_topk,
-    "ann_quantize_int8": ann_quantize_int8,
-    "multimodal_decode_stats": multimodal_decode_stats,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_resize": multimodal_resize,
-    "multimodal_resize_pixels": multimodal_resize_pixels,
-    "multimodal_audio_stats": multimodal_audio_stats,
-    "multimodal_audio_resample": multimodal_audio_resample,
-    "multimodal_video_frames": multimodal_video_frames,
-}
+# Single source of truth: (name, program, oracle) — the paired-dict form
+# this replaces let a query be registered without its oracle twin.
+_CATALOG: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
+    ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    ("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
+    ("dedup_components", dedup_components, DEDUP_COMPONENTS_ORACLE),
+    ("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
+    ("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE),
+    ("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE),
+    ("dedup_edit_distance", dedup_edit_distance, DEDUP_EDIT_ORACLE),
+    ("dedup_retention_report", dedup_retention_report, DEDUP_RETENTION_ORACLE),
+    ("dedup_minhash_eval", dedup_minhash_eval, DEDUP_MINHASH_EVAL_ORACLE),
+    ("dedup_simhash_eval", dedup_simhash_eval, DEDUP_SIMHASH_EVAL_ORACLE),
+    ("text_stats", text_stats, TEXT_STATS_ORACLE),
+    ("text_lang_id", text_lang_id, TEXT_LANG_ORACLE),
+    ("text_quality", text_quality, TEXT_QUALITY_ORACLE),
+    ("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE),
+    ("text_winnow_fingerprint", text_winnow_fingerprint, TEXT_WINNOW_ORACLE),
+    ("text_bm25_topk", text_bm25_topk, TEXT_BM25_ORACLE),
+    ("text_repetition_stats", text_repetition_stats, TEXT_REPETITION_ORACLE),
+    ("text_top_tokens", text_top_tokens, TEXT_TOP_TOKENS_ORACLE),
+    ("text_tfidf_keywords", text_tfidf_keywords, TEXT_TFIDF_ORACLE),
+    ("text_rrf_hybrid_topk", text_rrf_hybrid_topk, TEXT_RRF_ORACLE),
+    ("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
+    ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
+    ("ann_ivf_kmeans_topk", ann_ivf_kmeans_topk, ANN_IVF_KMEANS_ORACLE),
+    ("ann_lsh_dup_pairs", ann_lsh_dup_pairs, ANN_LSH_PAIRS_ORACLE),
+    ("ann_pq_adc_topk", ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
+    ("ann_quantize_int8", ann_quantize_int8, ANN_QUANTIZE_ORACLE),
+    ("multimodal_decode_stats", multimodal_decode_stats, MULTIMODAL_ORACLE),
+    ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
+    ("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE),
+    ("multimodal_resize_pixels", multimodal_resize_pixels, MULTIMODAL_RESIZE_PIXELS_ORACLE),
+    ("multimodal_audio_stats", multimodal_audio_stats, AUDIO_STATS_ORACLE),
+    ("multimodal_audio_resample", multimodal_audio_resample, AUDIO_RESAMPLE_ORACLE),
+    ("multimodal_video_frames", multimodal_video_frames, VIDEO_FRAMES_ORACLE),
+]
 
-EXT_ORACLES: dict[str, str] = {
-    "dedup_exact": DEDUP_EXACT_ORACLE,
-    "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
-    "dedup_components": DEDUP_COMPONENTS_ORACLE,
-    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_ORACLE,
-    "dedup_simhash": DEDUP_SIMHASH_ORACLE,
-    "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
-    "dedup_edit_distance": DEDUP_EDIT_ORACLE,
-    "dedup_retention_report": DEDUP_RETENTION_ORACLE,
-    "dedup_minhash_eval": DEDUP_MINHASH_EVAL_ORACLE,
-    "dedup_simhash_eval": DEDUP_SIMHASH_EVAL_ORACLE,
-    "text_stats": TEXT_STATS_ORACLE,
-    "text_lang_id": TEXT_LANG_ORACLE,
-    "text_quality": TEXT_QUALITY_ORACLE,
-    "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
-    "text_winnow_fingerprint": TEXT_WINNOW_ORACLE,
-    "text_bm25_topk": TEXT_BM25_ORACLE,
-    "text_repetition_stats": TEXT_REPETITION_ORACLE,
-    "text_top_tokens": TEXT_TOP_TOKENS_ORACLE,
-    "text_tfidf_keywords": TEXT_TFIDF_ORACLE,
-    "text_rrf_hybrid_topk": TEXT_RRF_ORACLE,
-    "ann_cosine_topk": ANN_TOPK_ORACLE,
-    "ann_ivf_topk": ANN_IVF_ORACLE,
-    "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_ORACLE,
-    "ann_lsh_dup_pairs": ANN_LSH_PAIRS_ORACLE,
-    "ann_pq_adc_topk": ANN_PQ_ADC_ORACLE,
-    "ann_quantize_int8": ANN_QUANTIZE_ORACLE,
-    "multimodal_decode_stats": MULTIMODAL_ORACLE,
-    "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
-    "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
-    "multimodal_resize_pixels": MULTIMODAL_RESIZE_PIXELS_ORACLE,
-    "multimodal_audio_stats": AUDIO_STATS_ORACLE,
-    "multimodal_audio_resample": AUDIO_RESAMPLE_ORACLE,
-    "multimodal_video_frames": VIDEO_FRAMES_ORACLE,
-}
+EXT_QUERIES = {n: f for n, f, _ in _CATALOG}
+EXT_ORACLES = {n: s for n, _, s in _CATALOG}

@@ -649,32 +649,22 @@ FROM (
 PIPE_DECILES_ORACLE = _quality_deciles_oracle()
 
 
-PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "pipe_split_train_test": pipe_split_train_test,
-    "pipe_sample_per_source": pipe_sample_per_source,
-    "pipe_token_budget": pipe_token_budget,
-    "pipe_decontaminate": pipe_decontaminate,
-    "pipe_knn_label_vote": pipe_knn_label_vote,
-    "pipe_knn_label_vote_ivf": pipe_knn_label_vote_ivf,
-    "pipe_mix_weights": pipe_mix_weights,
-    "pipe_quality_funnel": pipe_quality_funnel,
-    "pipe_semdedup": pipe_semdedup,
-    "pipe_label_propagation": pipe_label_propagation,
-    "pipe_pack_sequences": pipe_pack_sequences,
-    "pipe_quality_deciles": pipe_quality_deciles,
-}
+# Single source of truth: (name, program, oracle) — the paired-dict form
+# this replaces let a query be registered without its oracle twin.
+_CATALOG: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
+    ("pipe_split_train_test", pipe_split_train_test, PIPE_SPLIT_ORACLE),
+    ("pipe_sample_per_source", pipe_sample_per_source, PIPE_SAMPLE_ORACLE),
+    ("pipe_token_budget", pipe_token_budget, PIPE_BUDGET_ORACLE),
+    ("pipe_decontaminate", pipe_decontaminate, PIPE_DECON_ORACLE),
+    ("pipe_knn_label_vote", pipe_knn_label_vote, PIPE_KNN_ORACLE),
+    ("pipe_knn_label_vote_ivf", pipe_knn_label_vote_ivf, PIPE_KNN_IVF_ORACLE),
+    ("pipe_mix_weights", pipe_mix_weights, PIPE_MIX_ORACLE),
+    ("pipe_quality_funnel", pipe_quality_funnel, PIPE_FUNNEL_ORACLE),
+    ("pipe_semdedup", pipe_semdedup, PIPE_SEMDEDUP_ORACLE),
+    ("pipe_label_propagation", pipe_label_propagation, PIPE_LP_ORACLE),
+    ("pipe_pack_sequences", pipe_pack_sequences, PIPE_PACK_ORACLE),
+    ("pipe_quality_deciles", pipe_quality_deciles, PIPE_DECILES_ORACLE),
+]
 
-PIPELINE_ORACLES: dict[str, str] = {
-    "pipe_split_train_test": PIPE_SPLIT_ORACLE,
-    "pipe_sample_per_source": PIPE_SAMPLE_ORACLE,
-    "pipe_token_budget": PIPE_BUDGET_ORACLE,
-    "pipe_decontaminate": PIPE_DECON_ORACLE,
-    "pipe_knn_label_vote": PIPE_KNN_ORACLE,
-    "pipe_knn_label_vote_ivf": PIPE_KNN_IVF_ORACLE,
-    "pipe_mix_weights": PIPE_MIX_ORACLE,
-    "pipe_quality_funnel": PIPE_FUNNEL_ORACLE,
-    "pipe_semdedup": PIPE_SEMDEDUP_ORACLE,
-    "pipe_label_propagation": PIPE_LP_ORACLE,
-    "pipe_pack_sequences": PIPE_PACK_ORACLE,
-    "pipe_quality_deciles": PIPE_DECILES_ORACLE,
-}
+PIPELINE_QUERIES = {n: f for n, f, _ in _CATALOG}
+PIPELINE_ORACLES = {n: s for n, _, s in _CATALOG}

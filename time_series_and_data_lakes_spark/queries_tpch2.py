@@ -809,34 +809,23 @@ ORDER BY s_suppkey
 """
 
 
-TPCH2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "tpch_q7_nation_volume": tpch_q7_nation_volume,
-    "tpch_q13_order_count_distribution": tpch_q13_order_count_distribution,
-    "tpch_q15_top_supplier_revenue": tpch_q15_top_supplier_revenue,
-    "tpch_q16_supplier_count": tpch_q16_supplier_count,
-    "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
-    "tpch_q21_sole_late_suppliers": tpch_q21_sole_late_suppliers,
-    "tpch_q8_market_share": tpch_q8_market_share,
-    "tpch_q9_profit_by_nation": tpch_q9_profit_by_nation,
-    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
-    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-    "tpch_q11_important_parts": tpch_q11_important_parts,
-    "tpch_q12_priority_by_status": tpch_q12_priority_by_status,
-    "tpch_q20_excess_share_suppliers": tpch_q20_excess_share_suppliers,
-}
+# Single source of truth: (name, program, oracle) — the paired-dict form
+# this replaces let a query be registered without its oracle twin.
+_CATALOG: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
+    ("tpch_q7_nation_volume", tpch_q7_nation_volume, TPCH_Q7_ORACLE),
+    ("tpch_q13_order_count_distribution", tpch_q13_order_count_distribution, TPCH_Q13_ORACLE),
+    ("tpch_q15_top_supplier_revenue", tpch_q15_top_supplier_revenue, TPCH_Q15_ORACLE),
+    ("tpch_q16_supplier_count", tpch_q16_supplier_count, TPCH_Q16_ORACLE),
+    ("tpch_q19_disjunctive_revenue", tpch_q19_disjunctive_revenue, TPCH_Q19_ORACLE),
+    ("tpch_q21_sole_late_suppliers", tpch_q21_sole_late_suppliers, TPCH_Q21_ORACLE),
+    ("tpch_q8_market_share", tpch_q8_market_share, TPCH_Q8_ORACLE),
+    ("tpch_q9_profit_by_nation", tpch_q9_profit_by_nation, TPCH_Q9_ORACLE),
+    ("tpch_q17_small_quantity_revenue", tpch_q17_small_quantity_revenue, TPCH_Q17_ORACLE),
+    ("tpch_q2_min_cost_supplier", tpch_q2_min_cost_supplier, TPCH_Q2_ORACLE),
+    ("tpch_q11_important_parts", tpch_q11_important_parts, TPCH_Q11_ORACLE),
+    ("tpch_q12_priority_by_status", tpch_q12_priority_by_status, TPCH_Q12_ORACLE),
+    ("tpch_q20_excess_share_suppliers", tpch_q20_excess_share_suppliers, TPCH_Q20_ORACLE),
+]
 
-TPCH2_ORACLES: dict[str, str] = {
-    "tpch_q7_nation_volume": TPCH_Q7_ORACLE,
-    "tpch_q13_order_count_distribution": TPCH_Q13_ORACLE,
-    "tpch_q15_top_supplier_revenue": TPCH_Q15_ORACLE,
-    "tpch_q16_supplier_count": TPCH_Q16_ORACLE,
-    "tpch_q19_disjunctive_revenue": TPCH_Q19_ORACLE,
-    "tpch_q21_sole_late_suppliers": TPCH_Q21_ORACLE,
-    "tpch_q8_market_share": TPCH_Q8_ORACLE,
-    "tpch_q9_profit_by_nation": TPCH_Q9_ORACLE,
-    "tpch_q17_small_quantity_revenue": TPCH_Q17_ORACLE,
-    "tpch_q2_min_cost_supplier": TPCH_Q2_ORACLE,
-    "tpch_q11_important_parts": TPCH_Q11_ORACLE,
-    "tpch_q12_priority_by_status": TPCH_Q12_ORACLE,
-    "tpch_q20_excess_share_suppliers": TPCH_Q20_ORACLE,
-}
+TPCH2_QUERIES = {n: f for n, f, _ in _CATALOG}
+TPCH2_ORACLES = {n: s for n, _, s in _CATALOG}
