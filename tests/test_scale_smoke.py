@@ -3,10 +3,12 @@ claims are plan-verified everywhere; this adds ONE empirical datapoint.
 
 Generates a synthetic ~sf1 slice (10x the bench scale) of the three
 tables the headline scale paths read — events, documents, embeddings —
-then runs the flagship resample, MinHash-LSH dedup, IVF top-k, and the
+then runs the flagship resample, MinHash-LSH dedup, IVF top-k, the
 real-pixel transcode chain (multimodal_resize_pixels — the
-Python-heaviest family) end-to-end at sf0.1 AND at 10x, asserting
-completion (no task OOM) and roughly-linear wall time.
+Python-heaviest family), and the two iterative families
+(dedup_components large-star/small-star, ann_ivf_kmeans_topk Lloyd
+rounds) end-to-end at sf0.1 AND at 10x, asserting completion (no task
+OOM) and roughly-linear wall time.
 
 Upscaling preserves the workload's SHAPE, not just its bytes:
 - events: 10x the keys (replicas get disjoint user_id ranges), same time
@@ -137,6 +139,12 @@ def test_headline_scale_paths_are_roughly_linear_at_10x(spark, tmp_path):
         # mapInPandas encode -> nn-resize -> decode over real pixels — to
         # pin Arrow-batch memory behavior at 10x payload count
         ("multimodal_resize_pixels", multimodal_resize_pixels),
+        # round-8 (verdict item 5): the two most expensive bench families
+        # without a 10x datapoint — both ITERATIVE (large-star/small-star
+        # rounds; Lloyd iterations), where a super-linear blow-up would
+        # hide from every single-pass plan gate
+        ("dedup_components", Q.QUERIES["dedup_components"]),
+        ("ann_ivf_kmeans_topk", Q.QUERIES["ann_ivf_kmeans_topk"]),
     ]:
         fn(spark, SF01).write.format("noop").mode("overwrite").save()  # warm
         spark.catalog.clearCache()
