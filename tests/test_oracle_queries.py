@@ -165,6 +165,91 @@ def test_q16_null_supplier_links_match_not_in_semantics(spark, tmp_path):
     )
 
 
+def test_q13_null_orderkeys_count_zero_on_both_engines(spark, tmp_path):
+    # round-8 review: the oracle's outer-join form counts non-null order
+    # keys (count(o_orderkey)), so a NULL-orderkey order row that matches a
+    # customer must contribute 0 — count(*) on the Spark side counted it.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_util import assert_matches_oracle
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # cust 1: two real orders + one NULL-orderkey row (counts 2);
+                # cust 2: ONLY a NULL-orderkey row (counts 0, like cust 3).
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderkey": pa.array([100, 101, None, None], pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT"] * 4),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = Q.QUERIES["tpch_q13_order_count_distribution"](spark, str(tmp_path))
+    assert {(r["c_count"], r["custdist"]) for r in out.collect()} == {(2, 1), (0, 2)}
+    assert_matches_oracle(
+        out,
+        str(tmp_path),
+        Q.ORACLES["tpch_q13_order_count_distribution"],
+        "q13_null_orderkeys",
+    )
+
+
+def test_q21_null_suppkey_late_lines_do_not_inflate_numwait(spark, tmp_path):
+    # round-8 review: a NULL-suppkey late line never joins supplier in the
+    # oracle's l1 iteration (and never blocks its NOT EXISTS — the <>
+    # comparison is UNKNOWN), so it must not count toward numwait or
+    # disqualify the order's sole late supplier.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_util import assert_matches_oracle
+
+    day = 86_400_000_000  # one day in microseconds
+    ts = pa.timestamp("us")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([500], pa.int64()),
+                "o_orderstatus": pa.array(["F"]),
+                "o_orderdate": pa.array([0], ts),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([500] * 4, pa.int64()),
+                # supplier 10: two late lines; supplier 20: on time (makes
+                # the order multi-supplier); NULL suppkey: late — ignored.
+                "l_suppkey": pa.array([10, 10, 20, None], pa.int64()),
+                "l_shipdate": pa.array([100 * day, 95 * day, day, 120 * day], ts),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([10, 20], pa.int64()),
+                "s_name": pa.array(["Supp#10", "Supp#20"]),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = Q.QUERIES["tpch_q21_sole_late_suppliers"](spark, str(tmp_path))
+    assert [(r["s_name"], r["numwait"]) for r in out.collect()] == [("Supp#10", 2)]
+    assert_matches_oracle(
+        out, str(tmp_path), Q.ORACLES["tpch_q21_sole_late_suppliers"], "q21_null_supp"
+    )
+
+
 def test_ewma_oracle_parity_at_fold_cap(spark, tmp_path):
     # End-to-end cap parity: a key with more observations than
     # _FOLD_MAX_POINTS — including duplicate timestamps near the cap

@@ -187,6 +187,10 @@ def test_range_join_rejects_nonpositive_bucket(spark):
     ivs = spark.createDataFrame(
         [("k", _t(0), _t(2))], "k string, s timestamp, e timestamp"
     )
-    for bad in (0, -60):
+    # 1e-9 int-truncates to a ZERO microsecond width — must be rejected at
+    # construct time, not surface as a mid-job ANSI DIVIDE_BY_ZERO
+    for bad in (0, -60, 1e-9):
         with pytest.raises(ValueError, match="bucket_s"):
             range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=bad)
+    # fractional seconds above one microsecond are a valid width
+    assert range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=0.5).count() == 1

@@ -44,13 +44,13 @@ def range_join(
     optionally also matching equi ``keys``. Timestamp columns on both
     sides; helper columns are dropped from the result.
     """
-    if bucket_s <= 0:
-        # unvalidated, a zero width surfaces as a mid-job ANSI
-        # DIVIDE_BY_ZERO from an executor (or, ANSI off, all-null buckets
-        # and a silently empty join) — reject descriptively at construct
-        # time, the interval-knob convention everywhere else
+    # validate the derived width, not the argument: a fractional bucket_s in
+    # (0, 1) passes a `<= 0` check but int-truncates to a ZERO width — the
+    # mid-job ANSI DIVIDE_BY_ZERO (or, ANSI off, all-null buckets and a
+    # silently empty join) this guard exists to reject at construct time
+    width_us = int(bucket_s * 1_000_000)
+    if width_us <= 0:
         raise ValueError(f"bucket_s must be a positive number of seconds, got {bucket_s}")
-    width_us = int(bucket_s) * 1_000_000
     p = points.withColumn("__t_us", F.unix_micros(F.col(point_time))).withColumn(
         "__bucket", F.floor(F.col("__t_us") / F.lit(width_us))
     )

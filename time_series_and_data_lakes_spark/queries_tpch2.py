@@ -124,11 +124,14 @@ def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
     outer join, so the exchange carries |customers| rows, not |orders|; the
     second aggregation on the count is a near-free ~K-row shuffle."""
     customer = _load(spark, sf_dir, "customer")
+    # count(o_orderkey), not count(*): the oracle's outer-join form counts
+    # non-null order keys, so a NULL-orderkey row that matches on custkey
+    # must contribute 0 on both engines.
     per_cust = (
         _load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
         .groupBy("o_custkey")
-        .agg(F.count("*").alias("_n"))
+        .agg(F.count("o_orderkey").alias("_n"))
     )
     return (
         customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
@@ -337,7 +340,12 @@ def tpch_q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("_n_supp"),
         F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
         F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_supp"),
-        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_late_lines"),
+        # NULL-suppkey late lines never join supplier in the oracle's l1
+        # iteration (and never block its NOT EXISTS — the <> comparison is
+        # UNKNOWN), so they must not inflate numwait here either.
+        F.sum(
+            F.when(F.col("_late") & F.col("l_suppkey").isNotNull(), 1).otherwise(0)
+        ).alias("_late_lines"),
     )
     supplier = _load(spark, sf_dir, "supplier")
     return (
