@@ -365,6 +365,14 @@ def test_compact_partitions_in_place(spark, tmp_path):
     assert compact_partitions(
         spark, store, ["measure_name", "date"], predicate=F.col("measure_name") == -1
     ) == 0
+    # a zero file count is rejected at construct time, not as a mid-job
+    # ANSI DIVIDE_BY_ZERO from the salt modulo
+    import pytest
+
+    with pytest.raises(ValueError, match="files_per_partition"):
+        compact_partitions(
+            spark, store, ["measure_name", "date"], files_per_partition=0
+        )
 
 
 def test_zorder_layout_skips_more_files_than_linear(spark, sf_dir, tmp_path):

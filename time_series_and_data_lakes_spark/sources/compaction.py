@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
+from time_series_and_data_lakes_spark.sources.merge import dynamic_partition_overwrite
 
 def compact_partitions(
     spark: SparkSession,
@@ -42,6 +43,9 @@ def compact_partitions(
     """Rewrite the partitions of ``path`` selected by ``predicate`` into
     ``files_per_partition`` files each. Returns the number of rows
     rewritten. Idempotent: re-running produces the same layout."""
+    if files_per_partition < 1:
+        # unvalidated, 0 is a mid-job ANSI DIVIDE_BY_ZERO from the salt modulo
+        raise ValueError(f"files_per_partition must be >= 1, got {files_per_partition}")
     store = spark.read.parquet(path)
     subset = store.filter(predicate) if predicate is not None else store
     keys = [F.col(c) for c in partition_cols]
@@ -59,10 +63,6 @@ def compact_partitions(
     n = packed.count()
     if n == 0:
         return 0  # nothing selected: leave the store untouched
-    from time_series_and_data_lakes_spark.sources.merge import (
-        dynamic_partition_overwrite,
-    )
-
     with dynamic_partition_overwrite(spark):
         (
             packed.write.mode("overwrite")
