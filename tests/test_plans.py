@@ -227,7 +227,12 @@ def test_q13_outer_join_carries_preaggregated_counts(spark, sf_dir):
     plan = _plan(Q.QUERIES["tpch_q13_order_count_distribution"](spark, sf_dir))
     assert "LeftOuter" in plan
     assert "Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in plan
-    assert "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>" in plan
+    # o_orderkey is in the scan because the count must skip NULL order keys
+    # (oracle outer-join semantics) — still a three-column projection
+    assert (
+        "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
+        "o_orderpriority:string>" in plan
+    )
     assert "partial_count" in plan
 
 
