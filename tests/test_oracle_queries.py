@@ -165,6 +165,36 @@ def test_q16_null_supplier_links_match_not_in_semantics(spark, tmp_path):
     )
 
 
+def test_distinct_pair_count_skips_null_components_on_both_engines(spark, tmp_path):
+    # round-8 review: Spark's multi-arg countDistinct skips rows where ANY
+    # column is NULL, while DuckDB's bare row-value count(DISTINCT (a,b))
+    # counts (NULL, x) as a distinct non-null struct — runtime-confirmed
+    # 2 vs 4 on this fixture before the oracle gained its FILTER clause.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_util import assert_matches_oracle
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["R"] * 4),
+                "l_partkey": pa.array([1, 1, None, 2], pa.int64()),
+                "l_suppkey": pa.array([1, None, 2, 2], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = Q.QUERIES["distinct_part_suppliers"](spark, str(tmp_path))
+    row = out.collect()[0]
+    assert (row["n_parts"], row["n_suppliers"], row["n_part_supp"], row["n_rows"]) == (
+        2, 2, 2, 4,
+    )
+    assert_matches_oracle(
+        out, str(tmp_path), Q.ORACLES["distinct_part_suppliers"], "distinct_null_pairs"
+    )
+
+
 def test_q13_null_orderkeys_count_zero_on_both_engines(spark, tmp_path):
     # round-8 review: the oracle's outer-join form counts non-null order
     # keys (count(o_orderkey)), so a NULL-orderkey order row that matches a

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.melt import melt, pivot_measures
@@ -1391,7 +1391,11 @@ DISTINCT_ORACLE = """
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_suppliers,
-       count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+       -- FILTER pins the pair count to Spark's multi-arg semantics (any
+       -- null component skips the row); DuckDB's bare row-value form
+       -- would count (NULL, x) as a distinct non-null struct
+       count(DISTINCT (l_partkey, l_suppkey)) FILTER
+         (WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL) AS n_part_supp,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """
@@ -1419,8 +1423,6 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def analytics_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     obs = sensor_obs(spark, sf_dir)
     # (time, temperature NULLS LAST) ordering: time alone leaves the frame
     # contents nondeterministic when a sensor repeats a timestamp with
@@ -1486,8 +1488,6 @@ def _bounded_obs(obs: DataFrame, max_points: int = _FOLD_MAX_POINTS) -> DataFram
     cap entries, and the DESC tie-order of nulls differs across engines.
     NaN is a real IEEE value, not a null — it propagates through the folds
     identically on both engines and is deliberately NOT filtered."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy("sensor_id").orderBy(
         F.col("time").desc(), F.col("temperature").desc()
     )
@@ -2117,8 +2117,6 @@ def correlated_min_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanged. MIN over doubles picks an existing value (no summation), so
     the equality predicate is exact cross-engine.
     """
-    from pyspark.sql import Window
-
     brand_parts = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#13")
@@ -2180,8 +2178,6 @@ def gap_report_sensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by sensor — the same exchange every per-sensor window op
     reuses. Gaps are compared in exact epoch milliseconds; `event_id`
     breaks timestamp ties so the lag sequence is deterministic."""
-    from pyspark.sql import Window
-
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts"))

@@ -171,8 +171,6 @@ def tpch_q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     single-partition exchange (the right trade at 100 TB: |suppliers| ≪
     |lineitem|). The plan gate asserts exactly one lineitem scan. Revenue
     compares in exact DECIMAL, so ties and the max are engine-exact."""
-    from pyspark.sql import Window
-
     revenue_view = (
         _load(spark, sf_dir, "lineitem")
         .filter(
