@@ -1831,6 +1831,15 @@ def test_tws_timer_eviction_survives_restart(spark, tmp_path):
         deadline = _time.time() + 90
         n = 0
         while _time.time() < deadline:
+            if q2.exception() is not None:
+                # a loaded host can race RocksDB's commit against the
+                # changelog checkpoint (CANNOT_WRITE_STATE_STORE) and kill
+                # the query — local mode has no task retries. A production
+                # runner restarts from the checkpoint; doing the same here
+                # re-exercises the restore-the-timer contract, it does not
+                # weaken it (output still only comes from a restored timer).
+                q2.stop()
+                q2 = start_query()
             n = spark.read.parquet(out).count()
             if n:
                 break
