@@ -38,9 +38,25 @@ from tests.oracle_util import assert_matches_oracle
 # table -> {column: period}; row i is nulled when i % period == period // 2.
 # Prime periods so the null patterns of different columns interleave (rows
 # with several simultaneous nulls AND rows with exactly one both occur).
+#
+# The TPC-H tables are swept too (VERDICT r8 item 2): all three round-8
+# cross-engine finds (q13's count(*) vs count(o_orderkey), q21's NULL-suppkey
+# numwait, COUNT DISTINCT null-pair semantics) lived in exactly the join-key
+# and measure columns below, which previously got zero null coverage.
 _INJECT = {
     "events": {"value": 7, "event_type": 19, "props": 13},
     "documents": {"text": 11, "lang": 17, "source": 23},
+    "orders": {"o_orderkey": 29, "o_custkey": 31},
+    "lineitem": {
+        "l_orderkey": 41,
+        "l_suppkey": 37,
+        "l_extendedprice": 43,
+        "l_discount": 47,
+        "l_quantity": 83,
+    },
+    "customer": {"c_custkey": 53},
+    "supplier": {"s_suppkey": 59},
+    "part": {"p_partkey": 61},
 }
 
 
@@ -87,6 +103,12 @@ REPRESENTATIVE = [
     "dedup_simhash",  # null text -> no signature -> no candidates
     "multimodal_decode_stats",  # null text -> NULL payload -> row dropped
     "text_winnow_fingerprint",  # null text -> no fingerprints
+    # the round-8/round-9 TPC-H null finds, pinned ungated on the nulled
+    # tables (full parity for the rest is the gated 108-query sweep):
+    "tpch_q13_order_count_distribution",  # + r9: GROUP BY c_custkey null merge
+    "tpch_q21_sole_late_suppliers",  # three-valued NOT EXISTS on null suppkey
+    "melt_narrow",  # r9: oracle mirrors melt's null-measure drop
+    "tpch_q1_pricing_summary",  # r9: exact-decimal sums, decimal-space round
 ]
 
 

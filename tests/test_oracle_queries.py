@@ -165,6 +165,55 @@ def test_q16_null_supplier_links_match_not_in_semantics(spark, tmp_path):
     )
 
 
+def test_q16_null_flagged_key_empties_not_in_on_both_engines(spark, tmp_path):
+    # round-9 sweep: the DUAL of the null-link hazard — a NULL s_suppkey
+    # INSIDE the flagged set makes `x NOT IN (…)` UNKNOWN for every x
+    # (SQL three-valued logic), so the oracle returns ZERO rows, while a
+    # plain equality anti join would ignore the null flagged row and keep
+    # everything. The engine's anti-join condition carries
+    # `OR s_suppkey IS NULL` to reproduce the poisoning.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_util import assert_matches_oracle
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_brand": pa.array(["Brand#1"]),
+                "p_type": pa.array(["STANDARD"]),
+                "p_size": pa.array([9], pa.int32()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # the flagged (s_acctbal < 0) set = {20, NULL} — poisoned
+                "s_suppkey": pa.array([10, 20, None], pa.int64()),
+                "s_acctbal": pa.array([100.0, -5.0, -7.0]),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1], pa.int64()),
+                "l_suppkey": pa.array([10, 30], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = Q.QUERIES["tpch_q16_supplier_count"](spark, str(tmp_path))
+    assert out.collect() == []
+    assert_matches_oracle(
+        out, str(tmp_path), Q.ORACLES["tpch_q16_supplier_count"], "q16_poisoned_not_in"
+    )
+
+
 def test_distinct_pair_count_skips_null_components_on_both_engines(spark, tmp_path):
     # round-8 review: Spark's multi-arg countDistinct skips rows where ANY
     # column is NULL, while DuckDB's bare row-value count(DISTINCT (a,b))
@@ -192,6 +241,40 @@ def test_distinct_pair_count_skips_null_components_on_both_engines(spark, tmp_pa
     )
     assert_matches_oracle(
         out, str(tmp_path), Q.ORACLES["distinct_part_suppliers"], "distinct_null_pairs"
+    )
+
+
+def test_q13_null_custkey_customers_merge_to_one_group(spark, tmp_path):
+    # round-9 sweep: the oracle's inner GROUP BY c_custkey treats NULLs as
+    # equal, so ALL null-custkey customers collapse into ONE zero-order
+    # group — one row per customer ROW diverged (28 vs 1 custdist).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_util import assert_matches_oracle
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, None, None, None], pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101], pa.int64()),
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = Q.QUERIES["tpch_q13_order_count_distribution"](spark, str(tmp_path))
+    # cust 1 -> c_count 2; the three NULL customers -> ONE c_count-0 group
+    assert {(r["c_count"], r["custdist"]) for r in out.collect()} == {(2, 1), (0, 1)}
+    assert_matches_oracle(
+        out,
+        str(tmp_path),
+        Q.ORACLES["tpch_q13_order_count_distribution"],
+        "q13_null_custkeys",
     )
 
 

@@ -145,6 +145,11 @@ def test_headline_scale_paths_are_roughly_linear_at_10x(spark, tmp_path):
         # hide from every single-pass plan gate
         ("dedup_components", Q.QUERIES["dedup_components"]),
         ("ann_ivf_kmeans_topk", Q.QUERIES["ann_ivf_kmeans_topk"]),
+        # round-9 (verdict item 4): the one top-cost family whose blow-up
+        # mode is CANDIDATE-COUNT explosion (inverted-index self-join)
+        # rather than iteration count — candidate cardinality asserted
+        # sub-quadratic below
+        ("dedup_ngram_jaccard", Q.QUERIES["dedup_ngram_jaccard"]),
     ]:
         fn(spark, SF01).write.format("noop").mode("overwrite").save()  # warm
         spark.catalog.clearCache()
@@ -158,6 +163,27 @@ def test_headline_scale_paths_are_roughly_linear_at_10x(spark, tmp_path):
         # quadratic candidate blow-up would show
         assert t10 / t1 < 20.0, (name, t1, t10)
 
+    # Verify-stage candidate cardinality for the inverted-index join: at
+    # threshold=0.0 every candidate pair (shares >=1 unpruned shingle)
+    # passes the jaccard filter, so the public API returns EXACTLY the
+    # verify-stage candidate set. Quadratic blow-up at 10x docs would be
+    # ~100x candidates; the max_df stop-list must hold it well under that.
+    from time_series_and_data_lakes_spark.operators.dedup import ngram_jaccard_pairs
+    from time_series_and_data_lakes_spark.queries_ext import _load_docs
+
+    cands = {}
+    for label, sf in (("sf0.1", SF01), ("10x", big)):
+        cands[label] = ngram_jaccard_pairs(
+            _load_docs(spark, sf), threshold=0.0, max_df=5
+        ).count()
+        spark.catalog.clearCache()
+    cand_ratio = cands["10x"] / max(cands["sf0.1"], 1)
+    assert cand_ratio < 30.0, cands
+
     print("\n10x scale smoke (sf0.1 -> ~sf1, local[32], min-of-2):")
     for name, (t1, t10, ratio) in results.items():
         print(f"  {name}: {t1:.2f}s -> {t10:.2f}s (x{ratio:.1f})")
+    print(
+        f"  ngram-jaccard verify-stage candidates: {cands['sf0.1']} -> "
+        f"{cands['10x']} (x{cand_ratio:.1f}; quadratic would be ~x100)"
+    )

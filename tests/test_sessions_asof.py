@@ -194,3 +194,9 @@ def test_range_join_rejects_nonpositive_bucket(spark):
             range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=bad)
     # fractional seconds above one microsecond are a valid width
     assert range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=0.5).count() == 1
+    # the derived width ROUNDS the fractional request: 0.3 s must yield an
+    # exact 300000 us bucket, not int-truncation's 299999 (ADVICE r8)
+    from time_series_and_data_lakes_spark.operators.intervals import bucket_width_us
+
+    assert bucket_width_us(0.3) == 300_000 != int(0.3 * 1_000_000)
+    assert range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=0.3).count() == 1

@@ -1838,6 +1838,20 @@ def test_tws_timer_eviction_survives_restart(spark, tmp_path):
                 # runner restarts from the checkpoint; doing the same here
                 # re-exercises the restore-the-timer contract, it does not
                 # weaken it (output still only comes from a restored timer).
+                # ONLY that commit-race family is restartable: any other
+                # exception (a deterministic crash on restore) would loop
+                # for 90s and surface as a bare n == 0 timeout with the
+                # root cause swallowed — re-raise it immediately instead.
+                exc = q2.exception()
+                if not any(
+                    tag in str(exc)
+                    for tag in (
+                        "CANNOT_WRITE_STATE_STORE",
+                        "CANNOT_COMMIT",
+                        "STATE_STORE_COMMIT",
+                    )
+                ):
+                    raise exc
                 q2.stop()
                 q2 = start_query()
             n = spark.read.parquet(out).count()

@@ -30,6 +30,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bucket_width_us(bucket_s: float) -> int:
+    """Derived bucket width, validated at construct time: a fractional
+    bucket_s in (0, 1) passes a `<= 0` check but rounds to a ZERO width —
+    the mid-job ANSI DIVIDE_BY_ZERO (or, ANSI off, all-null buckets and a
+    silently empty join) this guard exists to reject early. round(), not
+    int(): truncation toward zero turns float representation error into an
+    off-by-one width (bucket_s=0.3 -> 299999us, not 300000us — ADVICE r8)."""
+    width_us = round(bucket_s * 1_000_000)
+    if width_us <= 0:
+        raise ValueError(f"bucket_s must be a positive number of seconds, got {bucket_s}")
+    return width_us
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -44,13 +57,7 @@ def range_join(
     optionally also matching equi ``keys``. Timestamp columns on both
     sides; helper columns are dropped from the result.
     """
-    # validate the derived width, not the argument: a fractional bucket_s in
-    # (0, 1) passes a `<= 0` check but int-truncates to a ZERO width — the
-    # mid-job ANSI DIVIDE_BY_ZERO (or, ANSI off, all-null buckets and a
-    # silently empty join) this guard exists to reject at construct time
-    width_us = int(bucket_s * 1_000_000)
-    if width_us <= 0:
-        raise ValueError(f"bucket_s must be a positive number of seconds, got {bucket_s}")
+    width_us = bucket_width_us(bucket_s)
     p = points.withColumn("__t_us", F.unix_micros(F.col(point_time))).withColumn(
         "__bucket", F.floor(F.col("__t_us") / F.lit(width_us))
     )

@@ -587,18 +587,20 @@ def melt_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MELT_ORACLE = """
+-- per-leg IS NOT NULL mirrors the melt operator's narrow-store contract
+-- (operators/melt.py: a narrow record IS a non-null pair) — r9 sweep find
 SELECT l_orderkey, l_linenumber, l_returnflag,
        'l_quantity' AS measure_name, CAST(l_quantity AS DOUBLE) AS measure_value_double
-FROM lineitem
+FROM lineitem WHERE l_quantity IS NOT NULL
 UNION ALL
 SELECT l_orderkey, l_linenumber, l_returnflag, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
-FROM lineitem
+FROM lineitem WHERE l_extendedprice IS NOT NULL
 UNION ALL
 SELECT l_orderkey, l_linenumber, l_returnflag, 'l_discount', CAST(l_discount AS DOUBLE)
-FROM lineitem
+FROM lineitem WHERE l_discount IS NOT NULL
 UNION ALL
 SELECT l_orderkey, l_linenumber, l_returnflag, 'l_tax', CAST(l_tax AS DOUBLE)
-FROM lineitem
+FROM lineitem WHERE l_tax IS NOT NULL
 """
 
 
@@ -642,7 +644,12 @@ def a1_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact-decimal sum, decimal-space round — see tpch_q1 (r9); the
+            # DECIMAL(27,6) cast of a measure double is the proven
+            # cross-engine-safe form from the rollup cascade
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
         )
         .orderBy("region_name", "nation_name")
     )
@@ -650,7 +657,8 @@ def a1_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A1_ORACLE = """
 SELECT r_name AS region_name, n_name AS nation_name,
-       count(*) AS event_count, round(sum(value), 4) AS total_value
+       count(*) AS event_count,
+       CAST(round(sum(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS total_value
 FROM events
 JOIN customer ON user_id = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -665,27 +673,44 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal sums (r9 sweep find): double sums associate in
+    engine-specific order, and round() cannot mask a value that lands
+    within an ulp of a .xx5 boundary — the per-row double expression tree
+    (deterministic, identical in both engines) is cast to DECIMAL first,
+    summed exactly, and divided/rounded once.
+
+    Each DECIMAL scale is the expression's EXACT scale (2dp inputs → 4dp
+    product → 6dp triple product), so the cast never rounds: a cast that
+    rounds a true half-point diverges cross-engine (Spark rounds the
+    shortest decimal repr HALF_UP; DuckDB rounds the binary value, which
+    sits below the half — measured 330/60k rows apart at DECIMAL(18,4)).
+    The final 2dp round runs in decimal space (exact half-up both engines),
+    then casts to double for output."""
     li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    disc_price = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("l_quantity"), 6).alias("avg_qty"),
             F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (F.lit(1.0) - F.col("l_discount"))
-                    * (F.lit(1.0) + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.sum(price).cast("double") / F.count("l_extendedprice"), 6
+            ).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -694,13 +719,18 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6)
+         AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6)
+         AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6)
+         AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-12-01'
@@ -713,15 +743,16 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # exact-decimal sum then one round — see tpch_q1 (r9): double sums are
+    # association-order nondeterministic across engines
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
         .select("o_orderkey", "o_orderdate", "revenue")
@@ -730,7 +761,8 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q3_ORACLE = """
 SELECT o_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1028,14 +1060,26 @@ def tpch_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 10)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            # exact-decimal sum, decimal-space round — see tpch_q1 (r9)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
 TPCH_Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_rows
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10
@@ -1055,9 +1099,17 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
+            # exact-decimal sum, decimal-space round — see tpch_q1 (r9)
             F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), "nation_name")
     )
@@ -1065,7 +1117,8 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q5_ORACLE = """
 SELECT n_name AS nation_name,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2313,42 +2366,54 @@ ORACLES.update(PIPELINE_ORACLES)
 # oracle row can ever exist); every query with fewer than two green rounds
 # must occupy a window slot until it banks its second green.
 #
-# Round-8 rotation (audited programmatically against CORRECTNESS_r01-r07 by
+# Round-9 rotation (audited programmatically against CORRECTNESS_r01-r08 by
 # tests/test_registry.py — green counts are derived from the driver's own
-# JSON rows, never from comments). Composition follows the VERDICT_r7 item-1
-# banking directive: the window = the 19-query core reference surface
-# (q1-q3, the Grafana panels g1-g10 incl. g4b and the CEP pivot g1, the
-# Athena join a1, CEP f2/f3, melt) kept under continuous driver check + the
-# alphabetically-first 31 of the 33 entries still at exactly 2x green, each
-# banking its third green. The two alphabetical-overflow entries
-# (tpch_q8_market_share, tpch_q9_profit_by_nation, both 2x) rotate into the
-# round-9 window, which then retires the 2x population entirely.
+# JSON rows, never from comments). Composition follows the VERDICT_r8 item-1
+# banking directive verbatim: the window = the 19-query core reference
+# surface (q1-q3, the Grafana panels g1-g10 incl. g4b and the CEP pivot g1,
+# the Athena join a1, CEP f2/f3, melt) kept under continuous driver check +
+# tpch_q8_market_share + tpch_q9_profit_by_nation (the last two 2x entries,
+# banking their third green — the 2x population then retires) + the
+# alphabetically-first 29 entries of the 45-strong 3x tail, each banking a
+# fourth green. Every oracle-backed entry outside the window holds >=3
+# driver greens; the banking program's invariant (>=2 everywhere) is now
+# strictly exceeded catalog-wide once CORRECTNESS_r09 lands green.
 # ---------------------------------------------------------------------------
 
 _DRIVER_TAIL: list[str] = [
-    # >=3x driver-green, rotated out to free window slots for 2x entries:
-    "a2_enrichment_view",
-    "distinct_part_suppliers",
-    "analytics_ewma",
-    "analytics_holt",
-    "analytics_cusum",
-    "analytics_lttb_downsample",
-    "analytics_anomaly_zscore",
-    "asof_latest_order",
-    "correlated_min_price_lines",
-    "cube_pricing_matrix",
-    "dedup_containment",
-    "dedup_edit_distance",
-    "dedup_retention_report",
-    "dedup_minhash_eval",
-    "dedup_simhash_eval",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_lsh_dup_pairs",
-    "ann_quantize_int8",
-    "multimodal_audio_stats",
-    "multimodal_audio_resample",
-    "multimodal_video_frames",
+    # >=3x driver-green, rotated out to free window slots (x-counts as of
+    # CORRECTNESS_r08; the registry test recomputes them from the JSON):
+    "pivot_wide",
+    "tpch_q5_region_revenue",
+    "tpch_q6_selective",
+    "tpch_q4_priority_with_returns",
+    "tpch_q10_returned_revenue",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_orders",
+    "setops_priority_cohorts",
+    "rollup_pricing_totals",
+    "sessionize_events",
+    "semi_anti_customers",
+    "tpch_q22_idle_rich_customers",
+    "range_join_cep_context",
+    "text_repetition_stats",
+    "text_top_tokens",
+    "text_tfidf_keywords",
+    "text_rrf_hybrid_topk",
+    "tpch_q7_nation_volume",
+    "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_suppliers",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_by_status",
+    "tpch_q20_excess_share_suppliers",
+    "pipe_split_train_test",
+    "pipe_token_budget",
+    "pipe_semdedup",
     "pipe_sample_per_source",
     "pipe_decontaminate",
     "pipe_knn_label_vote",
@@ -2365,26 +2430,15 @@ _DRIVER_TAIL: list[str] = [
     "text_winnow_fingerprint",
     "text_bm25_topk",
     "ann_cosine_topk",
-    "ann_pq_adc_topk",
     "multimodal_decode_stats",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "multimodal_resize_pixels",
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "text_stats",
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
-    # exactly 2x green, waiting for a round-9 window slot (alphabetical
-    # overflow past this round's 31 rotated-in entries):
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
     # approximate by design — no exact oracle can exist; error-bounded by
     # property tests (tests/test_properties.py) with exact driver-green twins.
     # Kept LAST so a catalog shrink can never slide them into the window:

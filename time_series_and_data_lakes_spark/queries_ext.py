@@ -18,6 +18,21 @@ from pyspark.sql import functions as F
 from time_series_and_data_lakes_spark.operators import dedup as D
 from time_series_and_data_lakes_spark.operators import similarity as S
 from time_series_and_data_lakes_spark.operators import text as X
+from time_series_and_data_lakes_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_stats,
+    avi_encode,
+    bmp_encode,
+    decode_media,
+    extract_frames,
+    frame_sample,
+    pack_fake_payload,
+    pixel_stats,
+    ppm_encode,
+    resample_audio,
+    resize_media,
+    wav_encode,
+)
 
 # shared SQL fragments ------------------------------------------------------
 
@@ -741,7 +756,6 @@ _KMEANS_ITERS = 2
 _EMB_DIM = 64
 
 
-
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: 2 Lloyd iterations
     (operators/similarity.py::kmeans_centroids — exact-decimal means, so
@@ -895,8 +909,6 @@ ANN_LSH_PAIRS_ORACLE = _lsh_pairs_oracle()
 
 
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.multimodal import decode_media
-
     media = _fake_media(spark, sf_dir)
     return decode_media(media).select(
         F.col("media_id").alias("doc_id"),
@@ -924,11 +936,6 @@ def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     import pandas as pd
-
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        pack_fake_payload,
-    )
 
     docs = _load_docs(spark, sf_dir).select("doc_id", "text")
 
@@ -963,7 +970,6 @@ _FRAME_EVERY_N = 2
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding mapInPandas shape: one output row per sampled frame
     (every _FRAME_EVERY_N-th of 1 + doc_id % 30 stub frames)."""
-    from time_series_and_data_lakes_spark.operators.multimodal import frame_sample
 
     out = frame_sample(_fake_media(spark, sf_dir), every_n=_FRAME_EVERY_N)
     return out.select(
@@ -986,11 +992,6 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize → decode chain: aspect-fit header rewrite in integer
     arithmetic (operators/multimodal.py::resize_media), dimensions verified
     against the same arithmetic in DuckDB; body bytes pass through."""
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        decode_media,
-        resize_media,
-    )
-
     resized = resize_media(
         _fake_media(spark, sf_dir), max_width=_RESIZE_MAX_W, max_height=_RESIZE_MAX_H
     )
@@ -1189,12 +1190,6 @@ def _pixel_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        bmp_encode,
-        ppm_encode,
-    )
-
     docs = _load_docs(spark, sf_dir).select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1230,11 +1225,6 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte length. The oracle replays the pixel formula over the resampled
     index grid in SQL, so every byte of decode/resample/re-encode is
     value-gated — no codec library involved."""
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        pixel_stats,
-        resize_media,
-    )
-
     resized = resize_media(
         _pixel_media(spark, sf_dir), max_width=_PIX_MAX_W, max_height=_PIX_MAX_H
     )
@@ -1591,11 +1581,6 @@ def _fake_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        wav_encode,
-    )
-
     docs = _load_docs(spark, sf_dir).select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1620,8 +1605,6 @@ def _fake_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.multimodal import audio_stats
-
     out = audio_stats(_fake_wav_media(spark, sf_dir))
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -1654,11 +1637,6 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimate → decode → stats chain: the resampled payloads are REAL
     re-encoded WAV bytes; the oracle replays the index arithmetic
     (sample 4i of the original signal, ceil(n/4) samples, rate/4)."""
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        audio_stats,
-        resample_audio,
-    )
-
     media = _fake_wav_media(spark, sf_dir)
     out = audio_stats(resample_audio(media, factor=_AUDIO_DECIMATE))
     return out.select(
@@ -1709,11 +1687,6 @@ def _fake_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        avi_encode,
-    )
-
     docs = _load_docs(spark, sf_dir).select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1747,11 +1720,6 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     every-2nd-frame extraction re-encoded as BMP → pixel statistics. Any
     wrong byte anywhere in the two container codecs or the raster
     round-trip shifts a pixel sum and fails the hash."""
-    from time_series_and_data_lakes_spark.operators.multimodal import (
-        extract_frames,
-        pixel_stats,
-    )
-
     media = _fake_avi_media(spark, sf_dir)
     out = pixel_stats(
         extract_frames(media, every_n=_VID_EVERY_N), extra_cols=("frame_index",)

@@ -133,9 +133,15 @@ def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("o_custkey")
         .agg(F.count("o_orderkey").alias("_n"))
     )
+    # GROUP BY c_custkey, not one row per customer row: SQL GROUP BY treats
+    # NULLs as equal, so all NULL-custkey customers collapse into ONE
+    # zero-order group in the oracle (r9 sweep find). sum(_n) re-derives the
+    # group's count(o_orderkey) — null joins contribute NULL, which sum
+    # skips — and reuses the join's custkey partitioning (no extra shuffle).
     return (
         customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
-        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
@@ -232,7 +238,14 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-empty, while a plain anti join always keeps them (they could mint
     phantom zero-count groups); the unconditional filter makes the two
     agree in every world — a null link can never contribute to
-    supplier_cnt regardless."""
+    supplier_cnt regardless.
+
+    A NULL key inside the FLAGGED set is the dual hazard (r9 sweep find):
+    ``x NOT IN (set with NULL)`` is UNKNOWN for every x, emptying the SQL
+    result, while a plain equality anti join ignores the null row. The
+    anti-join condition therefore carries ``OR s_suppkey IS NULL`` — the
+    same null-aware anti-join rewrite Spark's planner applies to the SQL
+    form: one flagged NULL matches (and drops) every link row."""
     flagged = (
         _load(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -243,7 +256,11 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_suppkey").isNotNull())
         .select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(flagged),
+            (F.col("l_suppkey") == F.col("s_suppkey")) | F.col("s_suppkey").isNull(),
+            "left_anti",
+        )
     )
     part = _load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
