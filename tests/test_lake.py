@@ -170,6 +170,28 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     assert one.count() == sum(1 for r in a if r["shard"] == 3)
 
 
+def test_write_training_shards_null_id_stays_inside_layout(spark, tmp_path):
+    # r9 review find: a NULL doc_id used to hash to a NULL shard and land
+    # in shard=__HIVE_DEFAULT_PARTITION__ — outside the promised
+    # shard=0..n-1 layout, invisible to a loader iterating those dirs.
+    # NULL ids now hash as the empty string: deterministic, in-range.
+    from time_series_and_data_lakes_spark.sources.export import write_training_shards
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "doc_id bigint, text string"
+    )
+    p = str(tmp_path / "shards_null")
+    write_training_shards(df, p, n_shards=4)
+    import os
+
+    dirs = sorted(d for d in os.listdir(p) if d.startswith("shard="))
+    assert all(d.removeprefix("shard=").isdigit() for d in dirs), dirs
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    (null_shard,) = back.filter(F.col("doc_id").isNull()).select("shard").collect()
+    assert null_shard["shard"] in range(4)
+
+
 def test_events_loader_adapts_nanos_long_generation(spark, tmp_path):
     # Round-1 regression: some driver testdata generations ship events.ts
     # as parquet TIMESTAMP(NANOS), which Spark 4 reads as a LONG under

@@ -27,9 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
 from time_series_and_data_lakes_spark.operators.timeseries import (
     _interval_micros,
     time_bin,
+)
+from time_series_and_data_lakes_spark.sources.merge import (
+    dynamic_partition_overwrite,
+    read_parquet_if_exists,
 )
 
 #: decimal type for exact mergeable sums (measure doubles at sensor scale)
@@ -133,13 +138,6 @@ def _merged_level(
     partials (sum-of-sums / min-of-mins). Shared by the dynamic-overwrite
     refresh (:func:`refresh_rollup`) and the staged-commit streaming sink.
     Returns None when the delta lands in no partitions."""
-    from time_series_and_data_lakes_spark.operators.checkpointing import (
-        truncate_lineage,
-    )
-    from time_series_and_data_lakes_spark.sources.merge import (
-        read_parquet_if_exists,
-    )
-
     partials = rollup_partials(delta, keys, time_col, step, value_col).withColumn(
         "date", F.to_date("bin")
     )
@@ -229,10 +227,6 @@ def refresh_rollup(
     n = merged.count()
     if n == 0:
         return 0
-    from time_series_and_data_lakes_spark.sources.merge import (
-        dynamic_partition_overwrite,
-    )
-
     with dynamic_partition_overwrite(spark):
         merged.write.mode("overwrite").partitionBy("date").parquet(path)
     return n

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from time_series_and_data_lakes_spark.operators.dedup import h64, shingles_col, tokens_col
+from time_series_and_data_lakes_spark.operators.dedup import (
+    h64,
+    let,
+    shingles_col,
+    tokens_col,
+)
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
 # Chosen from high-frequency function words; the heuristic's value here is
@@ -70,8 +75,6 @@ def predicted_lang(text: Column) -> Column:
     row: HOF projections run interpreted with no subexpression
     elimination, and the naive form re-tokenized the text ~15x per row
     (greatest + every CASE arm) on corpus-wide scans."""
-    from time_series_and_data_lakes_spark.operators.dedup import let
-
     langs = sorted(LANG_STOPWORDS)
 
     def ratio(toks: Column, stopwords: list[str]) -> Column:
@@ -158,8 +161,6 @@ def winnow_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
 
     Pure array expressions; docs shorter than ``k`` tokens fingerprint to an
     empty array (explode drops them)."""
-    from time_series_and_data_lakes_spark.operators.dedup import let
-
     def mins_of(kh: Column) -> Column:
         # let-bound: HOF projections run interpreted without subexpression
         # elimination, so every branch referencing kh would otherwise
@@ -266,8 +267,6 @@ def bm25_topk(
     statistics pass prunes to tokenized lengths only), a 1-row broadcast,
     and a top-k exchange of only surviving docs.
     """
-    from time_series_and_data_lakes_spark.operators.dedup import let, tokens_col
-
     terms = [t.lower() for t in query_terms]
     toks = tokens_col(F.lower(F.col(text_col)))
 

@@ -674,18 +674,13 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-decimal sums (r9 sweep find): double sums associate in
-    engine-specific order, and round() cannot mask a value that lands
-    within an ulp of a .xx5 boundary — the per-row double expression tree
-    (deterministic, identical in both engines) is cast to DECIMAL first,
-    summed exactly, and divided/rounded once.
-
-    Each DECIMAL scale is the expression's EXACT scale (2dp inputs → 4dp
-    product → 6dp triple product), so the cast never rounds: a cast that
-    rounds a true half-point diverges cross-engine (Spark rounds the
-    shortest decimal repr HALF_UP; DuckDB rounds the binary value, which
-    sits below the half — measured 330/60k rows apart at DECIMAL(18,4)).
-    The final 2dp round runs in decimal space (exact half-up both engines),
-    then casts to double for output."""
+    engine-specific order, so the per-row double expression tree (identical
+    in both engines) is cast to DECIMAL at its EXACT scale (2dp inputs →
+    4dp product → 6dp triple product — a cast that rounds a true half
+    diverges: Spark rounds the shortest decimal repr HALF_UP, DuckDB the
+    binary value, measured 330/60k rows apart at DECIMAL(18,4)), summed
+    exactly, and rounded once in decimal space (exact half-up both
+    engines) before the output cast to double."""
     li = load(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -719,19 +714,14 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
-         AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6)
-         AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6)
-         AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6)
-         AS avg_disc,
-       count(*) AS count_order
+ CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+ CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+ CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+ CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+ round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+ round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+ round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+ count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-12-01'
 GROUP BY l_returnflag, l_linestatus
@@ -2381,69 +2371,34 @@ ORACLES.update(PIPELINE_ORACLES)
 # ---------------------------------------------------------------------------
 
 _DRIVER_TAIL: list[str] = [
-    # >=3x driver-green, rotated out to free window slots (x-counts as of
-    # CORRECTNESS_r08; the registry test recomputes them from the JSON):
-    "pivot_wide",
-    "tpch_q5_region_revenue",
-    "tpch_q6_selective",
-    "tpch_q4_priority_with_returns",
-    "tpch_q10_returned_revenue",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_orders",
-    "setops_priority_cohorts",
-    "rollup_pricing_totals",
-    "sessionize_events",
-    "semi_anti_customers",
-    "tpch_q22_idle_rich_customers",
-    "range_join_cep_context",
-    "text_repetition_stats",
-    "text_top_tokens",
-    "text_tfidf_keywords",
-    "text_rrf_hybrid_topk",
-    "tpch_q7_nation_volume",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier_revenue",
-    "tpch_q16_supplier_count",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_late_suppliers",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_by_status",
-    "tpch_q20_excess_share_suppliers",
-    "pipe_split_train_test",
-    "pipe_token_budget",
-    "pipe_semdedup",
-    "pipe_sample_per_source",
-    "pipe_decontaminate",
-    "pipe_knn_label_vote",
-    "pipe_knn_label_vote_ivf",
-    "pipe_mix_weights",
-    "pipe_quality_funnel",
-    "pipe_label_propagation",
-    "pipe_pack_sequences",
-    "pipe_quality_deciles",
-    "rollup_cascade_stats",
-    "json_props_extract",
-    "analytics_moving_window",
-    "gap_report_sensors",
-    "text_winnow_fingerprint",
-    "text_bm25_topk",
-    "ann_cosine_topk",
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "text_stats",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint",
+    # >=3x driver-green, rotated out to free window slots (green counts
+    # recomputed from CORRECTNESS_r*.json by tests/test_registry.py):
+    "pivot_wide", "tpch_q5_region_revenue", "tpch_q6_selective",
+    "tpch_q4_priority_with_returns", "tpch_q10_returned_revenue",
+    "tpch_q14_promo_effect", "tpch_q18_large_orders",
+    "setops_priority_cohorts", "rollup_pricing_totals", "sessionize_events",
+    "semi_anti_customers", "tpch_q22_idle_rich_customers",
+    "range_join_cep_context", "text_repetition_stats", "text_top_tokens",
+    "text_tfidf_keywords", "text_rrf_hybrid_topk", "tpch_q7_nation_volume",
+    "tpch_q13_order_count_distribution", "tpch_q15_top_supplier_revenue",
+    "tpch_q16_supplier_count", "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_suppliers", "tpch_q17_small_quantity_revenue",
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
+    "tpch_q12_priority_by_status", "tpch_q20_excess_share_suppliers",
+    "pipe_split_train_test", "pipe_token_budget", "pipe_semdedup",
+    "pipe_sample_per_source", "pipe_decontaminate", "pipe_knn_label_vote",
+    "pipe_knn_label_vote_ivf", "pipe_mix_weights", "pipe_quality_funnel",
+    "pipe_label_propagation", "pipe_pack_sequences", "pipe_quality_deciles",
+    "rollup_cascade_stats", "json_props_extract", "analytics_moving_window",
+    "gap_report_sensors", "text_winnow_fingerprint", "text_bm25_topk",
+    "ann_cosine_topk", "multimodal_decode_stats", "multimodal_frame_sample",
+    "multimodal_resize", "tpch_q1_pricing_summary", "tpch_q3_top_orders",
+    "text_stats", "text_lang_id", "text_quality", "text_fingerprint",
     # approximate by design — no exact oracle can exist; error-bounded by
-    # property tests (tests/test_properties.py) with exact driver-green twins.
-    # Kept LAST so a catalog shrink can never slide them into the window:
-    "g5b_approx_percentiles",
-    "approx_distinct_parts",
+    # property tests (tests/test_properties.py) with exact driver-green
+    # twins. Kept LAST so a catalog shrink can never slide them into the
+    # window:
+    "g5b_approx_percentiles", "approx_distinct_parts",
 ]
 
 

@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 from time_series_and_data_lakes_spark.operators import dedup as D
 from time_series_and_data_lakes_spark.operators import similarity as S
 from time_series_and_data_lakes_spark.operators import text as X
+from time_series_and_data_lakes_spark.operators.similarity import (
+    pq_encode,
+    pq_topk,
+    quantize_embedding,
+)
 from time_series_and_data_lakes_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     audio_stats,
@@ -1287,11 +1292,6 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves MODEL PARAMETERS (codebooks, O(M*k*sub_dim) floats embedded as
     plan literals — same contract as pq_train and plane_weights), not data
     movement; the corpus itself never touches the driver."""
-    from time_series_and_data_lakes_spark.operators.similarity import (
-        pq_encode,
-        pq_topk,
-    )
-
     emb = _load_embeddings(spark, sf_dir)
     rows = sorted(
         (r["vec_id"], [float(x) for x in r["embedding"]])
@@ -1363,10 +1363,6 @@ def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/similarity.py::quantize_embedding`). The floor(+0.5)
     rounding makes codes bit-identical cross-engine, so the full value
     gate applies to a storage-compression transform."""
-    from time_series_and_data_lakes_spark.operators.similarity import (
-        quantize_embedding,
-    )
-
     emb = _load_embeddings(spark, sf_dir)
     s, codes = quantize_embedding(F.col("embedding"))
     levels = F.lit(127.0)

@@ -112,11 +112,21 @@ def write_training_shards(
     deterministic too, not just membership. The repartition keys on the
     shard id — one shuffle, each shard written contiguously rather than
     fragmented across every task's output.
+
+    A NULL id hashes as the empty string (r9 review find): unguarded, the
+    null propagates through the hash into a NULL shard, and partitionBy
+    strands the row in ``shard=__HIVE_DEFAULT_PARTITION__`` — OUTSIDE the
+    promised ``[0, n_shards)`` layout, silently invisible to any loader
+    iterating ``shard=0..n-1``.
     """
     from time_series_and_data_lakes_spark.operators.dedup import h64
 
     sharded = df.withColumn(
-        "shard", (h64(F.col(id_col).cast("string"), seed="shard") % n_shards).cast("int")
+        "shard",
+        (
+            h64(F.coalesce(F.col(id_col).cast("string"), F.lit("")), seed="shard")
+            % n_shards
+        ).cast("int"),
     )
     (
         sharded.repartition(n_shards, F.col("shard"))
