@@ -87,6 +87,36 @@ def test_asof_join_matched_row_nulls_come_through_whole(spark):
     assert set(out.columns) == {"k", "time", "v", "v_r"}
 
 
+def test_asof_join_null_right_attrs_match_nothing(spark):
+    """r9 review find, runtime-confirmed vs DuckDB ASOF LEFT JOIN: a right
+    row with a NULL key or NULL time can never satisfy
+    ``l.k = r.k AND l.t >= r.t``, but unfiltered it leaked through the
+    union-window formulation — partitionBy groups NULL keys (Spark
+    attached 200.0 to the null-key left row where DuckDB returns NULL),
+    and a NULL right time sorts FIRST, so its struct was carried to every
+    left row preceding any real right row."""
+    left = spark.createDataFrame(
+        [(1, _t(1), "early"), (1, _t(5), "late"), (None, _t(6), "nullkey")],
+        "k bigint, time timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 100.0), (None, _t(0), 200.0), (1, _t(2), 300.0)],
+        "k bigint, time timestamp, val double",
+    )
+    out = {
+        r["ev"]: r["val"]
+        for r in asof_join(left, right, ["k"], right_values=["val"]).collect()
+    }
+    # early (t=1) precedes the only real right row (t=2): the NULL-time
+    # right row must NOT be carried into it
+    # nullkey: SQL equality never matches NULL = NULL
+    assert out == {"early": None, "late": 300.0, "nullkey": None}
+    # null-time LEFT rows are kept and attach nothing (l.t >= r.t UNKNOWN)
+    left2 = spark.createDataFrame([(1, None, "nulltime")], "k bigint, time timestamp, ev string")
+    (row,) = asof_join(left2, right, ["k"], right_values=["val"]).collect()
+    assert row["ev"] == "nulltime" and row["val"] is None
+
+
 def test_range_join_inclusive_bounds_and_bucket_spans(spark):
     from time_series_and_data_lakes_spark.operators.intervals import range_join
 
@@ -194,9 +224,10 @@ def test_range_join_rejects_nonpositive_bucket(spark):
             range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=bad)
     # fractional seconds above one microsecond are a valid width
     assert range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=0.5).count() == 1
-    # the derived width ROUNDS the fractional request: 0.3 s must yield an
-    # exact 300000 us bucket, not int-truncation's 299999 (ADVICE r8)
+    # the derived width ROUNDS the fractional request: 4.1 s must yield an
+    # exact 4100000 us bucket, not int-truncation's 4099999 (ADVICE r8 —
+    # its 0.3 example happens to float-round UP; 4.1 sits below)
     from time_series_and_data_lakes_spark.operators.intervals import bucket_width_us
 
-    assert bucket_width_us(0.3) == 300_000 != int(0.3 * 1_000_000)
-    assert range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=0.3).count() == 1
+    assert bucket_width_us(4.1) == 4_100_000 != int(4.1 * 1_000_000)
+    assert range_join(pts, ivs, "t", "s", "e", keys=["k"], bucket_s=4.1).count() == 1

@@ -67,10 +67,22 @@ def asof_join(
     is inclusive (>=). Right (key, time) pairs must be unique —
     pre-aggregate the right side, otherwise the carried value is
     order-nondeterministic.
+
+    Right rows with a NULL key or NULL time are dropped up front (r9
+    review find, runtime-confirmed vs DuckDB): the ASOF predicate
+    ``l.k = r.k AND l.t >= r.t`` can never match them, but unfiltered
+    they leak through the union-window formulation — partitionBy groups
+    NULL keys together (matching null-key LEFT rows SQL equality never
+    matches), and a NULL time sorts FIRST, so its struct would be carried
+    to every left row preceding any real right row. Null-key/null-time
+    LEFT rows are kept and attach nothing, per LEFT semantics.
     """
     from pyspark.sql import types as T
 
     right_values = list(right_values)
+    right = right.filter(F.col(right_time).isNotNull())
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     left_cols = [c for c in left.columns]
     out_left = [c for c in left_cols if c not in keys and c != left_time]
     clashes = {f"{c}{suffix}" for c in right_values} & set(
