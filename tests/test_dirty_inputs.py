@@ -46,17 +46,43 @@ from tests.oracle_util import assert_matches_oracle
 _INJECT = {
     "events": {"value": 7, "event_type": 19, "props": 13},
     "documents": {"text": 11, "lang": 17, "source": 23},
-    "orders": {"o_orderkey": 29, "o_custkey": 31},
+    "orders": {
+        "o_orderkey": 29,
+        "o_custkey": 31,
+        "o_orderdate": 67,
+        "o_orderpriority": 71,
+        "o_orderstatus": 73,
+        "o_totalprice": 79,
+    },
     "lineitem": {
         "l_orderkey": 41,
         "l_suppkey": 37,
         "l_extendedprice": 43,
         "l_discount": 47,
         "l_quantity": 83,
+        "l_shipdate": 89,
+        "l_returnflag": 97,
+        "l_linestatus": 101,
+        "l_tax": 103,
+        "l_partkey": 127,
+        "l_linenumber": 131,
     },
-    "customer": {"c_custkey": 53},
-    "supplier": {"s_suppkey": 59},
-    "part": {"p_partkey": 61},
+    "customer": {
+        "c_custkey": 53,
+        "c_mktsegment": 137,
+        "c_nationkey": 139,
+        "c_acctbal": 149,
+        "c_name": 151,
+    },
+    "supplier": {"s_suppkey": 59, "s_nationkey": 61, "s_acctbal": 67, "s_name": 71},
+    "part": {
+        "p_partkey": 61,
+        "p_brand": 73,
+        "p_type": 79,
+        "p_name": 83,
+        "p_size": 89,
+        "p_retailprice": 97,
+    },
 }
 
 
