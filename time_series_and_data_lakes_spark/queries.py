@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
 from time_series_and_data_lakes_spark.operators.melt import melt, pivot_measures
 from time_series_and_data_lakes_spark.operators.timeseries import (
     align_series,
@@ -775,8 +776,6 @@ _CEP_WITHIN_US = 7 * 86_400_000_000
 
 
 def f2_cep_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
-
     obs = sensor_obs(spark, sf_dir)
     return match_error_pattern(
         obs,
@@ -885,8 +884,6 @@ _F3_WITHIN_US = 3 * 86_400_000_000
 
 
 def f3_cep_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
-
     obs = load(spark, sf_dir, "events").select(
         F.col("user_id").alias("sensor_id"),
         F.col("ts").alias("time"),
@@ -1870,8 +1867,6 @@ def g10_error_rate_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the ratio companion to the status-count panel (g4). Conditional sum
     over one binned aggregation; int/int division, exact. The fixture's
     status vocabulary is lowercase ('error'), matching the CEP queries."""
-    from time_series_and_data_lakes_spark.operators.timeseries import time_bin
-
     obs = sensor_obs(spark, sf_dir)
     return obs.groupBy(time_bin("time", "1 day").alias("bin")).agg(
         F.count(F.lit(1)).alias("n_total"),
@@ -1903,8 +1898,6 @@ def g8_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops short of): 2-D histogram of time bin × value band — one
     partial-aggregated groupBy over epoch-floor arithmetic, integer-exact
     cross-engine."""
-    from time_series_and_data_lakes_spark.operators.timeseries import time_bin
-
     obs = sensor_obs(spark, sf_dir)
     return obs.groupBy(
         time_bin("time", "1 day").alias("bin"),

@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators import dedup as D
+from time_series_and_data_lakes_spark.operators.dedup import spread_small, tokens_col
+from time_series_and_data_lakes_spark.operators.graph import connected_components
+from time_series_and_data_lakes_spark.operators.text import bm25_topk
 from time_series_and_data_lakes_spark.operators import similarity as S
 from time_series_and_data_lakes_spark.operators import text as X
 from time_series_and_data_lakes_spark.operators.similarity import (
@@ -69,15 +72,11 @@ def _cosine_sql(a: str, b: str, dim: int = 64) -> str:
 
 
 def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.dedup import spread_small
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.dedup import spread_small
-
     return spread_small(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
@@ -154,8 +153,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc in a dup cluster labeled with the cluster's min doc_id. The
     DuckDB oracle computes the same fixpoint with a recursive CTE."""
     from pyspark.sql import Window
-
-    from time_series_and_data_lakes_spark.operators.graph import connected_components
 
     pairs = D.minhash_lsh_dedup(_load_docs(spark, sf_dir), threshold=0.8).select(
         "doc_a", "doc_b"
@@ -302,8 +299,6 @@ def dedup_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage; composes three driver-green stages and stays exactly
     oracle-able because each stage is."""
     from pyspark.sql import Window  # noqa: F401  (parity with dedup_components)
-
-    from time_series_and_data_lakes_spark.operators.graph import connected_components
 
     docs = _load_docs(spark, sf_dir)
     pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("doc_a", "doc_b")
@@ -975,7 +970,6 @@ _FRAME_EVERY_N = 2
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding mapInPandas shape: one output row per sampled frame
     (every _FRAME_EVERY_N-th of 1 + doc_id % 30 stub frames)."""
-
     out = frame_sample(_fake_media(spark, sf_dir), every_n=_FRAME_EVERY_N)
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -1037,8 +1031,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::bm25_topk). Corpus statistics come from one
     broadcast aggregation row; scoring is per-doc array-HOF counts, no
     posting-list shuffle."""
-    from time_series_and_data_lakes_spark.operators.text import bm25_topk
-
     return bm25_topk(
         _load_docs(spark, sf_dir), _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
     )
@@ -1112,8 +1104,6 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, and top-k all run on ranker-output cardinality, never corpus
     cardinality."""
     from pyspark.sql import Window
-
-    from time_series_and_data_lakes_spark.operators.text import bm25_topk
 
     docs = _load_docs(spark, sf_dir)
     emb = _load_embeddings(spark, sf_dir)
@@ -1460,7 +1450,6 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc top-k window. Scale shape: one token-keyed exchange builds tf
     and df together (df is a broadcast-sized vocabulary aggregate), then
     one doc-keyed rank window — no all-pairs work anywhere."""
-    from time_series_and_data_lakes_spark.operators.dedup import tokens_col
     from pyspark.sql import Window
 
     docs = _load_docs(spark, sf_dir)
@@ -1534,8 +1523,6 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine), then a K-row top-k — the vocabulary never sits on
     one executor and the corpus is scanned once."""
     docs = _load_docs(spark, sf_dir)
-    from time_series_and_data_lakes_spark.operators.dedup import tokens_col
-
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
     return (
         toks.groupBy("token")

@@ -41,6 +41,10 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from time_series_and_data_lakes_spark.operators.timeseries import (
+    _interval_micros,
+)
+
 _LOG = logging.getLogger(__name__)
 
 # First field is a placeholder: both bindings re-derive the key field's
@@ -74,7 +78,6 @@ CEP_STATE_SCHEMA = T.StructType(
         T.StructField("max_seen_us", T.LongType()),
     ]
 )
-
 
 
 def _row_order(r: tuple) -> tuple:
@@ -311,8 +314,6 @@ def match_error_pattern_stream(
     with a fresh frontier (resumed rows older than the flushed buffer
     would have been late/best-effort regardless).
     """
-    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
-
     from time_series_and_data_lakes_spark.streaming.analytics_stream import (
         _keyed_output_schema,
     )
@@ -395,7 +396,6 @@ class _ErrorPatternProcessor(StatefulProcessor):
     flush the reorder buffer — a per-key timer whose expiry callback
     (:meth:`handleExpiredTimer`) drains the buffer through the NFA before
     dropping state."""
-
     def __init__(
         self,
         key: str,
@@ -524,8 +524,6 @@ def match_error_pattern_tws(
     read at query START: queries checkpointed earlier under a different
     provider must not be restarted in the same session afterwards (Spark
     forbids changing the provider across restarts)."""
-    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
-
     from time_series_and_data_lakes_spark.streaming.analytics_stream import (
         _keyed_output_schema,
     )
