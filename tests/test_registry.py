@@ -71,6 +71,60 @@ def _driver_green_counts() -> dict[str, int]:
     return counts
 
 
+# The 19-query core reference surface (SURVEY §2's always-checked heart):
+# flagship q1-q3, Grafana panels g1-g10 incl. g4b and the CEP pivot g1, the
+# Athena join a1, CEP f2/f3, melt.
+CORE19 = [
+    "q1_flagship_interpolate", "q1_sql_flagship", "q2_interpolated_series",
+    "q3_timeseries_roundtrip", "g1_cep_pivot_by_bin", "g2_measure_series",
+    "g3_raw_feed_ordered", "g4_status_counts", "g4b_status_case_pivot",
+    "g5_binned_percentiles", "g6_top_sensors_recent_max",
+    "g7_per_sensor_interval_max", "g8_heatmap_bins", "g9_ohlc_per_sensor",
+    "g10_error_rate_by_bin", "a1_enrichment_join", "f2_cep_match_recognize",
+    "f3_cep_event_time", "melt_narrow",
+]
+
+
+def test_changed_queries_lead_the_window():
+    # Standing rule (VERDICT_r9 "What's wrong #1"): any query whose program,
+    # oracle, or operator dependency changed in round N must be in round
+    # N+1's window — a banked green only attests the code that earned it.
+    # _DRIVER_LEAD declares last round's changed set; it must be a prefix of
+    # the checked window so the re-verification cannot be rotated away.
+    window = list(entrymod.queries())[:50]
+    assert window[: len(Q._DRIVER_LEAD)] == Q._DRIVER_LEAD
+
+
+def test_round10_window_composition():
+    # VERDICT_r9 item 1, pinned verbatim: the round-10 window = the seven
+    # round-9-changed queries + the 19-query core + the 24 stalest-green
+    # tail entries (lowest banked green count, then alphabetical), computed
+    # from the FROZEN r01-r09 driver records so the pin stays stable once
+    # CORRECTNESS_r10 lands.
+    counts: dict[str, int] = {}
+    for i in range(1, 10):
+        f = REPO / f"CORRECTNESS_r{i:02d}.json"
+        for name, row in json.loads(f.read_text()).items():
+            ok = (
+                row.get("err") is None
+                and bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") in (True, None)
+            )
+            if ok:
+                counts[name] = counts.get(name, 0) + 1
+    fixed = set(Q._DRIVER_LEAD) | set(CORE19)
+    cands = sorted(
+        (k for k in Q.QUERIES if k not in fixed and k not in APPROXIMATE_BY_DESIGN),
+        key=lambda k: (counts.get(k, 0), k),
+    )
+    expected = set(Q._DRIVER_LEAD) | set(CORE19) | set(cands[:24])
+    window = set(list(entrymod.queries())[:50])
+    assert window == expected, (
+        f"missing={sorted(expected - window)} extra={sorted(window - expected)}"
+    )
+
+
 def test_under_verified_queries_inside_driver_window():
     # Rotation policy: every query with fewer than two driver-green rounds
     # sits inside the 50-entry window until it banks its second green.
@@ -120,9 +174,10 @@ def test_no_oracle_queries_rotated_out_of_window():
 
 def test_rotation_drops_nothing():
     assert set(Q._rotate_tail(dict(Q.QUERIES))) == set(Q.QUERIES)
-    # every tail key still exists in the registry
-    missing = [k for k in Q._DRIVER_TAIL if k not in Q.QUERIES]
+    # every lead/tail key still exists in the registry, and no key is both
+    missing = [k for k in Q._DRIVER_TAIL + Q._DRIVER_LEAD if k not in Q.QUERIES]
     assert not missing, missing
+    assert not set(Q._DRIVER_LEAD) & set(Q._DRIVER_TAIL)
 
 
 def test_every_oracle_key_has_query():

@@ -2346,47 +2346,64 @@ ORACLES.update(PIPELINE_ORACLES)
 # get no driver row that round. Rotation policy (pinned by
 # tests/test_registry.py): an entry may sit in the tail ONLY if it is
 # driver-green in at least TWO rounds (or is approximate-by-design, where no
-# oracle row can ever exist); every query with fewer than two green rounds
-# must occupy a window slot until it banks its second green.
+# oracle row can ever exist), AND — standing rule adopted per VERDICT_r9
+# "What's wrong #1" — any query whose program, oracle, or operator
+# dependency changed in round N must re-enter round N+1's window, because a
+# banked green only attests the code that earned it. Changed queries are
+# declared in _DRIVER_LEAD each round; tests/test_registry.py asserts they
+# lead the window.
 #
-# Round-9 rotation (audited programmatically against CORRECTNESS_r01-r08 by
+# Round-10 rotation (audited programmatically against CORRECTNESS_r01-r09 by
 # tests/test_registry.py — green counts are derived from the driver's own
-# JSON rows, never from comments). Composition follows the VERDICT_r8 item-1
-# banking directive verbatim: the window = the 19-query core reference
-# surface (q1-q3, the Grafana panels g1-g10 incl. g4b and the CEP pivot g1,
-# the Athena join a1, CEP f2/f3, melt) kept under continuous driver check +
-# tpch_q8_market_share + tpch_q9_profit_by_nation (the last two 2x entries,
-# banking their third green — the 2x population then retires) + the
-# alphabetically-first 29 entries of the 45-strong 3x tail, each banking a
-# fourth green. Every oracle-backed entry outside the window holds >=3
-# driver greens; the banking program's invariant (>=2 everywhere) is now
-# strictly exceeded catalog-wide once CORRECTNESS_r09 lands green.
+# JSON rows, never from comments). Composition follows the VERDICT_r9 item-1
+# directive verbatim: the window leads with the SEVEN queries whose
+# programs/oracles changed in round 9 (exact-decimal conversions
+# q1/q3/q5/q6, null-semantics fixes q13/q16, bucket-width change
+# range_join_cep_context — commits 562cad9/9a41120) with zero post-change
+# driver greens, + the 19-query core reference surface (q1-q3, Grafana
+# panels g1-g10 incl. g4b and the CEP pivot g1, the Athena join a1, CEP
+# f2/f3, melt) kept under continuous driver check, + the 24 stalest-green
+# entries of the tail (lowest banked green count, then alphabetical — the
+# alphabetically-later 3x population that missed round 9's re-banking
+# window, each banking a fourth green here).
 # ---------------------------------------------------------------------------
+
+# Queries whose program, oracle, or operator dependency changed LAST round:
+# they lead this round's window so the next driver green attests the shipped
+# code. Reset each round to the actually-changed set (empty if none).
+_DRIVER_LEAD: list[str] = [
+    "tpch_q1_pricing_summary", "tpch_q3_top_orders",
+    "tpch_q5_region_revenue", "tpch_q6_selective",
+    "tpch_q13_order_count_distribution", "tpch_q16_supplier_count",
+    "range_join_cep_context",
+]
 
 _DRIVER_TAIL: list[str] = [
     # >=3x driver-green, rotated out to free window slots (green counts
     # recomputed from CORRECTNESS_r*.json by tests/test_registry.py):
-    "pivot_wide", "tpch_q5_region_revenue", "tpch_q6_selective",
-    "tpch_q4_priority_with_returns", "tpch_q10_returned_revenue",
-    "tpch_q14_promo_effect", "tpch_q18_large_orders",
-    "setops_priority_cohorts", "rollup_pricing_totals", "sessionize_events",
-    "semi_anti_customers", "tpch_q22_idle_rich_customers",
-    "range_join_cep_context", "text_repetition_stats", "text_top_tokens",
-    "text_tfidf_keywords", "text_rrf_hybrid_topk", "tpch_q7_nation_volume",
-    "tpch_q13_order_count_distribution", "tpch_q15_top_supplier_revenue",
-    "tpch_q16_supplier_count", "tpch_q19_disjunctive_revenue",
+    "a2_enrichment_view", "distinct_part_suppliers", "analytics_ewma",
+    "analytics_holt", "analytics_cusum", "analytics_lttb_downsample",
+    "analytics_anomaly_zscore", "asof_latest_order",
+    "correlated_min_price_lines", "cube_pricing_matrix", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_components", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_containment", "dedup_edit_distance",
+    "dedup_retention_report", "dedup_minhash_eval", "dedup_simhash_eval",
+    "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_lsh_dup_pairs",
+    "ann_pq_adc_topk", "ann_quantize_int8", "multimodal_resize_pixels",
+    "multimodal_audio_stats", "multimodal_audio_resample",
+    "multimodal_video_frames", "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation", "tpch_q4_priority_with_returns",
+    "tpch_q10_returned_revenue", "tpch_q14_promo_effect",
+    "tpch_q18_large_orders", "tpch_q22_idle_rich_customers",
+    "text_top_tokens", "text_tfidf_keywords", "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier_revenue", "tpch_q19_disjunctive_revenue",
     "tpch_q21_sole_late_suppliers", "tpch_q17_small_quantity_revenue",
     "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
     "tpch_q12_priority_by_status", "tpch_q20_excess_share_suppliers",
-    "pipe_split_train_test", "pipe_token_budget", "pipe_semdedup",
-    "pipe_sample_per_source", "pipe_decontaminate", "pipe_knn_label_vote",
-    "pipe_knn_label_vote_ivf", "pipe_mix_weights", "pipe_quality_funnel",
-    "pipe_label_propagation", "pipe_pack_sequences", "pipe_quality_deciles",
     "rollup_cascade_stats", "json_props_extract", "analytics_moving_window",
-    "gap_report_sensors", "text_winnow_fingerprint", "text_bm25_topk",
-    "ann_cosine_topk", "multimodal_decode_stats", "multimodal_frame_sample",
-    "multimodal_resize", "tpch_q1_pricing_summary", "tpch_q3_top_orders",
-    "text_stats", "text_lang_id", "text_quality", "text_fingerprint",
+    "gap_report_sensors", "text_winnow_fingerprint", "ann_cosine_topk",
+    "multimodal_decode_stats", "multimodal_frame_sample",
+    "multimodal_resize",
     # approximate by design — no exact oracle can exist; error-bounded by
     # property tests (tests/test_properties.py) with exact driver-green
     # twins. Kept LAST so a catalog shrink can never slide them into the
@@ -2396,10 +2413,16 @@ _DRIVER_TAIL: list[str] = [
 
 
 def _rotate_tail(registry: dict) -> dict:
-    head = {k: v for k, v in registry.items() if k not in _DRIVER_TAIL}
+    lead = {k: registry[k] for k in _DRIVER_LEAD if k in registry}
+    head = {
+        k: v
+        for k, v in registry.items()
+        if k not in _DRIVER_TAIL and k not in lead
+    }
     tail = {k: registry[k] for k in _DRIVER_TAIL if k in registry}
-    head.update(tail)
-    return head
+    lead.update(head)
+    lead.update(tail)
+    return lead
 
 
 QUERIES = _rotate_tail(QUERIES)
