@@ -99,3 +99,102 @@ def test_q1_decimal_sums_match_oracle_on_random_boundaries(spark, tmp_path_facto
     ]
     con.close()
     assert got == want
+
+
+# --- q9 profit shape: the (18,4) cast is exact ONLY under the integral-
+# quantity data contract -------------------------------------------------
+#
+# profit = l_extendedprice*(1-l_discount) - p_retailprice*0.1*l_quantity.
+# The first term is a true 4-dp value; the second is 3-dp (2-dp retail x
+# 0.1) times quantity — 3-dp ONLY while quantity is integral, so the
+# DECIMAL(18,4) cast in tpch_q9_profit_by_nation never rounds. A
+# fractional 2-dp quantity makes the term 5-dp and the cast rounds true
+# half-points, where the engines disagree (Spark rounds the shortest
+# decimal repr, DuckDB the binary value): measured 24/90 divergent rows on
+# a 2-dp grid. These tests pin both halves: the contract on the shipped
+# data, and the exact-scale parity that is the remedy if it ever breaks.
+
+_int_qty = st.integers(min_value=1, max_value=55).map(float)
+
+
+def test_q9_quantity_integrality_contract():
+    # The driver generator ships integral l_quantity at every SF. If this
+    # ever fails, tpch_q9's DECIMAL(18,4) profit cast starts rounding
+    # 5-dp values and diverges from the oracle — widen it to (18,5).
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n = con.execute(
+            "SELECT count(*) FROM"
+            f" read_parquet('/root/testdata/{sf}/lineitem.parquet')"
+            " WHERE l_quantity != floor(l_quantity)"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} fractional l_quantity rows break q9's (18,4) cast"
+    con.close()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_price, _rate, _price, st.one_of(_int_qty, st.none())),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_q9_profit_cast_parity_under_integral_quantities(spark, rows):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "p double, d double, r double, q double")
+    profit = (
+        F.col("p") * (F.lit(1.0) - F.col("d"))
+        - F.col("r") * F.lit(0.1) * F.col("q")
+    ).cast("decimal(18,4)")
+    got = [x["c"] for x in df.select(profit.alias("c")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(? * (1.0 - ?) - ? * 0.1 * ? AS DECIMAL(18,4))", list(t)
+        ).fetchone()[0]
+        for t in rows
+    ]
+    con.close()
+    assert got == want
+
+
+def test_q9_cast_rounds_and_diverges_on_fractional_quantities(spark):
+    # Power check: the integrality contract is load-bearing. On fractional
+    # 2-dp quantities the (18,4) cast provably diverges between engines,
+    # while the exact 5-dp scale stays bit-identical — the remedy the
+    # contract test's failure message prescribes.
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (p, d, r, q)
+        for p in (1000.25, 937.17, 1500.55)
+        for d in (0.03, 0.07)
+        for r in (101.15, 333.35, 907.25)
+        for q in (1.25, 2.75, 3.15, 7.45, 12.35)
+    ]
+    df = spark.createDataFrame(rows, "p double, d double, r double, q double")
+    raw = F.col("p") * (F.lit(1.0) - F.col("d")) - F.col("r") * F.lit(0.1) * F.col("q")
+    got = df.select(
+        raw.cast("decimal(18,4)").alias("c4"), raw.cast("decimal(18,5)").alias("c5")
+    ).collect()
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(? * (1.0 - ?) - ? * 0.1 * ? AS DECIMAL(18,4)),"
+            "       CAST(? * (1.0 - ?) - ? * 0.1 * ? AS DECIMAL(18,5))",
+            list(t) + list(t),
+        ).fetchone()
+        for t in rows
+    ]
+    con.close()
+    divergent_4dp = sum(1 for g, w in zip(got, want) if g["c4"] != w[0])
+    assert divergent_4dp > 0, "grid no longer exercises (18,4) half-points"
+    assert all(g["c5"] == w[1] for g, w in zip(got, want))
