@@ -44,8 +44,18 @@ from tests.oracle_util import assert_matches_oracle
 # numwait, COUNT DISTINCT null-pair semantics) lived in exactly the join-key
 # and measure columns below, which previously got zero null coverage.
 _INJECT = {
-    "events": {"value": 7, "event_type": 19, "props": 13},
-    "documents": {"text": 11, "lang": 17, "source": 23},
+    # r10 (VERDICT r9 item 2): the last un-injected hazard columns. A NULL
+    # `ts` is the class of r9's as-of find (NULL times sort FIRST under
+    # Spark asc, LAST in DuckDB) and feeds every window/sequence/bin
+    # operator; `user_id` is the a1 join key; the nation/region keys are
+    # the q5/q7/q8/q9/q21 join spine; `doc_id` is the h64 shard/dedup key
+    # (the class of r9's NULL-shard find). `embeddings.embedding` is NOT
+    # nulled here — null embeddings raise by design, asserted as a NAMED
+    # error in test_null_embeddings_raise_named_error below.
+    "events": {"value": 7, "event_type": 19, "props": 13, "ts": 29, "user_id": 31},
+    "documents": {"text": 11, "lang": 17, "source": 23, "doc_id": 19},
+    "nation": {"n_nationkey": 7, "n_regionkey": 11},
+    "region": {"r_regionkey": 5},
     "orders": {
         "o_orderkey": 29,
         "o_custkey": 31,
@@ -203,6 +213,57 @@ def test_tie_and_null_boundaries_match_oracle(spark, tmp_path):
         for r in entry.queries()["g9_ohlc_per_sensor"](spark, sf).collect()
     }
     assert got[1] == (10.0, 2.0, 8) and got[2] == (20.0, 2.0, 8)
+
+
+@pytest.fixture(scope="module")
+def null_embedding_sf(tmp_path_factory):
+    # embeddings.embedding is deliberately NOT in _INJECT: vector ops raise
+    # by design on NULL vectors, so the contract is a NAMED error, not
+    # oracle parity. Only embeddings is nulled here — the other tables are
+    # symlinked clean so the queries' non-vector inputs stay green.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = tmp_path_factory.mktemp("null_emb_sf")
+    for name in sorted(os.listdir(SF_SMOKE)):
+        if not name.endswith(".parquet") or name == "embeddings.parquet":
+            continue
+        os.symlink(os.path.join(SF_SMOKE, name), str(dst / name))
+    tb = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    i = tb.schema.get_field_index("embedding")
+    arr = tb.column("embedding").combine_chunks()
+    mask = pa.array((np.arange(tb.num_rows) % 13) == 6)
+    nulled = pa.compute.if_else(mask, pa.nulls(tb.num_rows, arr.type), arr)
+    tb = tb.set_column(i, tb.schema.field(i), nulled)
+    pq.write_table(tb, str(dst / "embeddings.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "ann_ivf_kmeans_topk",
+        "ann_lsh_dup_pairs",
+        "ann_pq_adc_topk",
+        "ann_quantize_int8",
+        "pipe_semdedup",
+        "pipe_knn_label_vote",
+        "pipe_knn_label_vote_ivf",
+    ],
+)
+def test_null_embeddings_raise_named_error(spark, null_embedding_sf, name):
+    # collect(), not count(): count() lets Catalyst prune a pure projection
+    # down to the scan, never evaluating the guarded expression (the
+    # quantize shape) — exactly how a silent-null regression would hide.
+    with pytest.raises(Exception) as exc:
+        entry.queries()[name](spark, null_embedding_sf).collect()
+    assert "null embedding" in str(exc.value), (
+        f"{name}: expected the named null-embedding error, got "
+        f"{type(exc.value).__name__}: {str(exc.value)[:200]}"
+    )
 
 
 @pytest.mark.skipif(

@@ -397,6 +397,47 @@ def test_compact_partitions_in_place(spark, tmp_path):
         )
 
 
+def test_compaction_salt_is_ansi_total(spark, tmp_path):
+    """The multi-file salt must be pmod(xxhash64, n), never abs(h) % n:
+    under ANSI, abs(Long.MIN_VALUE) throws ARITHMETIC_OVERFLOW on exactly
+    the one hash value abs() cannot represent — a one-row job killer (r10
+    review find). Pin the class on the boundary literal, then exercise the
+    salted path end-to-end: rows survive, files stay within the cap."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from time_series_and_data_lakes_spark.sources.compaction import (
+        compact_partitions,
+    )
+
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        spark.range(1).select(
+            F.abs(F.lit(-(2**63)).cast("long")) % 2
+        ).collect()
+    [r] = spark.range(1).select(
+        F.pmod(F.lit(-(2**63)).cast("long"), F.lit(2)).alias("s")
+    ).collect()
+    assert r["s"] == 0
+
+    store = str(tmp_path / "store")
+    spark.range(600).select(
+        (F.col("id") % 2).cast("string").alias("k"), F.col("id").alias("v")
+    ).repartition(8).write.partitionBy("k").parquet(store)
+    before = sorted(r["v"] for r in spark.read.parquet(store).collect())
+    n = compact_partitions(spark, store, ["k"], files_per_partition=2)
+    assert n == 600
+    assert sorted(r["v"] for r in spark.read.parquet(store).collect()) == before
+    for k in ("0", "1"):
+        got = [
+            p
+            for p in glob.glob(f"{store}/k={k}/*")
+            if p.endswith(".parquet")
+        ]
+        assert 1 <= len(got) <= 2, (k, got)
+
+
 def test_zorder_layout_skips_more_files_than_linear(spark, sf_dir, tmp_path):
     # Z-order clustering on (user_id, ts) must make file min/max envelopes
     # tight in BOTH dimensions: for a box predicate, strictly fewer files

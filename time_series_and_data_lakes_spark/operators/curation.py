@@ -66,8 +66,13 @@ def deterministic_sample(
     hashes are a uniform k-sample — and the same k rows come back on every
     run and any partitioning. One shuffle on the group key; with many
     groups the per-group state is k rows (bounded memory at 100 TB).
+
+    A NULL id is coalesced to '' before hashing (the sources/export.py
+    shard convention) so its rank is deterministic on both engines —
+    unhashed, NULL sorts first in Spark and last in DuckDB and every
+    rank in the group shifts (r10 dirty-sweep find).
     """
-    h = h64(F.col(id_col).cast("string"), seed=seed)
+    h = h64(F.coalesce(F.col(id_col).cast("string"), F.lit("")), seed=seed)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
@@ -357,14 +362,19 @@ def pack_sequences_report(
     aggregation — at scale each group is packed independently, exactly
     like per-source loader shards.
     """
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # null ids pack LAST (ANSI NULLS LAST, DuckDB's default — Spark's asc
+    # default is nulls-first), tie-broken by length so two null-id docs
+    # still pack in a deterministic order; equal-length ties are
+    # interchangeable for every reported count (r10 dirty-sweep find)
     sized = docs.select(
         group_col, id_col, token_count_col.cast("bigint").alias("__len")
-    ).withColumn("__cum", F.sum("__len").over(w))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc_nulls_last(id_col), F.asc("__len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = sized.withColumn("__cum", F.sum("__len").over(w))
     before = F.col("__cum") - F.col("__len")
     crosses = (
         (F.col("__len") > 0)

@@ -27,8 +27,15 @@ def sessionize(
 ) -> DataFrame:
     """Assign gap-based session ids per key: a new session starts when the
     time since the previous event exceeds ``gap``. Classic lag + cumulative
-    sum — one exchange on the keys, O(1) state per row."""
+    sum — one exchange on the keys, O(1) state per row.
+
+    A NULL-time row cannot be sessionized — no gap to any neighbor is
+    defined — so it is dropped (r10 dirty-sweep find: unfiltered, Spark
+    sorts it FIRST where it seeds a phantom session, DuckDB sorts it LAST
+    where the NULL gap comparison glues it onto the final session —
+    accidents on both sides)."""
     gap_us = _interval_micros(gap)
+    df = df.filter(F.col(time_col).isNotNull())
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(time_col)
     prev_t = F.lag(F.col(time_col)).over(w)
     new_session = (

@@ -27,7 +27,22 @@ from time_series_and_data_lakes_spark.operators.checkpointing import truncate_li
 
 
 def as_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+    """Vector ingress for every ANN/quantization op. A NULL vector raises a
+    NAMED error here — one shared loud contract instead of each op
+    improvising (brute cosine silently ranked null scores last, PQ died in
+    a bare driver-side TypeError; r10 dirty-sweep find). Cosine and
+    codebook training are undefined for a missing vector; the sanctioned
+    bypass is :func:`drop_degenerate_vectors`, which filters WITHOUT
+    tripping this guard."""
+    return F.when(
+        vec.isNull(),
+        F.raise_error(
+            F.lit(
+                "null embedding: cosine/quantization is undefined for a NULL"
+                " vector — drop_degenerate_vectors() or impute before the op"
+            )
+        ),
+    ).otherwise(F.transform(vec, lambda x: x.cast("double")))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -60,7 +75,11 @@ def drop_degenerate_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFr
     Use as ``cosine_topk(drop_degenerate_vectors(corpus), queries)`` —
     same for ivf/lsh/pq/semantic_dedup inputs."""
     v = F.col(vec_col)
-    return df.filter(v.isNotNull() & (norm(as_double(v)) > 0))
+    # when() evaluates its branch conditionally, so a NULL vector takes the
+    # False branch without reaching as_double's null-raise guard
+    return df.filter(
+        F.when(v.isNotNull(), norm(as_double(v)) > 0).otherwise(F.lit(False))
+    )
 
 
 def cosine_topk(

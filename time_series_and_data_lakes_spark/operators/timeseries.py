@@ -195,7 +195,13 @@ def resample(
     # to the old row-local value / lead pair bit-exactly.
     w = Window.partitionBy(*keys).orderBy("__t")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    obs = df.select(
+    # A NULL-time row is NOT an observation: it has no place on the
+    # timeline, so it neither bounds the grid nor feeds lerp/LOCF state
+    # (the window-SQL formulation gets this for free — NULL times sort
+    # LAST in ANSI engines and only is_grid rows are emitted — but Spark
+    # sorts NULL FIRST under asc, which would null first("__t") and with
+    # it every slot bound of the key; r10 dirty-sweep find).
+    obs = df.filter(F.col(time_col).isNotNull()).select(
         *keys,
         F.col(time_col).alias("__t"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],

@@ -1469,8 +1469,11 @@ def analytics_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different values (the row-frame sums then differ run-to-run and
     # engine-to-engine); nulls-last matches DuckDB's ASC default, where
     # Spark's is nulls-first — same tie discipline as g9/f3/gap_report.
+    # time itself is also nulls-last: a null-time event has no position, so
+    # both engines must agree to park it at the end of the frame sequence
+    # (Spark's asc default is nulls-FIRST; r10 dirty-sweep find on null ts)
     w = Window.partitionBy("sensor_id").orderBy(
-        F.col("time"), F.col("temperature").asc_nulls_last()
+        F.col("time").asc_nulls_last(), F.col("temperature").asc_nulls_last()
     )
     w5 = w.rowsBetween(-4, 0)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -1527,12 +1530,18 @@ def _bounded_obs(obs: DataFrame, max_points: int = _FOLD_MAX_POINTS) -> DataFram
     streaming twins' Arrow batches poisoned it to NaN), null slots consumed
     cap entries, and the DESC tie-order of nulls differs across engines.
     NaN is a real IEEE value, not a null — it propagates through the folds
-    identically on both engines and is deliberately NOT filtered."""
+    identically on both engines and is deliberately NOT filtered. A NULL
+    TIME is likewise no observation (r10 dirty-sweep find): a recursion
+    over arrival order has no position for a row that never arrived on the
+    timeline, and unfiltered it would sit at opposite ends of the two
+    engines' sorts (Spark NULLS FIRST asc / NULLS LAST desc, DuckDB the
+    reverse) — seeding EWMA/Holt with a different x0 on every key that has
+    one."""
     w = Window.partitionBy("sensor_id").orderBy(
         F.col("time").desc(), F.col("temperature").desc()
     )
     return (
-        obs.filter(F.col("temperature").isNotNull())
+        obs.filter(F.col("temperature").isNotNull() & F.col("time").isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_points)
         .drop("__rn")
@@ -1543,7 +1552,7 @@ def _bounded_obs(obs: DataFrame, max_points: int = _FOLD_MAX_POINTS) -> DataFram
 # descending (ts, value) row_number, same null-measurement drop.
 _BOUNDED_OBS_SQL = f"""
   SELECT user_id, ts, value FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND ts IS NOT NULL
   QUALIFY row_number() OVER (PARTITION BY user_id
                              ORDER BY ts DESC, value DESC) <= {_FOLD_MAX_POINTS}
 """
@@ -1648,12 +1657,13 @@ WITH RECURSIVE bounded AS ({_BOUNDED_OBS_SQL}
          {_HOLT_GAMMA}::DOUBLE * (({_HOLT_ALPHA}::DOUBLE * a.vals[s.i + 1]
              + {1 - _HOLT_ALPHA}::DOUBLE * (s.l + s.b)) - s.l)
            + {1 - _HOLT_GAMMA}::DOUBLE * s.b
-  FROM steps s JOIN arr a USING (sensor_id)
+  FROM steps s JOIN arr a ON s.sensor_id IS NOT DISTINCT FROM a.sensor_id
   WHERE s.i < len(a.vals)
 )
 SELECT a.sensor_id, len(a.vals)::BIGINT AS n_obs,
        s.l AS holt_level, s.b AS holt_trend
-FROM arr a JOIN steps s ON a.sensor_id = s.sensor_id AND s.i = len(a.vals)
+FROM arr a JOIN steps s
+  ON a.sensor_id IS NOT DISTINCT FROM s.sensor_id AND s.i = len(a.vals)
 """
 
 
@@ -1744,7 +1754,8 @@ WITH RECURSIVE bounded AS ({_BOUNDED_OBS_SQL}
                     ELSE {nxt_sum.format(lo=nlo, hi=nhi, v="a.pts[j].v")}
                          / (({nhi}) - ({nlo}) + 1)::DOUBLE
                END AS ay
-        FROM steps s JOIN arr2 a USING (sensor_id)
+        FROM steps s
+        JOIN arr2 a ON s.sensor_id IS NOT DISTINCT FROM a.sensor_id
         WHERE s.b + 1 <= {nb - 1}
       )
     )
@@ -1754,7 +1765,7 @@ WITH RECURSIVE bounded AS ({_BOUNDED_OBS_SQL}
          CASE WHEN a.n <= {t} THEN a.pts ELSE f.sel || [a.lastp] END AS sel
   FROM arr2 a
   LEFT JOIN (SELECT sensor_id, sel FROM steps WHERE b = {nb - 1}) f
-    USING (sensor_id)
+    ON a.sensor_id IS NOT DISTINCT FROM f.sensor_id
 ), ex AS (
   SELECT sensor_id, unnest(sel) AS p FROM result
 )
@@ -1827,38 +1838,45 @@ def g9_ohlc_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a real reading diverges across engines — Spark's struct comparator
     # sorts the null field FIRST while the oracle's ORDER BY is NULLS
     # LAST, so min_by returned NULL where row_number picked the value.
+    # A NULL TIME likewise disqualifies a reading from open/close (it has
+    # no timeline position to be first or last AT; unfiltered it wins
+    # Spark's min_by struct while sorting last in the oracle — r10
+    # dirty-sweep find). high/low/n_obs are time-agnostic and keep it.
     return obs.groupBy("sensor_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.expr(
             "min_by(temperature, struct(time, temperature)) "
-            "FILTER (WHERE temperature IS NOT NULL)"
+            "FILTER (WHERE temperature IS NOT NULL AND time IS NOT NULL)"
         ).alias("open"),
         F.max("temperature").alias("high"),
         F.min("temperature").alias("low"),
         F.expr(
             "max_by(temperature, struct(time, temperature)) "
-            "FILTER (WHERE temperature IS NOT NULL)"
+            "FILTER (WHERE temperature IS NOT NULL AND time IS NOT NULL)"
         ).alias("close"),
     )
 
 
 OHLC_ORACLE = """
 WITH ranked AS (
+  -- open/close candidates: need BOTH a value and a timeline position
   SELECT user_id, value,
     row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn_a,
     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn_d
   FROM events
-  WHERE value IS NOT NULL
-), counts AS (
-  SELECT user_id, count(*) AS n_obs FROM events GROUP BY user_id
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+), agg AS (
+  -- high/low/n_obs are time-agnostic: null-time readings still count
+  SELECT user_id, count(*) AS n_obs, max(value) AS high, min(value) AS low
+  FROM events GROUP BY user_id
 )
-SELECT c.user_id AS sensor_id, c.n_obs AS n_obs,
-       max(CASE WHEN rn_a = 1 THEN value END) AS open,
-       max(value) AS high,
-       min(value) AS low,
-       max(CASE WHEN rn_d = 1 THEN value END) AS close
-FROM counts c LEFT JOIN ranked r ON c.user_id = r.user_id
-GROUP BY c.user_id, c.n_obs
+SELECT a.user_id AS sensor_id, a.n_obs AS n_obs,
+       max(CASE WHEN rn_a = 1 THEN r.value END) AS open,
+       a.high AS high,
+       a.low AS low,
+       max(CASE WHEN rn_d = 1 THEN r.value END) AS close
+FROM agg a LEFT JOIN ranked r ON a.user_id IS NOT DISTINCT FROM r.user_id
+GROUP BY a.user_id, a.n_obs, a.high, a.low
 """
 
 
@@ -2007,7 +2025,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_ORACLE = """
 WITH obs AS (
-  SELECT user_id AS sensor_id, ts AS time FROM events
+  -- a null-time event cannot be sessionized (no gap is defined for it);
+  -- the operator drops it, so the oracle must too
+  SELECT user_id AS sensor_id, ts AS time FROM events WHERE ts IS NOT NULL
 ), marked AS (
   SELECT sensor_id, time,
     CASE WHEN lag(time) OVER w IS NULL
@@ -2052,13 +2072,22 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "custkey", "time", "latest_order_price")
 
 
+# A NULL left time matches nothing: 'NULL >= t' is UNKNOWN, so LEFT
+# semantics attach NULL (what the engine's asof_join does). DuckDB's
+# sort-based ASOF implementation instead parks NULL times last and hands
+# them the LATEST right row — an engine quirk, not SQL comparison
+# semantics — so the oracle carves null-time lefts out and unions them
+# back unmatched (r10 dirty-sweep find).
 ASOF_ORACLE = """
 SELECT e.event_id, e.user_id AS custkey, e.ts AS time, o.latest_order_price
-FROM events e
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
 ASOF LEFT JOIN (
   SELECT o_custkey, o_orderdate, max(o_totalprice) AS latest_order_price
   FROM orders GROUP BY 1, 2
 ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+UNION ALL
+SELECT event_id, user_id, ts, NULL
+FROM events WHERE ts IS NULL
 """
 
 

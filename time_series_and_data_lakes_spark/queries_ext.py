@@ -926,7 +926,7 @@ SELECT doc_id,
        1 + doc_id % 30 AS n_frames,
        10 + octet_length(encode(text)) AS n_bytes
 FROM documents
-WHERE text IS NOT NULL  -- null text -> null payload -> no media row
+WHERE text IS NOT NULL AND doc_id IS NOT NULL  -- null -> no media row
 """
 
 
@@ -946,11 +946,13 @@ def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["doc_id"],
                     "media_type": ["video"] * len(pdf),
                     "payload": [
-                        # a null text is no document: its media row carries a
-                        # NULL payload (the realistic failed-crawl shape) and
+                        # a null text is no document, and a null doc_id
+                        # has no stub header (the fields are functions of
+                        # the id): either way the media row carries a NULL
+                        # payload (the realistic failed-crawl shape) and
                         # every media op drops it per the null-media contract
                         None
-                        if t is None
+                        if t is None or pd.isna(d)
                         else pack_fake_payload(
                             int(100 + d % 1820), int(100 + d % 980), int(1 + d % 30),
                             t.encode("utf-8"),
@@ -980,7 +982,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_SAMPLE_ORACLE = f"""
 SELECT doc_id, unnest(range(0, 1 + doc_id % 30, {_FRAME_EVERY_N})) AS frame_index
 FROM documents
-WHERE text IS NOT NULL  -- null text -> null payload -> no media row
+WHERE text IS NOT NULL AND doc_id IS NOT NULL  -- null -> no media row
 """
 
 
@@ -1007,7 +1009,7 @@ WITH dims AS (
   SELECT doc_id, 100 + doc_id % 1820 AS w, 100 + doc_id % 980 AS h,
          octet_length(encode(text)) AS blen
   FROM documents
-  WHERE text IS NOT NULL  -- null text -> null payload -> no media row
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL  -- null -> no media row
 )
 SELECT doc_id,
   CASE WHEN w <= {_RESIZE_MAX_W} AND h <= {_RESIZE_MAX_H} THEN w
@@ -1191,6 +1193,10 @@ def _pixel_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads, metas = [], []
             for d in pdf["doc_id"]:
+                if pd.isna(d):  # null doc_id: no stub raster -> failed-crawl row
+                    payloads.append(None)
+                    metas.append({"source": "docs", "codec": "bmp"})
+                    continue
                 d = int(d)
                 w, h = 4 + d % 13, 4 + d % 11
                 xs, ys, cs = np.arange(w), np.arange(h), np.arange(3)
@@ -1234,7 +1240,8 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_RESIZE_PIXELS_ORACLE = f"""
 WITH dims AS (
-  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+  FROM documents WHERE doc_id IS NOT NULL  -- null id -> no media row
 ), fit AS (
   SELECT doc_id, w, h,
     CASE WHEN w <= {_PIX_MAX_W} AND h <= {_PIX_MAX_H} THEN w
@@ -1283,10 +1290,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan literals — same contract as pq_train and plane_weights), not data
     movement; the corpus itself never touches the driver."""
     emb = _load_embeddings(spark, sf_dir)
-    rows = sorted(
-        (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.orderBy("vec_id").limit(_PQ_CODES).collect()
-    )
+    seed = emb.orderBy("vec_id").limit(_PQ_CODES).collect()
+    if any(r["embedding"] is None for r in seed):
+        # model-boundary twin of operators.similarity.as_double's null-raise:
+        # degenerate model inputs are a named ValueError, never a bare
+        # TypeError out of the codebook comprehension (r10 dirty-sweep find)
+        raise ValueError(
+            "null embedding: PQ codebooks cannot train on NULL vectors — "
+            "drop_degenerate_vectors() or impute before the op"
+        )
+    rows = sorted((r["vec_id"], [float(x) for x in r["embedding"]]) for r in seed)
     codebooks = [
         [v[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM] for _, v in rows]
         for m in range(_PQ_M)
@@ -1570,6 +1583,9 @@ def _fake_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
+                if pd.isna(d):  # null doc_id: no stub signal -> failed-crawl row
+                    payloads.append(None)
+                    continue
                 d = int(d)
                 n = 1000 + d % 500
                 i = np.arange(n, dtype=np.int64)
@@ -1602,7 +1618,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUDIO_STATS_ORACLE = """
 WITH samp AS (
   SELECT doc_id, unnest(generate_series(0, 1000 + doc_id % 500 - 1)) AS i
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL  -- null id -> no media row
 ), v AS (
   SELECT doc_id, ((doc_id * 31 + i * 7) % 65536) - 32768 AS v FROM samp
 )
@@ -1636,7 +1652,7 @@ WITH samp AS (
   SELECT doc_id,
          unnest(generate_series(0, (1000 + doc_id % 500 + {_AUDIO_DECIMATE - 1})
                                    // {_AUDIO_DECIMATE} - 1)) AS i
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL  -- null id -> no media row
 ), v AS (
   SELECT doc_id,
          ((doc_id * 31 + (i * {_AUDIO_DECIMATE}) * 7) % 65536) - 32768 AS v
@@ -1676,6 +1692,9 @@ def _fake_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
+                if pd.isna(d):  # null doc_id: no stub frames -> failed-crawl row
+                    payloads.append(None)
+                    continue
                 d = int(d)
                 n = 1 + d % 5
                 k = np.arange(n)[:, None, None, None]
@@ -1720,7 +1739,7 @@ VIDEO_FRAMES_ORACLE = f"""
 WITH f AS (
   SELECT doc_id,
          unnest(range(0, 1 + doc_id % 5, {_VID_EVERY_N})) AS frame_index
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL  -- null id -> no media row
 ), px AS (
   SELECT f.doc_id, f.frame_index,
          ((f.doc_id * 7 + f.frame_index * 13 + y.y * 5 + x.x * 3 + c.c) % 256)

@@ -82,7 +82,7 @@ SELECT source, doc_id, sample_rank FROM (
   SELECT source, doc_id,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY {_h64_sql("doc_id::VARCHAR", "sample")}, doc_id
+           ORDER BY {_h64_sql("coalesce(doc_id::VARCHAR, '')", "sample")}, doc_id
          ) AS sample_rank
   FROM documents
 ) WHERE sample_rank <= {_SAMPLE_K}
@@ -576,7 +576,7 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPE_PACK_ORACLE = f"""
 WITH sized AS (
   SELECT source, doc_id, len({_TOKS})::BIGINT AS len,
-         (sum(len({_TOKS})) OVER (PARTITION BY source ORDER BY doc_id
+         (sum(len({_TOKS})) OVER (PARTITION BY source ORDER BY doc_id, len({_TOKS})
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
   FROM documents
 )
