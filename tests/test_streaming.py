@@ -1349,7 +1349,7 @@ def test_kafka_broker_smoke(spark, tmp_path):
     assert sum(1 for _ in spark.read.parquet(out).collect()) == len(rows)
 
 
-def _await_state_rows(q, want, timeout=60, after_batch=-1):
+def _await_state_rows(q, want, timeout=60, after_batch=-1, hard_cap_factor=6):
     """Wait until some micro-batch with batchId > ``after_batch`` reports
     ``want`` state rows; returns that batchId (None on timeout). Scans the
     full recentProgress history, not just lastProgress: a multi-second
@@ -1357,19 +1357,33 @@ def _await_state_rows(q, want, timeout=60, after_batch=-1):
     overwrite the observation window between polls, which must not read
     as a miss of a value the query really passed through. Chaining via
     ``after_batch`` keeps the observations ordered, so awaiting a
-    DECREASE cannot false-positive on an early empty batch."""
+    DECREASE cannot false-positive on an early empty batch.
+
+    The deadline is PROGRESS-ADAPTIVE (VERDICT r9 item 3 — the fixed 90 s
+    budget flaked under full-battery host load): ``timeout`` bounds the
+    time the query may go WITHOUT advancing a batch, while batches that
+    are still advancing keep extending the wait up to ``hard_cap_factor *
+    timeout``. A loaded host that processes no-data micro-batches 5x
+    slower still converges; a genuinely wedged query (no batch movement)
+    fails within ``timeout`` as before."""
     import time as _time
 
-    deadline = _time.time() + timeout
-    while _time.time() < deadline:
+    start = _time.time()
+    hard_cap = start + hard_cap_factor * timeout
+    last_batch, last_advance = -1, start
+    while _time.time() < hard_cap:
+        seen_max = last_batch
         for p in q.recentProgress:
+            b = p.get("batchId", -1)
+            seen_max = max(seen_max, b)
             ops = p.get("stateOperators") or []
-            if (
-                p.get("batchId", -1) > after_batch
-                and ops
-                and ops[0]["numRowsTotal"] == want
-            ):
-                return p["batchId"]
+            if b > after_batch and ops and ops[0]["numRowsTotal"] == want:
+                return b
+        now = _time.time()
+        if seen_max > last_batch:
+            last_batch, last_advance = seen_max, now
+        elif now - last_advance > timeout:
+            return None  # no batch advanced for a full timeout: truly stalled
         _time.sleep(0.5)
     return None
 
@@ -1803,9 +1817,13 @@ def test_tws_timer_eviction_survives_restart(spark, tmp_path):
             typed,
             within="INTERVAL 1 SECOND",
             allowed_lateness="INTERVAL 1 SECOND",
-            # long enough that phase 1 reliably stops BEFORE expiry even on
-            # a loaded host; phase 2 then waits it out
-            state_ttl="INTERVAL 8 SECONDS",
+            # phase 1 (await one state row + stop) takes ~2-5 s healthy, so
+            # the TTL must dwarf it or the timer fires BEFORE the restart
+            # and the stranded-match assert flakes under host load (an 8 s
+            # budget lost that race in a loaded battery — VERDICT r9 item
+            # 3's other half). 30 s is ~10x the healthy phase-1 time;
+            # phase 2's progress-adaptive poll absorbs the longer wait.
+            state_ttl="INTERVAL 30 SECONDS",
         )
         return (
             matches.writeStream.format("parquet")
@@ -1828,9 +1846,16 @@ def test_tws_timer_eviction_survives_restart(spark, tmp_path):
     # restored timer can produce output
     q2 = start_query()
     try:
-        deadline = _time.time() + 90
+        # progress-adaptive deadline (VERDICT r9 item 3): the timer needs
+        # the 8 s TTL plus however long no-data micro-batches take under
+        # host load. 90 s of NO batch movement fails fast; batches still
+        # advancing extend the wait to the hard cap.
+        start = _time.time()
+        hard_cap = start + 420
+        last_batch, last_advance = -1, start
         n = 0
-        while _time.time() < deadline:
+        restarts = 0
+        while _time.time() < hard_cap:
             if q2.exception() is not None:
                 # a loaded host can race RocksDB's commit against the
                 # changelog checkpoint (CANNOT_WRITE_STATE_STORE) and kill
@@ -1854,11 +1879,39 @@ def test_tws_timer_eviction_survives_restart(spark, tmp_path):
                     raise exc
                 q2.stop()
                 q2 = start_query()
+                restarts += 1
+                last_batch, last_advance = -1, _time.time()
             n = spark.read.parquet(out).count()
             if n:
                 break
+            lp = q2.lastProgress
+            b = lp["batchId"] if lp else -1
+            now = _time.time()
+            if b > last_batch:
+                last_batch, last_advance = b, now
+            elif now - last_advance > 90:
+                # No batch advanced for 90 s with no exception: observed
+                # (r10, under full-battery load) after a commit-race
+                # restart, where the engine sits at the replayed batch and
+                # never schedules the no-data micro-batch that would fire
+                # the restored timer. A fresh restart re-reads the timer
+                # column family and re-arms no-data scheduling — same
+                # restore-only contract, so retry up to twice before
+                # declaring the timer lost.
+                if restarts >= 3:
+                    break
+                q2.stop()
+                q2 = start_query()
+                restarts += 1
+                last_batch, last_advance = -1, _time.time()
             _time.sleep(0.5)
-        assert n == 1
+        assert n == 1, (
+            f"no flushed match after {_time.time() - start:.0f}s; "
+            f"restarts={restarts} last_batch={last_batch} "
+            f"stalled_for={_time.time() - last_advance:.0f}s "
+            f"exception={q2.exception()} "
+            f"recent={[(p.get('batchId'), p.get('numInputRows')) for p in q2.recentProgress[-5:]]}"
+        )
         (row,) = spark.read.parquet(out).collect()
         assert row["sensor_id"] == "s2" and row["history"] == "OK"
         assert _await_state_rows(q2, 0) is not None  # state dropped too

@@ -36,6 +36,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+
 
 def match_error_pattern(
     df: DataFrame,
@@ -66,7 +68,6 @@ def match_error_pattern(
     even if a fixture carries duplicate timestamps; without it, ties fall to
     Spark's arbitrary-but-stable sort.
     """
-    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
     within_us = _interval_micros(within)
 

@@ -17,10 +17,13 @@ makes a training mixture reproducible).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.dedup import h64, shingles_col
+from time_series_and_data_lakes_spark.operators.similarity import cosine_topk, ivf_topk
 
 
 def hash_bucket(id_col: Column, seed: str, n_buckets: int = 100) -> Column:
@@ -67,10 +70,9 @@ def deterministic_sample(
     run and any partitioning. One shuffle on the group key; with many
     groups the per-group state is k rows (bounded memory at 100 TB).
 
-    A NULL id is coalesced to '' before hashing (the sources/export.py
-    shard convention) so its rank is deterministic on both engines —
-    unhashed, NULL sorts first in Spark and last in DuckDB and every
-    rank in the group shifts (r10 dirty-sweep find).
+    A NULL id coalesces to '' before hashing (the sources/export.py shard
+    convention): unhashed, NULL sorts at opposite ends of the two engines'
+    orders and every rank in the group shifts (r10 find).
     """
     h = h64(F.coalesce(F.col(id_col).cast("string"), F.lit("")), seed=seed)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
@@ -144,7 +146,6 @@ def weighted_mixture(
 
     Returns the kept rows with ``n_avail`` and ``keep_frac`` attached.
     """
-    import math
 
     if not weights:
         raise ValueError("weights must name at least one source")
@@ -293,11 +294,6 @@ def knn_label_vote(
     label column is nullable. The vote aggregation shuffles only k rows per
     query.
     """
-    from time_series_and_data_lakes_spark.operators.similarity import (
-        cosine_topk,
-        ivf_topk,
-    )
-
     queries = embeddings.filter(query_filter)
     if centroids is None:
         top = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
@@ -362,10 +358,9 @@ def pack_sequences_report(
     aggregation — at scale each group is packed independently, exactly
     like per-source loader shards.
     """
-    # null ids pack LAST (ANSI NULLS LAST, DuckDB's default — Spark's asc
-    # default is nulls-first), tie-broken by length so two null-id docs
-    # still pack in a deterministic order; equal-length ties are
-    # interchangeable for every reported count (r10 dirty-sweep find)
+    # null ids pack LAST (ANSI/DuckDB default; Spark's is nulls-first),
+    # tie-broken by length — equal-length ties are interchangeable for
+    # every reported count (r10 find)
     sized = docs.select(
         group_col, id_col, token_count_col.cast("bigint").alias("__len")
     )

@@ -24,10 +24,14 @@ count — not corpus² — bounds the quadratic stage, which is the point of LSH
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def spread_small(df: DataFrame) -> DataFrame:
@@ -89,7 +93,6 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ``h_j(x) = (a_j * (x % 2^31) + b_j) % (2^61 - 1)`` — md5-derived at
     plan-build time and embedded as literals in both engines. Bounds keep
     every intermediate < 2^62, safe under ANSI bigint arithmetic."""
-    import hashlib
 
     def _c(tag: str, lo: int, hi: int) -> int:
         return lo + int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) % (hi - lo)
@@ -202,8 +205,6 @@ def minhash_lsh_dedup(
     # ~10x slower) and materialize once. Byte-identical to the JVM column
     # formulation and the SQL oracle. spread_small guards against tiny
     # inputs collapsing onto one core.
-    import hashlib
-    from collections.abc import Iterator
 
     params = minhash_params(num_hashes)
     A = np.array([a for a, _ in params], dtype=np.int64)
@@ -393,7 +394,6 @@ def simhash_col(text: Column, n_bits: int = 32) -> Column:
     arrays — pure integer arithmetic, so results are identical to the SQL
     formulation the oracle uses, at ~10x the interpreted-HOF throughput
     (48 per-bit array folds per row was the bench's hottest line)."""
-    import hashlib
 
     @F.pandas_udf("bigint")
     def pack(texts: pd.Series) -> pd.Series:

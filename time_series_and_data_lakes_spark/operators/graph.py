@@ -25,7 +25,7 @@ assignment at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
@@ -154,7 +154,6 @@ def label_propagation(
     Returns ``(node, label, votes)`` for NON-SEED nodes that hold a label
     after ``iters`` rounds, with the final round's vote count.
     """
-    from pyspark.sql import Window
 
     if iters < 1:
         raise ValueError("iters must be >= 1")

@@ -62,8 +62,11 @@ unchanged.
 
 from __future__ import annotations
 
+import io
+import math
 import os
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -724,7 +727,6 @@ def area_resize(arr: "np.ndarray", new_w: int, new_h: int) -> "np.ndarray":
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
-    import zlib
 
     return (
         struct.pack(">I", len(body))
@@ -739,7 +741,6 @@ def png_encode(arr: "np.ndarray") -> bytes:
     2), filter 0 rows, one zlib-compressed IDAT, CRC-correct chunks (PNG
     spec §5, §11). zlib is stdlib, so unlike JPEG/GIF no external codec is
     needed — PNG's entropy coding IS zlib."""
-    import zlib
 
     h, w = arr.shape[:2]
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
@@ -882,7 +883,6 @@ def png_decode(payload: bytes) -> "np.ndarray":
     palette (3, PLTE lookup — indices are validated against the table
     size; a tRNS palette-transparency chunk is IGNORED, consistent with
     alpha being dropped for color types 4/6)."""
-    import zlib
 
     b = bytes(payload)
     if b[:8] != _PNG_SIG:
@@ -1021,7 +1021,6 @@ def _native_codecs() -> dict:
         from PIL import Image
     except ImportError:
         return {}
-    import io
 
     save_fmt = {
         "bmp": "BMP",
@@ -1540,7 +1539,6 @@ def wav_encode(samples: "np.ndarray", sample_rate: int, channels: int = 1) -> by
     """16-bit PCM → RIFF/WAVE bytes (canonical 44-byte header). ``samples``
     is the INTERLEAVED stream for ``channels`` > 1 (frame-major, the WAV
     data layout); its length must be a whole number of frames."""
-    import numpy as np
 
     arr = np.asarray(samples, dtype="<i2")
     if channels > 1 and len(arr) % channels:
@@ -1573,7 +1571,6 @@ def _mulaw_to_linear(codes: "np.ndarray") -> "np.ndarray":
     formula, vectorized; validated against stdlib ``audioop`` where
     present). Pure arithmetic — segment = biased exponent, 4-bit
     mantissa, 0x84 bias."""
-    import numpy as np
 
     u = (~codes.astype(np.int32)) & 0xFF
     mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
@@ -1582,7 +1579,6 @@ def _mulaw_to_linear(codes: "np.ndarray") -> "np.ndarray":
 
 def _alaw_to_linear(codes: "np.ndarray") -> "np.ndarray":
     """G.711 a-law bytes → int16 samples (Sun alaw2linear, vectorized)."""
-    import numpy as np
 
     a = codes.astype(np.int32) ^ 0x55
     t = (a & 0x0F) << 4
@@ -1601,7 +1597,6 @@ def wav_decode(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     bits), IEEE float32/float64 (clipped to ±1, scaled to ±32767), G.711
     a-law/µ-law, and WAVE_FORMAT_EXTENSIBLE wrappers of any of those.
     Genuinely compressed encodings (ADPCM/mp3/...) raise, honestly."""
-    import numpy as np
 
     b = bytes(payload)
     if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -1687,9 +1682,6 @@ def audio_stats(df: DataFrame, on_error: str = "fail") -> DataFrame:
     :func:`resample_audio` handles multi-channel by frame-wise
     decimation, so the two compose for any channel count.
     ``on_error='skip'`` drops undecodable rows (see :func:`_row_attempt`)."""
-    import math
-
-    import numpy as np
 
     _check_on_error(on_error)
 
@@ -1783,7 +1775,6 @@ def avi_encode(frames: "np.ndarray", fps: int) -> bytes:
     the same raster layout as :func:`bmp_encode`). Writes the spec's hdrl
     (avih + strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) and movi
     lists, so the container structure is genuine, not a private format."""
-    import numpy as np
 
     n, h, w, _ = frames.shape
     stride = _bmp_stride(w)
@@ -1831,7 +1822,6 @@ def avi_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
     walker: finds avih for dimensions/rate inside LIST hdrl and collects
     '00db'/'00dc' DIB frames inside LIST movi wherever they sit.
     Compressed streams ('00dc' whose strf declares a codec) raise."""
-    import numpy as np
 
     b = bytes(payload)
     if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":

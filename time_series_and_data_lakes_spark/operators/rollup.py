@@ -24,6 +24,9 @@ minute rollup (1440 rows/key), not the raw store.
 
 from __future__ import annotations
 
+import posixpath
+from urllib.parse import urlparse
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -417,8 +420,6 @@ def start_rollup_refresh_sink(
         # scheme/authority (hdfs://nn) are compared verbatim (different
         # filesystems can't nest). Symlink aliases are out of scope — the
         # paths need not exist yet at construction time.
-        import posixpath
-        from urllib.parse import urlparse
 
         u = urlparse(p)
         if u.scheme and (u.netloc or u.path.startswith("/")):

@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
@@ -29,11 +30,9 @@ def sessionize(
     time since the previous event exceeds ``gap``. Classic lag + cumulative
     sum — one exchange on the keys, O(1) state per row.
 
-    A NULL-time row cannot be sessionized — no gap to any neighbor is
-    defined — so it is dropped (r10 dirty-sweep find: unfiltered, Spark
-    sorts it FIRST where it seeds a phantom session, DuckDB sorts it LAST
-    where the NULL gap comparison glues it onto the final session —
-    accidents on both sides)."""
+    A NULL-time row cannot be sessionized (no gap is defined for it) and
+    is dropped — unfiltered it seeds a phantom session in Spark
+    (nulls-first) and glues onto the final session in DuckDB (r10 find)."""
     gap_us = _interval_micros(gap)
     df = df.filter(F.col(time_col).isNotNull())
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(time_col)
@@ -84,7 +83,6 @@ def asof_join(
     to every left row preceding any real right row. Null-key/null-time
     LEFT rows are kept and attach nothing, per LEFT semantics.
     """
-    from pyspark.sql import types as T
 
     right_values = list(right_values)
     right = right.filter(F.col(right_time).isNotNull())

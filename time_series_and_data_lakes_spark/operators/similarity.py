@@ -18,22 +18,25 @@ scores and bucket ids are bit-identical in the DuckDB oracle.
 from __future__ import annotations
 
 import functools
+import hashlib
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from time_series_and_data_lakes_spark.operators.checkpointing import truncate_lineage
+from time_series_and_data_lakes_spark.operators.dedup import let
 
 
 def as_double(vec: Column) -> Column:
-    """Vector ingress for every ANN/quantization op. A NULL vector raises a
-    NAMED error here — one shared loud contract instead of each op
-    improvising (brute cosine silently ranked null scores last, PQ died in
-    a bare driver-side TypeError; r10 dirty-sweep find). Cosine and
-    codebook training are undefined for a missing vector; the sanctioned
-    bypass is :func:`drop_degenerate_vectors`, which filters WITHOUT
-    tripping this guard."""
+    """Vector ingress for every ANN/quantization op. A NULL vector raises
+    a NAMED error here — one shared loud contract instead of each op
+    improvising (brute cosine silently ranked null scores, PQ died in a
+    bare TypeError; r10 find). Bypass: :func:`drop_degenerate_vectors`,
+    which filters WITHOUT tripping this guard."""
     return F.when(
         vec.isNull(),
         F.raise_error(
@@ -316,7 +319,6 @@ def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     — computed once at plan-build time and embedded as literals in both the
     Spark plan and the DuckDB oracle SQL, so the engines share planes by
     construction (and no per-row hashing happens at execution)."""
-    import hashlib
 
     return [
         [
@@ -421,7 +423,6 @@ def quantize_embedding(vec: Column, bits: int = 8) -> tuple[Column, Column]:
     the oracle SQL reproduces ties bit-exactly on both engines. Zero
     vectors quantize to all-zero codes with scale 0.
     """
-    from time_series_and_data_lakes_spark.operators.dedup import let
 
     levels = (1 << (bits - 1)) - 1
     v = as_double(vec)
@@ -549,8 +550,6 @@ def _pq_lut_frame(
     therefore ADC scores and the SQL oracle hash — are bit-identical to
     the expression form. ``qv`` (the float64 query vector) rides along for
     callers that still probe centroids (ivf_pq_topk)."""
-    import numpy as np
-    import pandas as pd
 
     _require_codebooks(codebooks)
     m_subspaces = len(codebooks)
@@ -610,8 +609,6 @@ def pq_encode(
 
     Every input column except ``vec_col`` passes through unchanged (so an
     IVF list assignment computed upstream rides along — no extra join)."""
-    import numpy as np
-    import pandas as pd
 
     _require_codebooks(codebooks)
     m_subspaces = len(codebooks)

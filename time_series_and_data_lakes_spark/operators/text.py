@@ -10,6 +10,8 @@ bit-identical across engines.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -305,7 +307,6 @@ def bm25_topk(
             idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm),
         ).otherwise(F.lit(0.0))
 
-    import functools
 
     score = functools.reduce(
         lambda acc, c: acc + c, [contribution(i) for i in range(len(terms))]

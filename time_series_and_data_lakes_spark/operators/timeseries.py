@@ -33,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from time_series_and_data_lakes_spark.operators.dedup import let
+
 
 def create_time_series(
     df: DataFrame,
@@ -195,12 +197,10 @@ def resample(
     # to the old row-local value / lead pair bit-exactly.
     w = Window.partitionBy(*keys).orderBy("__t")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # A NULL-time row is NOT an observation: it has no place on the
-    # timeline, so it neither bounds the grid nor feeds lerp/LOCF state
-    # (the window-SQL formulation gets this for free — NULL times sort
-    # LAST in ANSI engines and only is_grid rows are emitted — but Spark
-    # sorts NULL FIRST under asc, which would null first("__t") and with
-    # it every slot bound of the key; r10 dirty-sweep find).
+    # A NULL-time row is NOT an observation — it neither bounds the grid
+    # nor feeds lerp/LOCF state. Spark sorts NULL FIRST under asc, which
+    # would null first("__t") and every slot bound of the key (r10 find;
+    # the oracle's NULLS-LAST + is_grid filter makes such rows inert).
     obs = df.filter(F.col(time_col).isNotNull()).select(
         *keys,
         F.col(time_col).alias("__t"),
@@ -566,7 +566,6 @@ def lttb_downsample(
         )
         return F.concat(folded["sel"], F.array(last))
 
-    from time_series_and_data_lakes_spark.operators.dedup import let
 
     selected = F.when(F.size(pts) <= threshold, pts).otherwise(let(pts, lttb))
     out = df.groupBy(*keys).agg(selected.alias("__sel"))

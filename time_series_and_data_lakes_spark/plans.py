@@ -10,6 +10,7 @@ these (``tests/test_plans.py``).
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame
@@ -63,7 +64,6 @@ def plan_fingerprint(plan: str | DataFrame) -> str:
     unchanged ⇒ host noise; ``plan_hash`` changed ⇒ a real plan change
     to audit.
     """
-    import hashlib
 
     if isinstance(plan, DataFrame):
         plan = formatted_plan(plan)

@@ -15,20 +15,34 @@ Spark program and the oracle SQL (driver hashes columns sorted by name).
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
+
+import pyarrow.parquet as pq
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
 from time_series_and_data_lakes_spark.operators.melt import melt, pivot_measures
+from time_series_and_data_lakes_spark.operators.intervals import range_join
+from time_series_and_data_lakes_spark.operators.rollup import (
+    merge_partials,
+    rollup_partials,
+    serve_stats,
+)
+from time_series_and_data_lakes_spark.operators.sessions import asof_join, sessionize
 from time_series_and_data_lakes_spark.operators.timeseries import (
     align_series,
     create_time_series,
+    lttb_downsample,
     resample,
     time_bin,
     unnest_time_series,
 )
+from time_series_and_data_lakes_spark.functions import grafana_macros
+from time_series_and_data_lakes_spark.sources.stats import parquet_footer_max_micros
 
 TABLE_NAMES = [
     "region",
@@ -55,10 +69,6 @@ def _events_ts_is_nanos(path: str) -> bool:
     used to return False and the subsequent read failed) and answers from
     the first part file whose footer yields a readable ``ts`` field,
     skipping sidecars and corrupt/ts-less files."""
-    import os
-
-    import pyarrow.parquet as pq
-
     if os.path.isdir(path):
         samples = sorted(
             os.path.join(root, f)
@@ -129,10 +139,6 @@ def _events_anchor(sf_dir: str):
     exactly. Returns
     ``None`` when any row group lacks statistics (``_anchored`` then falls
     back to its aggregate pre-scan)."""
-    from time_series_and_data_lakes_spark.sources.stats import (
-        parquet_footer_max_micros,
-    )
-
     micros = parquet_footer_max_micros(f"{sf_dir}/events.parquet", "ts")
     if micros is None:
         return None
@@ -430,7 +436,6 @@ LIMIT 10
 
 
 def g2_measure_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.functions import grafana_macros
 
     obs = sensor_obs(spark, sf_dir)
     narrow = melt(
@@ -958,7 +963,6 @@ _RJ_PAD_S = 3600
 
 
 def range_join_cep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.intervals import range_join
 
     cep = f2_cep_match_recognize(spark, sf_dir)
     pad_us = _RJ_PAD_S * 1_000_000
@@ -1123,12 +1127,6 @@ def rollup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade is lossless (exact decimal sums make avg deterministic), which
     is what lets a 100 TB store serve dashboards from rollup levels instead
     of re-scanning raw data."""
-    from time_series_and_data_lakes_spark.operators.rollup import (
-        merge_partials,
-        rollup_partials,
-        serve_stats,
-    )
-
     obs = sensor_obs(spark, sf_dir)
     hourly = rollup_partials(obs, ["sensor_id"], "time", "1 hour", "temperature")
     daily = merge_partials(hourly, ["sensor_id"], "1 day")
@@ -1469,9 +1467,8 @@ def analytics_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different values (the row-frame sums then differ run-to-run and
     # engine-to-engine); nulls-last matches DuckDB's ASC default, where
     # Spark's is nulls-first — same tie discipline as g9/f3/gap_report.
-    # time itself is also nulls-last: a null-time event has no position, so
-    # both engines must agree to park it at the end of the frame sequence
-    # (Spark's asc default is nulls-FIRST; r10 dirty-sweep find on null ts)
+    # time itself is also nulls-last: Spark's asc default is nulls-FIRST,
+    # DuckDB's nulls-LAST — null-time rows park at the frame end (r10 find)
     w = Window.partitionBy("sensor_id").orderBy(
         F.col("time").asc_nulls_last(), F.col("temperature").asc_nulls_last()
     )
@@ -1531,12 +1528,9 @@ def _bounded_obs(obs: DataFrame, max_points: int = _FOLD_MAX_POINTS) -> DataFram
     cap entries, and the DESC tie-order of nulls differs across engines.
     NaN is a real IEEE value, not a null — it propagates through the folds
     identically on both engines and is deliberately NOT filtered. A NULL
-    TIME is likewise no observation (r10 dirty-sweep find): a recursion
-    over arrival order has no position for a row that never arrived on the
-    timeline, and unfiltered it would sit at opposite ends of the two
-    engines' sorts (Spark NULLS FIRST asc / NULLS LAST desc, DuckDB the
-    reverse) — seeding EWMA/Holt with a different x0 on every key that has
-    one."""
+    TIME is likewise no observation (r10 find): an arrival-order recursion
+    has no position for it, and unfiltered it sits at opposite ends of the
+    two engines' sorts — seeding EWMA/Holt with a different x0."""
     w = Window.partitionBy("sensor_id").orderBy(
         F.col("time").desc(), F.col("temperature").desc()
     )
@@ -1678,7 +1672,6 @@ def analytics_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`operators.timeseries.lttb_downsample` for the fold design and
     determinism contract. History per key is capped at the most recent
     ``_FOLD_MAX_POINTS`` observations."""
-    from time_series_and_data_lakes_spark.operators.timeseries import lttb_downsample
 
     obs = _bounded_obs(sensor_obs(spark, sf_dir))
     return lttb_downsample(
@@ -1838,10 +1831,9 @@ def g9_ohlc_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a real reading diverges across engines — Spark's struct comparator
     # sorts the null field FIRST while the oracle's ORDER BY is NULLS
     # LAST, so min_by returned NULL where row_number picked the value.
-    # A NULL TIME likewise disqualifies a reading from open/close (it has
-    # no timeline position to be first or last AT; unfiltered it wins
-    # Spark's min_by struct while sorting last in the oracle — r10
-    # dirty-sweep find). high/low/n_obs are time-agnostic and keep it.
+    # A NULL TIME likewise disqualifies a reading from open/close —
+    # unfiltered it wins Spark's min_by struct while sorting last in the
+    # oracle (r10 find). high/low/n_obs are time-agnostic and keep it.
     return obs.groupBy("sensor_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.expr(
@@ -2005,7 +1997,6 @@ FROM stats s LEFT JOIN flagged f USING (sensor_id)
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.sessions import sessionize
 
     obs = sensor_obs(spark, sf_dir)
     sessions = sessionize(obs, ["sensor_id"], "time", gap="INTERVAL 12 HOURS")
@@ -2049,7 +2040,6 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_and_data_lakes_spark.operators.sessions import asof_join
 
     events = load(spark, sf_dir, "events").select(
         F.col("user_id").alias("custkey"), F.col("ts").alias("time"), "event_id"
@@ -2072,12 +2062,10 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "custkey", "time", "latest_order_price")
 
 
-# A NULL left time matches nothing: 'NULL >= t' is UNKNOWN, so LEFT
-# semantics attach NULL (what the engine's asof_join does). DuckDB's
-# sort-based ASOF implementation instead parks NULL times last and hands
-# them the LATEST right row — an engine quirk, not SQL comparison
-# semantics — so the oracle carves null-time lefts out and unions them
-# back unmatched (r10 dirty-sweep find).
+# 'NULL >= t' is UNKNOWN, so a null-time left attaches NULL (the engine's
+# asof_join behavior). DuckDB's sort-based ASOF instead hands such rows the
+# LATEST right row — an engine quirk — so the oracle carves them out and
+# unions them back unmatched (r10 find).
 ASOF_ORACLE = """
 SELECT e.event_id, e.user_id AS custkey, e.ts AS time, o.latest_order_price
 FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
@@ -2375,31 +2363,21 @@ ORACLES.update(PIPELINE_ORACLES)
 # get no driver row that round. Rotation policy (pinned by
 # tests/test_registry.py): an entry may sit in the tail ONLY if it is
 # driver-green in at least TWO rounds (or is approximate-by-design, where no
-# oracle row can ever exist), AND — standing rule adopted per VERDICT_r9
-# "What's wrong #1" — any query whose program, oracle, or operator
-# dependency changed in round N must re-enter round N+1's window, because a
-# banked green only attests the code that earned it. Changed queries are
-# declared in _DRIVER_LEAD each round; tests/test_registry.py asserts they
-# lead the window.
+# oracle row can ever exist), AND — standing rule per VERDICT_r9 — any query
+# whose program, oracle, or operator dependency changed in round N must
+# re-enter round N+1's window (a banked green only attests the code that
+# earned it): such queries go in _DRIVER_LEAD, which must prefix the window.
 #
-# Round-10 rotation (audited programmatically against CORRECTNESS_r01-r09 by
-# tests/test_registry.py — green counts are derived from the driver's own
-# JSON rows, never from comments). Composition follows the VERDICT_r9 item-1
-# directive verbatim: the window leads with the SEVEN queries whose
-# programs/oracles changed in round 9 (exact-decimal conversions
-# q1/q3/q5/q6, null-semantics fixes q13/q16, bucket-width change
-# range_join_cep_context — commits 562cad9/9a41120) with zero post-change
-# driver greens, + the 19-query core reference surface (q1-q3, Grafana
-# panels g1-g10 incl. g4b and the CEP pivot g1, the Athena join a1, CEP
-# f2/f3, melt) kept under continuous driver check, + the 24 stalest-green
-# entries of the tail (lowest banked green count, then alphabetical — the
-# alphabetically-later 3x population that missed round 9's re-banking
-# window, each banking a fourth green here).
+# Round-10 rotation (audited against CORRECTNESS_r01-r09 by
+# tests/test_registry.py — green counts come from the driver's own JSON
+# rows, never comments): lead = the SEVEN round-9-changed queries (decimal
+# conversions q1/q3/q5/q6, null fixes q13/q16, range_join_cep_context —
+# commits 562cad9/9a41120, zero post-change greens), + the 19-query core
+# (q1-q3, panels g1-g10 + g4b + CEP pivot g1, a1, f2/f3, melt), + the 24
+# stalest-green tail entries (lowest banked count, then alphabetical).
 # ---------------------------------------------------------------------------
 
-# Queries whose program, oracle, or operator dependency changed LAST round:
-# they lead this round's window so the next driver green attests the shipped
-# code. Reset each round to the actually-changed set (empty if none).
+# Changed last round -> lead this round's window. Reset each round.
 _DRIVER_LEAD: list[str] = [
     "tpch_q1_pricing_summary", "tpch_q3_top_orders",
     "tpch_q5_region_revenue", "tpch_q6_selective",
@@ -2431,27 +2409,18 @@ _DRIVER_TAIL: list[str] = [
     "tpch_q12_priority_by_status", "tpch_q20_excess_share_suppliers",
     "rollup_cascade_stats", "json_props_extract", "analytics_moving_window",
     "gap_report_sensors", "text_winnow_fingerprint", "ann_cosine_topk",
-    "multimodal_decode_stats", "multimodal_frame_sample",
-    "multimodal_resize",
+    "multimodal_decode_stats", "multimodal_frame_sample", "multimodal_resize",
     # approximate by design — no exact oracle can exist; error-bounded by
-    # property tests (tests/test_properties.py) with exact driver-green
-    # twins. Kept LAST so a catalog shrink can never slide them into the
-    # window:
+    # property tests with exact driver-green twins. Kept LAST so a catalog
+    # shrink can never slide them into the window:
     "g5b_approx_percentiles", "approx_distinct_parts",
 ]
 
 
 def _rotate_tail(registry: dict) -> dict:
-    lead = {k: registry[k] for k in _DRIVER_LEAD if k in registry}
-    head = {
-        k: v
-        for k, v in registry.items()
-        if k not in _DRIVER_TAIL and k not in lead
-    }
-    tail = {k: registry[k] for k in _DRIVER_TAIL if k in registry}
-    lead.update(head)
-    lead.update(tail)
-    return lead
+    mid = [k for k in registry if k not in _DRIVER_LEAD and k not in _DRIVER_TAIL]
+    order = _DRIVER_LEAD + mid + _DRIVER_TAIL
+    return {k: registry[k] for k in order if k in registry}
 
 
 QUERIES = _rotate_tail(QUERIES)

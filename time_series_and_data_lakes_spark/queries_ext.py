@@ -10,13 +10,21 @@ determinism contract is documented in each operator module.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators import dedup as D
-from time_series_and_data_lakes_spark.operators.dedup import spread_small, tokens_col
+from time_series_and_data_lakes_spark.operators.dedup import (
+    MERSENNE_61,
+    minhash_params,
+    spread_small,
+    tokens_col,
+)
 from time_series_and_data_lakes_spark.operators.graph import connected_components
 from time_series_and_data_lakes_spark.operators.text import bm25_topk
 from time_series_and_data_lakes_spark.operators import similarity as S
@@ -100,11 +108,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.8) -> str:
-    from time_series_and_data_lakes_spark.operators.dedup import (
-        MERSENNE_61,
-        minhash_params,
-    )
-
     r = num_hashes // bands
     mins = ", ".join(
         f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MERSENNE_61}))"
@@ -152,7 +155,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components (large-star/small-star, `operators/graph.py`) —
     every doc in a dup cluster labeled with the cluster's min doc_id. The
     DuckDB oracle computes the same fixpoint with a recursive CTE."""
-    from pyspark.sql import Window
 
     pairs = D.minhash_lsh_dedup(_load_docs(spark, sf_dir), threshold=0.8).select(
         "doc_a", "doc_b"
@@ -298,7 +300,6 @@ def dedup_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention counts. The report a curation run publishes after its dedup
     stage; composes three driver-green stages and stays exactly
     oracle-able because each stage is."""
-    from pyspark.sql import Window  # noqa: F401  (parity with dedup_components)
 
     docs = _load_docs(spark, sf_dir)
     pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("doc_a", "doc_b")
@@ -933,9 +934,6 @@ WHERE text IS NOT NULL AND doc_id IS NOT NULL  -- null -> no media row
 def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media rows with stub-codec payloads (header fields are
     pure functions of doc_id, so frame/metadata outputs stay oracle-able)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
 
     docs = _load_docs(spark, sf_dir).select("doc_id", "text")
 
@@ -946,11 +944,10 @@ def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["doc_id"],
                     "media_type": ["video"] * len(pdf),
                     "payload": [
-                        # a null text is no document, and a null doc_id
-                        # has no stub header (the fields are functions of
-                        # the id): either way the media row carries a NULL
-                        # payload (the realistic failed-crawl shape) and
-                        # every media op drops it per the null-media contract
+                        # null text is no document; a null doc_id has no
+                        # stub header: either way the row carries a NULL
+                        # payload (failed-crawl shape) and every media op
+                        # drops it per the null-media contract
                         None
                         if t is None or pd.isna(d)
                         else pack_fake_payload(
@@ -1105,7 +1102,6 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: both rankings end in ``depth``-row frames, so the fusion join,
     window, and top-k all run on ranker-output cardinality, never corpus
     cardinality."""
-    from pyspark.sql import Window
 
     docs = _load_docs(spark, sf_dir)
     emb = _load_embeddings(spark, sf_dir)
@@ -1182,10 +1178,6 @@ def _pixel_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-bpp BMP, odd → binary P6 PPM). Pixel (y, x, c) of doc d is
     ``(d*7 + x*5 + y*3 + c) % 256`` — a pure function of the id, so the
     decode→resize→encode chain is value-checkable end to end."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
 
     docs = _load_docs(spark, sf_dir).select("doc_id")
 
@@ -1292,9 +1284,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_embeddings(spark, sf_dir)
     seed = emb.orderBy("vec_id").limit(_PQ_CODES).collect()
     if any(r["embedding"] is None for r in seed):
-        # model-boundary twin of operators.similarity.as_double's null-raise:
-        # degenerate model inputs are a named ValueError, never a bare
-        # TypeError out of the codebook comprehension (r10 dirty-sweep find)
+        # model-boundary twin of as_double's null-raise: degenerate model
+        # inputs are a named ValueError, never a bare TypeError (r10 find)
         raise ValueError(
             "null embedding: PQ codebooks cannot train on NULL vectors — "
             "drop_degenerate_vectors() or impute before the op"
@@ -1463,7 +1454,6 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc top-k window. Scale shape: one token-keyed exchange builds tf
     and df together (df is a broadcast-sized vocabulary aggregate), then
     one doc-keyed rank window — no all-pairs work anywhere."""
-    from pyspark.sql import Window
 
     docs = _load_docs(spark, sf_dir)
     post = docs.select(
@@ -1572,10 +1562,6 @@ def _fake_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ``((d*31 + i*7) % 65536) - 32768``, n = 1000 + d % 500, rate =
     8000 + (d % 3) * 4000 — deterministic, so the stats are SQL-replayable
     while the codec work (RIFF encode/parse) is entirely real."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
 
     docs = _load_docs(spark, sf_dir).select("doc_id")
 
@@ -1681,10 +1667,6 @@ def _fake_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → AVI media rows: 1 + doc_id % 5 frames of 8×6 RGB where
     pixel (k, y, x, c) of doc d is ``(d*7 + k*13 + y*5 + x*3 + c) % 256``
     — deterministic pixels, REAL container encoding."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
 
     docs = _load_docs(spark, sf_dir).select("doc_id")
 

@@ -14,13 +14,18 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators import curation as C
+from time_series_and_data_lakes_spark.operators import graph as G
+from time_series_and_data_lakes_spark.operators import similarity as S
 from time_series_and_data_lakes_spark.operators import text as X
 from time_series_and_data_lakes_spark.queries_ext import (
     _cosine_sql,
+    _DIM,
+    _lsh_pairs_oracle,
+    _N_PLANES,
     _dot_sql,
     _h64_sql,
     _lang_score_cols,
@@ -125,7 +130,6 @@ FROM per_source, total
 
 _BENCH_SOURCE = "src0"
 _DECON_THRESHOLD = 10
-
 
 
 def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,7 +428,6 @@ def pipe_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means, as in pipe_knn_label_vote_ivf) so the oracle replays the
     quantizer; threshold 0.3 sits in the tail of this fixture's
     near-orthogonal cosine distribution (max pairwise ~0.51)."""
-    from time_series_and_data_lakes_spark.operators import similarity as S
 
     emb = _load_embeddings(spark, sf_dir)
     return S.semantic_dedup(
@@ -486,9 +489,6 @@ def pipe_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with non-negative cosine). Unweighted integer votes + smallest-label
     tie-break keep the fixture bit-reproducible in the chained-CTE
     oracle."""
-    from time_series_and_data_lakes_spark.operators import graph as G
-    from time_series_and_data_lakes_spark.operators import similarity as S
-    from time_series_and_data_lakes_spark.queries_ext import _DIM, _N_PLANES
 
     emb = _load_embeddings(spark, sf_dir)
     pairs = S.lsh_bucket_pairs(
@@ -510,7 +510,6 @@ def pipe_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lp_oracle() -> str:
-    from time_series_and_data_lakes_spark.queries_ext import _lsh_pairs_oracle
 
     ctes = [
         f"pairs AS ({_lsh_pairs_oracle(threshold=_LP_EDGE_THRESHOLD)})",
@@ -608,7 +607,6 @@ def pipe_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deciles window is a single-partition sort over |corpus| rows — at
     real scale serve it from a sampled frame or a histogram; the exact
     form is the fixture-scale reference."""
-    from pyspark.sql import Window
 
     docs = _load_docs(spark, sf_dir)
     # A null text is no document: quality_score null-propagates (like every

@@ -19,6 +19,8 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from time_series_and_data_lakes_spark.operators.dedup import h64
+
 
 def window_path(base: str, window_start: dt.datetime) -> str:
     """`{base}/{yyyy-mm-ddThh-mm}/` — minute-resolution window prefix, the
@@ -119,7 +121,6 @@ def write_training_shards(
     promised ``[0, n_shards)`` layout, silently invisible to any loader
     iterating ``shard=0..n-1``.
     """
-    from time_series_and_data_lakes_spark.operators.dedup import h64
 
     sharded = df.withColumn(
         "shard",

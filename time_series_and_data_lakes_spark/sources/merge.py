@@ -20,6 +20,8 @@ snapshot-isolation-free semantics.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
+
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +52,6 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     filesystem errors, permissions, corrupt footers — re-raises: treating
     it as 'first write' would make the subsequent partition overwrite
     silently drop the stored rows of every touched partition."""
-    from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)

@@ -18,6 +18,8 @@ from __future__ import annotations
 import json
 import os
 
+import pyarrow.parquet as pq
+
 
 def parquet_footer_max_micros(path: str, column: str) -> int | None:
     """Max of a timestamp ``column`` across all row groups of ``path`` (a
@@ -32,8 +34,6 @@ def parquet_footer_max_micros(path: str, column: str) -> int | None:
     statistics, non-timestamp column, unreadable file — never raises.
     """
     try:
-        import pyarrow.parquet as pq
-
         if os.path.isdir(path):
             # recursive: a PARTITIONED store has no top-level part files,
             # and falling back to the aggregate pre-scan there would cost

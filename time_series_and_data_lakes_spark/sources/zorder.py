@@ -26,6 +26,10 @@ file balance, not correctness (range partitioner samples the keys).
 
 from __future__ import annotations
 
+import functools
+import glob
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,7 +41,6 @@ def zorder_key(coords: list[Column], bits: int = 16) -> Column:
     positions with a (key, multiplier, remainders...) accumulator — every
     per-step operation is constant arithmetic (LSB extract, halve,
     multiplier × 2^k), so the whole key stays inside codegen."""
-    import functools
 
     k = len(coords)
     if bits * k > 63:
@@ -146,8 +149,6 @@ def files_intersecting_box(
     """Count (intersecting, total) parquet files whose column min/max
     statistics intersect a box predicate ``{col: (lo, hi)}`` — the
     metadata-only measure of how much a layout lets a scan skip."""
-    import glob
-    import os
 
     import pyarrow.parquet as pq
 

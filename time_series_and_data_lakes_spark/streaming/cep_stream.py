@@ -44,6 +44,14 @@ from pyspark.sql.streaming.stateful_processor import (
 from time_series_and_data_lakes_spark.operators.timeseries import (
     _interval_micros,
 )
+from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+    _keyed_output_schema,
+)
+from time_series_and_data_lakes_spark.streaming.state_ttl import (
+    check_ttl_covers_window as _check_ttl,
+    timeout_conf as _timeout_conf,
+    ttl_millis as _ttl_millis,
+)
 
 _LOG = logging.getLogger(__name__)
 
@@ -314,15 +322,6 @@ def match_error_pattern_stream(
     with a fresh frontier (resumed rows older than the flushed buffer
     would have been late/best-effort regardless).
     """
-    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
-        _keyed_output_schema,
-    )
-    from time_series_and_data_lakes_spark.streaming.state_ttl import (
-        check_ttl_covers_window as _check_ttl,
-        timeout_conf as _timeout_conf,
-        ttl_millis as _ttl_millis,
-    )
-
     within_us = _interval_micros(within)
     lateness_us = _interval_micros(allowed_lateness) if allowed_lateness else None
     ttl_ms = _ttl_millis(state_ttl)
@@ -524,14 +523,6 @@ def match_error_pattern_tws(
     read at query START: queries checkpointed earlier under a different
     provider must not be restarted in the same session afterwards (Spark
     forbids changing the provider across restarts)."""
-    from time_series_and_data_lakes_spark.streaming.analytics_stream import (
-        _keyed_output_schema,
-    )
-    from time_series_and_data_lakes_spark.streaming.state_ttl import (
-        check_ttl_covers_window as _check_ttl,
-        ttl_millis as _ttl_millis,
-    )
-
     within_us = _interval_micros(within)
     lateness_us = _interval_micros(allowed_lateness) if allowed_lateness else None
     ttl_ms = _ttl_millis(state_ttl)

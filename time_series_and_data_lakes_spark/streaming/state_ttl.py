@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql.streaming.state import GroupStateTimeout
 
+from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+
 
 def ttl_millis(state_ttl: str | None) -> int | None:
     """Parse a state-TTL interval to positive milliseconds.
@@ -19,7 +21,6 @@ def ttl_millis(state_ttl: str | None) -> int | None:
     fail the query mid-batch with an obscure executor error."""
     if state_ttl is None:
         return None
-    from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
 
     ttl_ms = _interval_micros(state_ttl) // 1000
     if ttl_ms <= 0:
