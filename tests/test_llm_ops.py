@@ -765,7 +765,10 @@ def test_hyperplane_null_embedding_named_error_and_explicit_drop(spark):
     into the length-mismatch raise with a NULL-concatenated (blank)
     message; it must raise its own diagnosis. lsh_bucket_pairs drops
     null embeddings EXPLICITLY (they can never pair) instead of leaving
-    their fate to an optimizer-inferred join-key filter."""
+    their fate to an optimizer-inferred join-key filter. The CATALOG
+    queries instead raise on null vectors at ingress
+    (similarity.require_vectors via _load_embeddings — see
+    tests/test_dirty_inputs.py::test_null_embeddings_raise_named_error)."""
     import pytest
 
     from time_series_and_data_lakes_spark.operators.similarity import (
@@ -773,6 +776,7 @@ def test_hyperplane_null_embedding_named_error_and_explicit_drop(spark):
         hyperplane_signature,
         lsh_bucket_pairs,
         plane_weights,
+        require_vectors,
     )
 
     emb = spark.createDataFrame(
@@ -782,6 +786,8 @@ def test_hyperplane_null_embedding_named_error_and_explicit_drop(spark):
     sig = hyperplane_signature(as_double(F.col("embedding")), plane_weights(4, 8))
     with pytest.raises(Exception, match="null embedding"):
         emb.select(sig.alias("b")).collect()
+    with pytest.raises(Exception, match="null embedding"):
+        require_vectors(emb).collect()
     pairs = lsh_bucket_pairs(emb, dim=8, threshold=0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
 

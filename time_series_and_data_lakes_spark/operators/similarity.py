@@ -32,20 +32,34 @@ from time_series_and_data_lakes_spark.operators.dedup import let
 
 
 def as_double(vec: Column) -> Column:
-    """Vector ingress for every ANN/quantization op. A NULL vector raises
-    a NAMED error here — one shared loud contract instead of each op
-    improvising (brute cosine silently ranked null scores, PQ died in a
-    bare TypeError; r10 find). Bypass: :func:`drop_degenerate_vectors`,
-    which filters WITHOUT tripping this guard."""
-    return F.when(
-        vec.isNull(),
-        F.raise_error(
-            F.lit(
-                "null embedding: cosine/quantization is undefined for a NULL"
-                " vector — drop_degenerate_vectors() or impute before the op"
-            )
-        ),
-    ).otherwise(F.transform(vec, lambda x: x.cast("double")))
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def require_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Loud vector-ingress validation: any NULL vector in ``vec_col``
+    raises a NAMED error when the row is evaluated. Apply at the point
+    data ENTERS a query program (the catalog wraps its embeddings loader
+    with it) — NOT inside operators downstream of a null-dropping filter:
+    Catalyst's inferred join constraints (``isnotnull(bucket)``) may
+    evaluate derived expressions BELOW a user filter, so a guard baked
+    into every op falsely fires on rows the filter already dropped (r10
+    find, reproduced with codegen off — it is constraint inference, not
+    subexpression elimination). At ingress there is no upstream filter to
+    race. The drop alternative is :func:`drop_degenerate_vectors`."""
+    v = F.col(vec_col)
+    return df.withColumn(
+        vec_col,
+        F.when(
+            v.isNull(),
+            F.raise_error(
+                F.lit(
+                    "null embedding: cosine/quantization is undefined for a"
+                    " NULL vector — drop_degenerate_vectors() or impute"
+                    " before the op"
+                )
+            ),
+        ).otherwise(v),
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -78,11 +92,7 @@ def drop_degenerate_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFr
     Use as ``cosine_topk(drop_degenerate_vectors(corpus), queries)`` —
     same for ivf/lsh/pq/semantic_dedup inputs."""
     v = F.col(vec_col)
-    # when() evaluates its branch conditionally, so a NULL vector takes the
-    # False branch without reaching as_double's null-raise guard
-    return df.filter(
-        F.when(v.isNotNull(), norm(as_double(v)) > 0).otherwise(F.lit(False))
-    )
+    return df.filter(v.isNotNull() & (norm(as_double(v)) > 0))
 
 
 def cosine_topk(

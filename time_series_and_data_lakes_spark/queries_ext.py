@@ -85,7 +85,15 @@ def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread_small(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    # require_vectors at INGRESS (r10): every catalog query over embeddings
+    # raises the shared named error on a NULL vector instead of each op
+    # improvising (brute cosine silently ranked null scores, PQ died in a
+    # bare driver-side TypeError). Ingress is the one place the guard
+    # cannot be re-evaluated below a null-dropping filter by Catalyst's
+    # inferred join constraints — see operators.similarity.require_vectors.
+    return S.require_vectors(
+        spread_small(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    )
 
 
 # --------------------------------------------------------------------------
