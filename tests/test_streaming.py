@@ -1855,6 +1855,7 @@ def test_tws_timer_eviction_survives_restart(spark, tmp_path):
         last_batch, last_advance = -1, start
         n = 0
         restarts = 0
+        nudged = False
         while _time.time() < hard_cap:
             if q2.exception() is not None:
                 # a loaded host can race RocksDB's commit against the
@@ -1892,22 +1893,47 @@ def test_tws_timer_eviction_survives_restart(spark, tmp_path):
             elif now - last_advance > 90:
                 # No batch advanced for 90 s with no exception: observed
                 # (r10, under full-battery load) after a commit-race
-                # restart, where the engine sits at the replayed batch and
+                # restart — the engine sits at the replayed batch and
                 # never schedules the no-data micro-batch that would fire
-                # the restored timer. A fresh restart re-reads the timer
-                # column family and re-arms no-data scheduling — same
-                # restore-only contract, so retry up to twice before
-                # declaring the timer lost.
-                if restarts >= 3:
+                # the restored timer (a fresh restart did not re-arm it
+                # either in one battery). Escalate in two steps, neither
+                # of which weakens the restore contract:
+                # 1. one fresh restart (re-reads the timer column family);
+                # 2. a DATA nudge for an unrelated key s9: expired
+                #    processing-time timers fire during ANY micro-batch,
+                #    and an s9 ERROR row cannot fabricate an s2 match —
+                #    the flushed row below can still only come from the
+                #    RESTORED s2 state+timer. (At production scale a busy
+                #    stream always has data batches; Spark's no-data
+                #    scheduling is the rarity this harness stops relying
+                #    on.) Same event_time as s2's batch so the watermark
+                #    cannot move and event-time eviction cannot flush.
+                if restarts < 1:
+                    q2.stop()
+                    q2 = start_query()
+                    restarts += 1
+                    last_batch, last_advance = -1, _time.time()
+                elif not nudged:
+                    with open(src / "b1_nudge.json", "w") as f:
+                        f.write(
+                            json.dumps(
+                                {
+                                    "sensor_id": "s9",
+                                    "event_time": base,
+                                    "status": "ERROR",
+                                    "temperature": 9.0,
+                                }
+                            )
+                            + "\n"
+                        )
+                    nudged = True
+                    last_advance = _time.time()
+                else:
                     break
-                q2.stop()
-                q2 = start_query()
-                restarts += 1
-                last_batch, last_advance = -1, _time.time()
             _time.sleep(0.5)
         assert n == 1, (
             f"no flushed match after {_time.time() - start:.0f}s; "
-            f"restarts={restarts} last_batch={last_batch} "
+            f"restarts={restarts} nudged={nudged} last_batch={last_batch} "
             f"stalled_for={_time.time() - last_advance:.0f}s "
             f"exception={q2.exception()} "
             f"recent={[(p.get('batchId'), p.get('numInputRows')) for p in q2.recentProgress[-5:]]}"
