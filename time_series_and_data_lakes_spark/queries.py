@@ -197,8 +197,10 @@ def q1_flagship_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # timestamps so on-grid observations are returned exactly.
 _INTERP_CTE = f"""
 WITH obs AS (
+  -- a NULL time is no observation; explicit here though inert under
+  -- NULLS-LAST (mirrors the Spark twin / resample operator contract)
   SELECT user_id AS sensor_id, ts AS time, value AS temperature, event_type AS status
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), bounds AS (
   SELECT sensor_id, min(time) AS tmin, max(time) AS tmax FROM obs GROUP BY sensor_id
 ), grid AS (
@@ -248,8 +250,14 @@ GROUP BY sensor_id, time
 
 _Q1_SPARK_SQL = """
 WITH obs AS (
+  -- a NULL time is no observation (operator contract): under Spark's
+  -- NULLS-FIRST asc sort an unfiltered null-time row would sit at the
+  -- partition START of the fwd window and seed every row's LOCF state
+  -- (r10 dirty-sweep find at sf0.01 — 10x the rows exposed it); in the
+  -- oracle's NULLS-LAST engine such rows are inert, so both sides agree
+  -- on the explicit filter
   SELECT user_id AS sensor_id, ts AS time, value AS temperature, event_type AS status
-  FROM events_raw
+  FROM events_raw WHERE ts IS NOT NULL
 ), bounds AS (
   SELECT sensor_id, min(time) AS tmin, max(time) AS tmax FROM obs GROUP BY sensor_id
 ), grid AS (
