@@ -70,9 +70,8 @@ def deterministic_sample(
     run and any partitioning. One shuffle on the group key; with many
     groups the per-group state is k rows (bounded memory at 100 TB).
 
-    A NULL id coalesces to '' before hashing (the sources/export.py shard
-    convention): unhashed, NULL sorts at opposite ends of the two engines'
-    orders and every rank in the group shifts (r10 find).
+    A NULL id coalesces to '' before hashing (the export.py shard
+    convention): unhashed it shifts every rank in the group (r10 find).
     """
     h = h64(F.coalesce(F.col(id_col).cast("string"), F.lit("")), seed=seed)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
@@ -358,9 +357,8 @@ def pack_sequences_report(
     aggregation — at scale each group is packed independently, exactly
     like per-source loader shards.
     """
-    # null ids pack LAST (ANSI/DuckDB default; Spark's is nulls-first),
-    # tie-broken by length — equal-length ties are interchangeable for
-    # every reported count (r10 find)
+    # null ids pack LAST (ANSI/DuckDB default), tie-broken by length —
+    # equal-length ties are interchangeable for every count (r10 find)
     sized = docs.select(
         group_col, id_col, token_count_col.cast("bigint").alias("__len")
     )

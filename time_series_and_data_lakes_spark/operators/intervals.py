@@ -35,10 +35,9 @@ def bucket_width_us(bucket_s: float) -> int:
     bucket_s in (0, 1) passes a `<= 0` check but rounds to a ZERO width —
     the mid-job ANSI DIVIDE_BY_ZERO (or, ANSI off, all-null buckets and a
     silently empty join) this guard exists to reject early. round(), not
-    int(): truncation toward zero turns float representation error into an
-    off-by-one width when the double product lands below the exact value
-    (int(4.1 * 1_000_000) == 4_099_999, not 4_100_000 — ADVICE r8; pinned
-    by tests/test_sessions_asof.py)."""
+    int(): truncation turns float representation error into an off-by-one
+    width (int(4.1 * 1_000_000) == 4_099_999 — ADVICE r8; pinned by
+    tests/test_sessions_asof.py)."""
     width_us = round(bucket_s * 1_000_000)
     if width_us <= 0:
         raise ValueError(f"bucket_s must be a positive number of seconds, got {bucket_s}")

@@ -30,9 +30,9 @@ def sessionize(
     time since the previous event exceeds ``gap``. Classic lag + cumulative
     sum — one exchange on the keys, O(1) state per row.
 
-    A NULL-time row cannot be sessionized (no gap is defined for it) and
-    is dropped — unfiltered it seeds a phantom session in Spark
-    (nulls-first) and glues onto the final session in DuckDB (r10 find)."""
+    A NULL-time row cannot be sessionized and is dropped — unfiltered it
+    seeds a phantom session in Spark (nulls-first) and glues onto the
+    final session in DuckDB (r10 find)."""
     gap_us = _interval_micros(gap)
     df = df.filter(F.col(time_col).isNotNull())
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(time_col)

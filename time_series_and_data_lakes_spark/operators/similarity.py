@@ -36,16 +36,13 @@ def as_double(vec: Column) -> Column:
 
 
 def require_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Loud vector-ingress validation: any NULL vector in ``vec_col``
-    raises a NAMED error when the row is evaluated. Apply at the point
-    data ENTERS a query program (the catalog wraps its embeddings loader
-    with it) — NOT inside operators downstream of a null-dropping filter:
-    Catalyst's inferred join constraints (``isnotnull(bucket)``) may
-    evaluate derived expressions BELOW a user filter, so a guard baked
-    into every op falsely fires on rows the filter already dropped (r10
-    find, reproduced with codegen off — it is constraint inference, not
-    subexpression elimination). At ingress there is no upstream filter to
-    race. The drop alternative is :func:`drop_degenerate_vectors`."""
+    """Loud vector-ingress validation: a NULL vector in ``vec_col``
+    raises a NAMED error. Apply where data ENTERS a query program (the
+    catalog wraps its embeddings loader) — NOT inside operators below a
+    null-dropping filter: Catalyst's inferred join constraints evaluate
+    derived expressions BELOW user filters, so an in-op guard falsely
+    fired on already-dropped rows (r10 find, reproduced with codegen
+    off). Drop path: :func:`drop_degenerate_vectors`."""
     v = F.col(vec_col)
     return df.withColumn(
         vec_col,

@@ -197,10 +197,9 @@ def resample(
     # to the old row-local value / lead pair bit-exactly.
     w = Window.partitionBy(*keys).orderBy("__t")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # A NULL-time row is NOT an observation — it neither bounds the grid
-    # nor feeds lerp/LOCF state. Spark sorts NULL FIRST under asc, which
+    # A NULL-time row is NOT an observation: Spark's NULLS-FIRST asc sort
     # would null first("__t") and every slot bound of the key (r10 find;
-    # the oracle's NULLS-LAST + is_grid filter makes such rows inert).
+    # inert in the oracle's NULLS-LAST window formulation).
     obs = df.filter(F.col(time_col).isNotNull()).select(
         *keys,
         F.col(time_col).alias("__t"),

@@ -197,8 +197,7 @@ def q1_flagship_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # timestamps so on-grid observations are returned exactly.
 _INTERP_CTE = f"""
 WITH obs AS (
-  -- a NULL time is no observation; explicit here though inert under
-  -- NULLS-LAST (mirrors the Spark twin / resample operator contract)
+  -- NULL time = no observation (inert here; mirrors the Spark twin)
   SELECT user_id AS sensor_id, ts AS time, value AS temperature, event_type AS status
   FROM events WHERE ts IS NOT NULL
 ), bounds AS (
@@ -250,12 +249,8 @@ GROUP BY sensor_id, time
 
 _Q1_SPARK_SQL = """
 WITH obs AS (
-  -- a NULL time is no observation (operator contract): under Spark's
-  -- NULLS-FIRST asc sort an unfiltered null-time row would sit at the
-  -- partition START of the fwd window and seed every row's LOCF state
-  -- (r10 dirty-sweep find at sf0.01 — 10x the rows exposed it); in the
-  -- oracle's NULLS-LAST engine such rows are inert, so both sides agree
-  -- on the explicit filter
+  -- NULL time = no observation: Spark's NULLS-FIRST sort would head the
+  -- fwd window and seed every LOCF state (r10 find at sf0.01)
   SELECT user_id AS sensor_id, ts AS time, value AS temperature, event_type AS status
   FROM events_raw WHERE ts IS NOT NULL
 ), bounds AS (
@@ -1475,8 +1470,7 @@ def analytics_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different values (the row-frame sums then differ run-to-run and
     # engine-to-engine); nulls-last matches DuckDB's ASC default, where
     # Spark's is nulls-first — same tie discipline as g9/f3/gap_report.
-    # time itself is also nulls-last: Spark's asc default is nulls-FIRST,
-    # DuckDB's nulls-LAST — null-time rows park at the frame end (r10 find)
+    # time is also nulls-last: null rows park at the frame end (r10 find)
     w = Window.partitionBy("sensor_id").orderBy(
         F.col("time").asc_nulls_last(), F.col("temperature").asc_nulls_last()
     )
@@ -1536,9 +1530,8 @@ def _bounded_obs(obs: DataFrame, max_points: int = _FOLD_MAX_POINTS) -> DataFram
     cap entries, and the DESC tie-order of nulls differs across engines.
     NaN is a real IEEE value, not a null — it propagates through the folds
     identically on both engines and is deliberately NOT filtered. A NULL
-    TIME is likewise no observation (r10 find): an arrival-order recursion
-    has no position for it, and unfiltered it sits at opposite ends of the
-    two engines' sorts — seeding EWMA/Holt with a different x0."""
+    TIME is likewise no observation (r10 find): unfiltered it sits at
+    opposite ends of the engines' sorts, seeding a different x0."""
     w = Window.partitionBy("sensor_id").orderBy(
         F.col("time").desc(), F.col("temperature").desc()
     )
@@ -1834,14 +1827,9 @@ def g9_ohlc_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     break ties on the value (ADVICE_r4) — deterministic for ANY fixture,
     matching the (ts, value) ordering the sequential folds pin."""
     obs = sensor_obs(spark, sf_dir)
-    # open/close rank NON-NULL readings only (repo-wide null-measurement
-    # convention): unfiltered, a null sharing the boundary timestamp with
-    # a real reading diverges across engines — Spark's struct comparator
-    # sorts the null field FIRST while the oracle's ORDER BY is NULLS
-    # LAST, so min_by returned NULL where row_number picked the value.
-    # A NULL TIME likewise disqualifies a reading from open/close —
-    # unfiltered it wins Spark's min_by struct while sorting last in the
-    # oracle (r10 find). high/low/n_obs are time-agnostic and keep it.
+    # open/close need BOTH a value and a time: a null field sorts FIRST
+    # in Spark's struct comparator but LAST in the oracle's ORDER BY
+    # (ADVICE r4 / r10 find). high/low/n_obs are time-agnostic.
     return obs.groupBy("sensor_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.expr(
@@ -1859,14 +1847,12 @@ def g9_ohlc_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OHLC_ORACLE = """
 WITH ranked AS (
-  -- open/close candidates: need BOTH a value and a timeline position
   SELECT user_id, value,
     row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn_a,
     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn_d
   FROM events
   WHERE value IS NOT NULL AND ts IS NOT NULL
 ), agg AS (
-  -- high/low/n_obs are time-agnostic: null-time readings still count
   SELECT user_id, count(*) AS n_obs, max(value) AS high, min(value) AS low
   FROM events GROUP BY user_id
 )
@@ -2024,8 +2010,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_ORACLE = """
 WITH obs AS (
-  -- a null-time event cannot be sessionized (no gap is defined for it);
-  -- the operator drops it, so the oracle must too
+  -- null-time events are not sessionizable; the operator drops them
   SELECT user_id AS sensor_id, ts AS time FROM events WHERE ts IS NOT NULL
 ), marked AS (
   SELECT sensor_id, time,
@@ -2070,10 +2055,9 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "custkey", "time", "latest_order_price")
 
 
-# 'NULL >= t' is UNKNOWN, so a null-time left attaches NULL (the engine's
-# asof_join behavior). DuckDB's sort-based ASOF instead hands such rows the
-# LATEST right row — an engine quirk — so the oracle carves them out and
-# unions them back unmatched (r10 find).
+# 'NULL >= t' is UNKNOWN so a null-time left attaches NULL (the engine's
+# behavior); DuckDB's sort-based ASOF instead hands it the LATEST right
+# row — a quirk the oracle works around by unioning such rows unmatched.
 ASOF_ORACLE = """
 SELECT e.event_id, e.user_id AS custkey, e.ts AS time, o.latest_order_price
 FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
@@ -2387,10 +2371,9 @@ ORACLES.update(PIPELINE_ORACLES)
 
 # Changed last round -> lead this round's window. Reset each round.
 _DRIVER_LEAD: list[str] = [
-    "tpch_q1_pricing_summary", "tpch_q3_top_orders",
-    "tpch_q5_region_revenue", "tpch_q6_selective",
-    "tpch_q13_order_count_distribution", "tpch_q16_supplier_count",
-    "range_join_cep_context",
+    "tpch_q1_pricing_summary", "tpch_q3_top_orders", "tpch_q5_region_revenue",
+    "tpch_q6_selective", "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_count", "range_join_cep_context",
 ]
 
 _DRIVER_TAIL: list[str] = [

@@ -85,12 +85,9 @@ def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # require_vectors at INGRESS (r10): every catalog query over embeddings
-    # raises the shared named error on a NULL vector instead of each op
-    # improvising (brute cosine silently ranked null scores, PQ died in a
-    # bare driver-side TypeError). Ingress is the one place the guard
-    # cannot be re-evaluated below a null-dropping filter by Catalyst's
-    # inferred join constraints — see operators.similarity.require_vectors.
+    # require_vectors at INGRESS (r10): every embeddings catalog query
+    # raises one shared named error on a NULL vector — see
+    # operators.similarity.require_vectors for why ingress-only.
     return S.require_vectors(
         spread_small(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     )
@@ -952,10 +949,7 @@ def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["doc_id"],
                     "media_type": ["video"] * len(pdf),
                     "payload": [
-                        # null text is no document; a null doc_id has no
-                        # stub header: either way the row carries a NULL
-                        # payload (failed-crawl shape) and every media op
-                        # drops it per the null-media contract
+                        # null text/doc_id: NULL payload -> row dropped
                         None
                         if t is None or pd.isna(d)
                         else pack_fake_payload(
@@ -1292,8 +1286,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_embeddings(spark, sf_dir)
     seed = emb.orderBy("vec_id").limit(_PQ_CODES).collect()
     if any(r["embedding"] is None for r in seed):
-        # model-boundary twin of as_double's null-raise: degenerate model
-        # inputs are a named ValueError, never a bare TypeError (r10 find)
+        # degenerate model inputs are a named ValueError (r10 find)
         raise ValueError(
             "null embedding: PQ codebooks cannot train on NULL vectors — "
             "drop_degenerate_vectors() or impute before the op"

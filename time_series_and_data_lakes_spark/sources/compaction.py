@@ -52,9 +52,8 @@ def compact_partitions(
     if files_per_partition == 1:
         packed = subset.repartition(*keys)
     else:
-        # pmod, not abs(h) % n: under ANSI abs(Long.MIN_VALUE) throws
-        # ARITHMETIC_OVERFLOW (r10 review find, runtime-confirmed; pmod
-        # is total and lands in [0, n))
+        # pmod, not abs(h) % n: ANSI abs(Long.MIN_VALUE) throws
+        # ARITHMETIC_OVERFLOW (r10 find, runtime-confirmed)
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in subset.columns]),
             F.lit(files_per_partition),

@@ -41,12 +41,8 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-from time_series_and_data_lakes_spark.operators.timeseries import (
-    _interval_micros,
-)
-from time_series_and_data_lakes_spark.streaming.analytics_stream import (
-    _keyed_output_schema,
-)
+from time_series_and_data_lakes_spark.operators.timeseries import _interval_micros
+from time_series_and_data_lakes_spark.streaming.analytics_stream import _keyed_output_schema  # noqa: E501
 from time_series_and_data_lakes_spark.streaming.state_ttl import (
     check_ttl_covers_window as _check_ttl,
     timeout_conf as _timeout_conf,
