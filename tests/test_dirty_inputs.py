@@ -52,10 +52,26 @@ _INJECT = {
     # (the class of r9's NULL-shard find). `embeddings.embedding` is NOT
     # nulled here — null embeddings raise by design, asserted as a NAMED
     # error in test_null_embeddings_raise_named_error below.
-    "events": {"value": 7, "event_type": 19, "props": 13, "ts": 29, "user_id": 31},
-    "documents": {"text": 11, "lang": 17, "source": 23, "doc_id": 19},
-    "nation": {"n_nationkey": 7, "n_regionkey": 11},
-    "region": {"r_regionkey": 5},
+    #
+    # r10 closing pass: the final six columns — `event_id` is an ORDER BY
+    # ... LIMIT and CEP/sessionize tiebreak key (null sort direction
+    # differs across engines inside a LIMIT); `vec_id` is the ANN result
+    # id, rank tiebreak, and self-pair guard (`a.vec_id <> q.query_id`);
+    # `label` feeds the kNN majority vote; `n_name`/`r_name` are GROUP
+    # BY/output keys on the q5/q8/q9 spine; `n_chars` is a quality-score
+    # and mixture-weight measure.
+    "events": {
+        "value": 7,
+        "event_type": 19,
+        "props": 13,
+        "ts": 29,
+        "user_id": 31,
+        "event_id": 23,
+    },
+    "documents": {"text": 11, "lang": 17, "source": 23, "doc_id": 19, "n_chars": 29},
+    "embeddings": {"vec_id": 11, "label": 17},
+    "nation": {"n_nationkey": 7, "n_regionkey": 11, "n_name": 13},
+    "region": {"r_regionkey": 5, "r_name": 7},
     "orders": {
         "o_orderkey": 29,
         "o_custkey": 31,
@@ -213,6 +229,69 @@ def test_tie_and_null_boundaries_match_oracle(spark, tmp_path):
         for r in entry.queries()["g9_ohlc_per_sensor"](spark, sf).collect()
     }
     assert got[1] == (10.0, 2.0, 8) and got[2] == (20.0, 2.0, 8)
+
+
+def test_null_id_order_boundaries_match_oracle(spark, tmp_path):
+    """Adversarial NULL-id ordering fixture for the two order-SENSITIVE
+    uses of `event_id` the periodic injection cannot reliably fire: the
+    CEP tiebreak (two B rows tied on `ts`, one with NULL event_id — the
+    tie order is exported through the `history` string) and the
+    `ORDER BY event_id LIMIT` cut in a2 (NULL ids land inside the LIMIT
+    window on whichever side the engine sorts them). Pins the engine
+    convention: a NULL id sorts LAST (the knn tie-break's
+    `asc_nulls_last`, DuckDB's ASC default)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # sensor 1: A=error, two B rows TIED at t0+10s (one NULL id), C=error
+        (100, t0, 1, "error", 50.0),
+        (2, t0 + dt.timedelta(seconds=10), 1, "ok", 10.0),
+        (None, t0 + dt.timedelta(seconds=10), 1, "warn", 20.0),
+        (101, t0 + dt.timedelta(seconds=20), 1, "error", 60.0),
+    ]
+    # 12 joinable rows for the LIMIT-10 cut, 3 with NULL event_id
+    for i in range(12):
+        rows.append(
+            (None if i % 4 == 0 else 200 + i, t0 + dt.timedelta(hours=1 + i), 2, "ok", float(i))
+        )
+    sf = str(tmp_path / "nullid")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["cust1", "cust2"], pa.string()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+                "c_acctbal": pa.array([1.0, 2.0], pa.float64()),
+                "c_mktsegment": pa.array(["SEG", "SEG"], pa.string()),
+            }
+        ),
+        f"{sf}/customer.parquet",
+    )
+    for name in ("f3_cep_event_time", "a2_enrichment_view"):
+        assert_matches_oracle(
+            entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
+        )
+    # semantics, not just parity: the NULL-id B row sorts LAST in the tie
+    got = entry.queries()["f3_cep_event_time"](spark, sf).collect()
+    assert [r["history"] for r in got if r["sensor_id"] == 1] == ["ok-warn"]
 
 
 @pytest.fixture(scope="module")

@@ -97,10 +97,11 @@ def test_changed_queries_lead_the_window():
 
 def test_round10_window_composition():
     # VERDICT_r9 item 1, pinned verbatim: the round-10 window = the seven
-    # round-9-changed queries + the 19-query core + the 24 stalest-green
-    # tail entries (lowest banked green count, then alphabetical), computed
-    # from the FROZEN r01-r09 driver records so the pin stays stable once
-    # CORRECTNESS_r10 lands.
+    # round-9-changed queries (+ any in-round additions to _DRIVER_LEAD,
+    # e.g. a2's r10 null-id fix) + the 19-query core + the stalest-green
+    # tail entries filling the window (lowest banked green count, then
+    # alphabetical), computed from the FROZEN r01-r09 driver records so
+    # the pin stays stable once CORRECTNESS_r10 lands.
     counts: dict[str, int] = {}
     for i in range(1, 10):
         f = REPO / f"CORRECTNESS_r{i:02d}.json"
@@ -118,7 +119,7 @@ def test_round10_window_composition():
         (k for k in Q.QUERIES if k not in fixed and k not in APPROXIMATE_BY_DESIGN),
         key=lambda k: (counts.get(k, 0), k),
     )
-    expected = set(Q._DRIVER_LEAD) | set(CORE19) | set(cands[:24])
+    expected = set(Q._DRIVER_LEAD) | set(CORE19) | set(cands[: 50 - len(fixed)])
     window = set(list(entrymod.queries())[:50])
     assert window == expected, (
         f"missing={sorted(expected - window)} extra={sorted(window - expected)}"

@@ -71,7 +71,8 @@ def match_error_pattern(
 
     within_us = _interval_micros(within)
 
-    order_cols = ["__t"] + (["__tb"] if tiebreak else [])
+    # NULL tiebreak ids sort LAST (engine null-id convention; DuckDB's ASC)
+    order_cols = [F.col("__t")] + ([F.asc_nulls_last("__tb")] if tiebreak else [])
     w_key = Window.partitionBy(key).orderBy(*order_cols)
     sel = [
         key,
