@@ -59,7 +59,11 @@ REPRESENTATIVE = [
     "sessionize_events",  # a lone reading is a 1-event session
     "dedup_components",  # a single node is its own component
     "pipe_quality_deciles",  # ntile(10) over one document
-    "pipe_mix_weights",  # mixture shares sum over one source
+    # NOT pipe_mix_weights: with a single document only one source exists,
+    # and the op's documented boundary is a descriptive ValueError when a
+    # weighted source has zero rows (the full sweep asserts exactly that).
+    "dedup_minhash_eval",  # recall/precision over ZERO ground-truth pairs
+    "tpch_q17_small_quantity_revenue",  # ungrouped aggregate, 1-row frame
     "tpch_q13_order_count_distribution",  # 1 customer x 1 order
 ]
 

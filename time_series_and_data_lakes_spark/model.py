@@ -39,11 +39,7 @@ NARROW_SCHEMA = T.StructType(
 # Dimension whitelist / measure whitelist (`cdk/load_data_fn/app.py:56,60`).
 DIMENSION_WHITELIST = ["sensor_id", "status", "non_errors", "history"]
 MEASURE_WHITELIST = [
-    "temperature",
-    "min_temperature",
-    "avg_temperature",
-    "max_temperature",
-    "elapsed",
+    "temperature", "min_temperature", "avg_temperature", "max_temperature", "elapsed",
 ]
 
 # CEP match record (`kinesis-studio-notebook/notebook.txt:20-29`).

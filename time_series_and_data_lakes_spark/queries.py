@@ -45,16 +45,8 @@ from time_series_and_data_lakes_spark.functions import grafana_macros
 from time_series_and_data_lakes_spark.sources.stats import parquet_footer_max_micros
 
 TABLE_NAMES = [
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 GRID_STEP = "INTERVAL 1 HOUR"
@@ -2376,6 +2368,10 @@ _DRIVER_LEAD: list[str] = [
     "tpch_q6_selective", "tpch_q13_order_count_distribution",
     "tpch_q16_supplier_count", "range_join_cep_context",
     "a2_enrichment_view",  # r10 null-id NULLS-LAST fix: program+oracle changed
+    # r10 null-id model fixes (nulls-last PQ seed; per-row kmeans argmax rid)
+    "ann_ivf_kmeans_topk", "ann_pq_adc_topk",
+    # r10 one-row-sweep fix: zero-pair audit ratios are NULL, not ANSI errors
+    "dedup_minhash_eval", "dedup_simhash_eval",
 ]
 
 _DRIVER_TAIL: list[str] = [
@@ -2386,8 +2382,7 @@ _DRIVER_TAIL: list[str] = [
     "correlated_min_price_lines", "cube_pricing_matrix", "dedup_exact",
     "dedup_minhash_lsh", "dedup_components", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_containment", "dedup_edit_distance", "dedup_retention_report",
-    "dedup_minhash_eval", "dedup_simhash_eval", "ann_ivf_topk", "ann_ivf_kmeans_topk",
-    "ann_lsh_dup_pairs", "ann_pq_adc_topk", "ann_quantize_int8",
+    "ann_ivf_topk", "ann_lsh_dup_pairs", "ann_quantize_int8",
     "multimodal_resize_pixels", "multimodal_audio_stats", "multimodal_audio_resample",
     "multimodal_video_frames", "tpch_q8_market_share", "tpch_q9_profit_by_nation",
     "tpch_q4_priority_with_returns", "tpch_q10_returned_revenue",
@@ -2399,6 +2394,8 @@ _DRIVER_TAIL: list[str] = [
     "tpch_q12_priority_by_status", "tpch_q20_excess_share_suppliers",
     "rollup_cascade_stats", "json_props_extract", "analytics_moving_window",
     "gap_report_sensors", "text_winnow_fingerprint", "ann_cosine_topk", "text_stats",
+    "text_repetition_stats", "text_rrf_hybrid_topk",  # displaced by the r10 lead
+    "text_lang_id", "text_quality",  # displaced by the r10 lead (2nd growth)
     "multimodal_decode_stats", "multimodal_frame_sample", "multimodal_resize",
     # approximate by design — no exact oracle can exist; error-bounded by
     # property tests with exact driver-green twins. Kept LAST so a catalog

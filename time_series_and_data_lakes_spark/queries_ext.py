@@ -376,8 +376,9 @@ def _pair_eval(docs: DataFrame, approx: DataFrame) -> DataFrame:
             "n_exact",
             "n_approx",
             "n_hit",
-            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
-            (F.col("n_hit") / F.col("n_approx")).alias("precision"),
+            # zero ground-truth/approx pairs: ratio NULL, not an ANSI error
+            F.try_divide("n_hit", "n_exact").alias("recall"),
+            F.try_divide("n_hit", "n_approx").alias("precision"),
         )
     )
 
@@ -394,8 +395,8 @@ hit AS (
 SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
        (SELECT count(*) FROM approx)::BIGINT AS n_approx,
        (SELECT count(*) FROM hit)::BIGINT AS n_hit,
-       (SELECT count(*) FROM hit) / (SELECT count(*) FROM exact) AS recall,
-       (SELECT count(*) FROM hit) / (SELECT count(*) FROM approx) AS precision
+       (SELECT count(*) FROM hit) / nullif((SELECT count(*) FROM exact), 0) AS recall,
+       (SELECT count(*) FROM hit) / nullif((SELECT count(*) FROM approx), 0) AS precision
 """
 
 
@@ -791,10 +792,14 @@ def _kmeans_ivf_oracle(iters: int = _KMEANS_ITERS, dim: int = _EMB_DIM) -> str:
     avg_list = (
         "[" + ", ".join(f"CAST(s{i} AS DOUBLE) / n_members" for i in range(dim)) + "]"
     )
+    # `rid`: row-unique key for the per-ROW argmax — the model is a function
+    # of the vector MULTISET, not the ids; PARTITION BY vec_id collapsed all
+    # NULL-id vectors into one partition, dropping all but one from the
+    # training means (r10 dirty-sweep find). Spark's argmax is per row.
     ctes = [
-        "v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
-        " FROM embeddings)",
-        f"n AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM v0)",
+        "v0 AS (SELECT vec_id, row_number() OVER () AS rid,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"n AS (SELECT vec_id, rid, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM v0)",
         f"c0 AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < {_N_CENTROIDS})",
     ]
     prev = "c0"
@@ -808,7 +813,7 @@ def _kmeans_ivf_oracle(iters: int = _KMEANS_ITERS, dim: int = _EMB_DIM) -> str:
             f"""a{it} AS (
   SELECT vec_id, v, list_id FROM (
     SELECT n.vec_id, n.v, c.cid AS list_id,
-           row_number() OVER (PARTITION BY n.vec_id
+           row_number() OVER (PARTITION BY n.rid
              ORDER BY {dot_vc} / (n.nrm * c.cn) DESC, c.cid) AS rn
     FROM n, {prev}n c) WHERE rn = 1)"""
         )
@@ -831,7 +836,7 @@ def _kmeans_ivf_oracle(iters: int = _KMEANS_ITERS, dim: int = _EMB_DIM) -> str:
         f"""assigned AS (
   SELECT vec_id, v, nrm, list_id FROM (
     SELECT n.vec_id, n.v, n.nrm, c.cid AS list_id,
-           row_number() OVER (PARTITION BY n.vec_id
+           row_number() OVER (PARTITION BY n.rid
              ORDER BY {dot_vc} / (n.nrm * c.cn) DESC, c.cid) AS rn
     FROM n, cent c) WHERE rn = 1)"""
     )
@@ -1284,7 +1289,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan literals — same contract as pq_train and plane_weights), not data
     movement; the corpus itself never touches the driver."""
     emb = _load_embeddings(spark, sf_dir)
-    seed = emb.orderBy("vec_id").limit(_PQ_CODES).collect()
+    # NULL ids sort LAST (engine convention): seed = smallest NON-NULL ids
+    seed = emb.orderBy(F.asc_nulls_last("vec_id")).limit(_PQ_CODES).collect()
     if any(r["embedding"] is None for r in seed):
         # degenerate model inputs are a named ValueError (r10 find)
         raise ValueError(
@@ -1323,7 +1329,7 @@ WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ), cb AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {_PQ_CODES})
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id NULLS LAST LIMIT {_PQ_CODES})
 ), dists AS (
   SELECT n.vec_id AS nid, mm.m AS m, cb.c AS c,
          {_pq_d2_sql('n.v', 'cb.v', 'mm.m')} AS d
