@@ -294,6 +294,45 @@ def test_null_id_order_boundaries_match_oracle(spark, tmp_path):
     assert [r["history"] for r in got if r["sensor_id"] == 1] == ["ok-warn"]
 
 
+def test_null_group_key_at_limit_cut_matches_oracle(spark, tmp_path):
+    """The LIMIT-cut face of the null-id convention: a DESC-measure TIE
+    whose ASC tiebreak key is a NULL group key sitting exactly at the
+    LIMIT boundary. Spark's plain asc sorts the NULL group FIRST (into
+    the top-k), DuckDB's default sorts it LAST (out) — runtime-confirmed
+    on g6 before the asc_nulls_last fix (engine returned the NULL sensor
+    in the top-10, oracle returned sensor 10). The same fix class covers
+    q21 (integer numwait ties x nullable s_name), q2, bm25/RRF doc_id."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 12 sensor groups (one NULL), every max_temperature tied at 50.0
+    rows = [(i, t0, (None if i == 0 else i), "ok", 50.0, "{}") for i in range(12)]
+    sf = str(tmp_path / "cut")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    name = "g6_top_sensors_recent_max"
+    assert_matches_oracle(
+        entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
+    )
+    got = entry.queries()[name](spark, sf).collect()
+    assert sorted(r["sensor_id"] for r in got) == list(range(1, 11))  # no NULL
+
+
 @pytest.fixture(scope="module")
 def null_embedding_sf(tmp_path_factory):
     # embeddings.embedding is deliberately NOT in _INJECT: vector ops raise

@@ -318,7 +318,7 @@ def bm25_topk(
         base.crossJoin(F.broadcast(stats))
         .filter(any_hit)
         .withColumn("score", score)
-        .orderBy(F.desc("score"), F.asc(id_col))
+        .orderBy(F.desc("score"), F.asc_nulls_last(id_col))
         .limit(k)
         .select(id_col, "score")
     )

@@ -407,7 +407,8 @@ def g6_top_sensors_recent_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         obs.groupBy("sensor_id")
         .agg(F.max("temperature").alias("max_temperature"))
-        .orderBy(F.desc("max_temperature"), "sensor_id")
+        # NULL group keys sort LAST in the ASC tiebreak — under LIMIT it matters
+        .orderBy(F.desc("max_temperature"), F.asc_nulls_last("sensor_id"))
         .limit(10)
     )
 
@@ -2372,6 +2373,9 @@ _DRIVER_LEAD: list[str] = [
     "ann_ivf_kmeans_topk", "ann_pq_adc_topk",
     # r10 one-row-sweep fix: zero-pair audit ratios are NULL, not ANSI errors
     "dedup_minhash_eval", "dedup_simhash_eval",
+    # r10 NULLS-LAST ASC tiebreaks under LIMIT (null group keys at the cut)
+    "tpch_q21_sole_late_suppliers", "tpch_q2_min_cost_supplier",
+    "text_rrf_hybrid_topk", "text_bm25_topk",
 ]
 
 _DRIVER_TAIL: list[str] = [
@@ -2389,13 +2393,12 @@ _DRIVER_TAIL: list[str] = [
     "tpch_q14_promo_effect", "tpch_q18_large_orders", "tpch_q22_idle_rich_customers",
     "text_top_tokens", "text_tfidf_keywords", "tpch_q7_nation_volume",
     "tpch_q15_top_supplier_revenue", "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_late_suppliers", "tpch_q17_small_quantity_revenue",
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
+    "tpch_q17_small_quantity_revenue", "tpch_q11_important_parts",
     "tpch_q12_priority_by_status", "tpch_q20_excess_share_suppliers",
     "rollup_cascade_stats", "json_props_extract", "analytics_moving_window",
     "gap_report_sensors", "text_winnow_fingerprint", "ann_cosine_topk", "text_stats",
-    "text_repetition_stats", "text_rrf_hybrid_topk",  # displaced by the r10 lead
-    "text_lang_id", "text_quality",  # displaced by the r10 lead (2nd growth)
+    "text_repetition_stats", "setops_priority_cohorts", "text_fingerprint",
+    "text_lang_id", "text_quality", "sessionize_events",  # r10-lead displaced
     "multimodal_decode_stats", "multimodal_frame_sample", "multimodal_resize",
     # approximate by design — no exact oracle can exist; error-bounded by
     # property tests with exact driver-green twins. Kept LAST so a catalog

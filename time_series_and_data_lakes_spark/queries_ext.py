@@ -1116,7 +1116,7 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex_ranked = lex.select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .over(Window.orderBy(F.desc("score"), F.asc_nulls_last("doc_id")))
         .cast("bigint")
         .alias("lex_rank"),
     )
@@ -1134,7 +1134,7 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0))
             + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")), F.lit(0.0)),
         )
-        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .orderBy(F.desc("rrf_score"), F.asc_nulls_last("doc_id"))
         .limit(_RRF_TOPK)
     )
     return fused.select("doc_id", "lex_rank", "sem_rank", "rrf_score")

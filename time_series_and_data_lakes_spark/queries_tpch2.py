@@ -368,7 +368,7 @@ def tpch_q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, F.col("_late_supp") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("_late_lines").alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
+        .orderBy(F.desc("numwait"), F.asc_nulls_last("s_name"))
         .limit(100)
     )
 
@@ -648,7 +648,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type",
             F.col("supply_cost").cast("string").alias("supply_cost"),
         )
-        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .orderBy(F.desc("s_acctbal"), F.asc_nulls_last("s_name"), "p_partkey")
         .limit(20)
     )
 
