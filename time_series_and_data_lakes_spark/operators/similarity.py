@@ -502,7 +502,8 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub_dim = dim // m_subspaces
     v = corpus.select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
-    init_ids = v.orderBy("vec_id").limit(n_codes)
+    # NULL ids sort LAST (engine null-id convention): init = non-NULL ids
+    init_ids = v.orderBy(F.asc_nulls_last("vec_id")).limit(n_codes)
     codebooks: list[list[list[float]]] = []
     for m in range(m_subspaces):
         sub = v.select("vec_id", _sub(F.col("v"), m, sub_dim).alias("embedding"))

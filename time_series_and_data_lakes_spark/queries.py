@@ -964,8 +964,7 @@ def range_join_cep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     cep = f2_cep_match_recognize(spark, sf_dir)
     pad_us = _RJ_PAD_S * 1_000_000
     iv = cep.select(
-        "sensor_id",
-        "event_time",
+        "sensor_id", "event_time",
         F.timestamp_micros(F.unix_micros("event_time") - pad_us).alias("w_start"),
         F.timestamp_micros(
             F.unix_micros("event_time") + (F.col("elapsed") + _RJ_PAD_S) * 1_000_000
