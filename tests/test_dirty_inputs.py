@@ -333,6 +333,49 @@ def test_null_group_key_at_limit_cut_matches_oracle(spark, tmp_path):
     assert sorted(r["sensor_id"] for r in got) == list(range(1, 11))  # no NULL
 
 
+def test_all_null_time_column_matches_oracle(spark, tmp_path):
+    """Whole-column degeneracy for the timeline: every `ts` is NULL (rows
+    exist, but the column carries no values). Parquet footers then have no
+    min/max for ts, so the ago() anchor helper returns None and `_anchored`
+    falls back to its aggregate pre-scan — whose max(ts) is NULL, making
+    `ts >= NULL - interval` drop every row, exactly the oracle's correlated
+    `max(ts)` subquery semantics. Pins both the conservative footer-stats
+    fallback and the NULL-anchor SQL semantics on anchored + resample +
+    ordered-feed queries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 24
+    sf = str(tmp_path / "nullts")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.nulls(n, pa.timestamp("us")),
+                "user_id": pa.array([i % 4 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["ok"] * n, pa.string()),
+                "value": pa.array([float(i) for i in range(n)], pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    from time_series_and_data_lakes_spark.sources.stats import (
+        parquet_footer_max_micros,
+    )
+
+    assert parquet_footer_max_micros(f"{sf}/events.parquet", "ts") is None
+    for name in (
+        "g6_top_sensors_recent_max",  # footer anchor -> None -> pre-scan
+        "q1_flagship_interpolate",  # resample: no timeline positions at all
+        "g3_raw_feed_ordered",  # plain ordered feed keeps the rows
+    ):
+        assert_matches_oracle(
+            entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
+        )
+
+
 @pytest.fixture(scope="module")
 def null_embedding_sf(tmp_path_factory):
     # embeddings.embedding is deliberately NOT in _INJECT: vector ops raise
