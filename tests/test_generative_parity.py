@@ -1,0 +1,208 @@
+"""Generative null/tie oracle-parity fuzzer over the events table.
+
+The dirty sweep nulls columns on fixed prime periods over the production
+fixture; the boundary tests pin hand-built adversarial orderings. This
+module explores the space BETWEEN them: random small event tables with
+
+  * guaranteed duplicate timestamps (drawn from a handful of distinct
+    offsets) — every tie-sensitive code path runs on real ties;
+  * random NULLs in every column except `event_id` — nulls collide with
+    ties, with session boundaries, with CEP segments, in combinations the
+    periodic injection cannot produce;
+  * UNIQUE NON-NULL `event_id` — with duplicate timestamps the engine's
+    total order is (ts, event_id NULLS LAST); keeping ids unique keeps
+    every query's contract well-defined, so ANY mismatch is a genuine
+    cross-engine divergence, never fixture ambiguity. (Two rows tied on
+    BOTH ts and a NULL id are genuinely unordered — that residual is a
+    documented contract limit, not something to fuzz.)
+
+Each seed is a fresh table; each query is a FULL oracle-parity gate.
+A small seed set runs ungated; more seeds ride the dirty-sweep gate:
+
+    TSDL_DIRTY_SWEEP=1 python -m pytest tests/test_generative_parity.py -q
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+
+from tests.oracle_util import assert_matches_oracle
+
+# Event-table queries spanning the tie/null-sensitive operator families:
+# grouped counts, OHLC struct-argmin/max, sessionization, LAG gaps, frame
+# aggregates, sequential folds, CEP with the event_id tiebreak, resample.
+QUERIES = [
+    "g4_status_counts",
+    "g9_ohlc_per_sensor",
+    "sessionize_events",
+    "gap_report_sensors",
+    "analytics_moving_window",
+    "analytics_ewma",
+    "f3_cep_event_time",
+    "q1_flagship_interpolate",
+    "g2_measure_series",
+    "g5_binned_percentiles",
+    "analytics_holt",
+    "analytics_cusum",
+    "analytics_lttb_downsample",
+]
+# f2 is deliberately absent: it has NO tiebreak (it mirrors the
+# reference's processing-time MATCH_RECOGNIZE), so under duplicate
+# timestamps its match set is documented as order-dependent — fuzzing it
+# would assert on fixture ambiguity, not on a divergence.
+
+UNGATED_SEEDS = range(3)
+GATED_SEEDS = range(3, 12)
+
+
+def _write_random_events(seed: int, dst: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    n = 48
+    t0 = dt.datetime(2024, 1, 1)
+    # 8 distinct offsets for 48 rows -> ~6-way timestamp collisions per
+    # sensor; a third of the rows land within CEP's 3-day WITHIN window
+    offsets_h = [0, 1, 2, 3, 26, 52, 78, 104]
+    ts = [
+        None if rng.rand() < 0.15 else t0 + dt.timedelta(hours=int(rng.choice(offsets_h)))
+        for _ in range(n)
+    ]
+    user = [None if rng.rand() < 0.15 else int(rng.choice([1, 2])) for _ in range(n)]
+    status = [
+        None if rng.rand() < 0.2 else str(rng.choice(["ok", "error", "warn"]))
+        for _ in range(n)
+    ]
+    # values from a tiny set -> real value ties inside windows and folds
+    value = [None if rng.rand() < 0.2 else float(rng.choice([1.0, 2.5, 50.0])) for _ in range(n)]
+    props = [None if rng.rand() < 0.2 else "{}" for _ in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(user, pa.int64()),
+                "event_type": pa.array(status, pa.string()),
+                "value": pa.array(value, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            }
+        ),
+        f"{dst}/events.parquet",
+    )
+
+
+def _run_seed(spark, tmp_path, seed: int) -> None:
+    sf = str(tmp_path / f"gen{seed}")
+    os.makedirs(sf)
+    _write_random_events(seed, sf)
+    for name in QUERIES:
+        assert_matches_oracle(
+            entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
+        )
+
+
+@pytest.mark.parametrize("seed", UNGATED_SEEDS)
+def test_generative_null_tie_parity(spark, tmp_path, seed):
+    _run_seed(spark, tmp_path, seed)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TSDL_DIRTY_SWEEP"),
+    reason="set TSDL_DIRTY_SWEEP=1 for the extended seed set",
+)
+@pytest.mark.parametrize("seed", GATED_SEEDS)
+def test_generative_null_tie_parity_extended(spark, tmp_path, seed):
+    _run_seed(spark, tmp_path, seed)
+
+
+# --- documents-table twin: random duplicate/near-duplicate corpora --------
+
+# Text pool: exact duplicates, one-word near-duplicates (shingle overlap),
+# the empty string, and a one-token text — the shapes the dedup family's
+# shingling, banding, containment, and edit-distance paths branch on.
+_TEXT_POOL = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "a completely different document about spark engines",
+    "a completely different document about spark engines",
+    "tiny",
+    "",
+]
+
+DOC_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_components",
+    "pipe_quality_deciles",
+    "text_stats",
+    "text_fingerprint",
+]
+
+
+def _write_random_documents(seed: int, dst: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(1000 + seed)
+    n = 30
+    text = [
+        None if rng.rand() < 0.2 else str(rng.choice(_TEXT_POOL)) for _ in range(n)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                # unique non-null ids: the kept/dropped and component
+                # contracts compare ids, so id ambiguity would test the
+                # fixture, not the engine (same guard as event_id above)
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(text, pa.string()),
+                "lang": pa.array(
+                    [None if rng.rand() < 0.2 else str(rng.choice(["en", "de"])) for _ in range(n)],
+                    pa.string(),
+                ),
+                "source": pa.array(
+                    [None if rng.rand() < 0.2 else str(rng.choice(["web", "pdf"])) for _ in range(n)],
+                    pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [None if t is None or rng.rand() < 0.2 else len(t) for t in text],
+                    pa.int64(),
+                ),
+            }
+        ),
+        f"{dst}/documents.parquet",
+    )
+
+
+def _run_doc_seed(spark, tmp_path, seed: int) -> None:
+    sf = str(tmp_path / f"gdoc{seed}")
+    os.makedirs(sf)
+    _write_random_documents(seed, sf)
+    for name in DOC_QUERIES:
+        assert_matches_oracle(
+            entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
+        )
+
+
+@pytest.mark.parametrize("seed", UNGATED_SEEDS)
+def test_generative_document_parity(spark, tmp_path, seed):
+    _run_doc_seed(spark, tmp_path, seed)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TSDL_DIRTY_SWEEP"),
+    reason="set TSDL_DIRTY_SWEEP=1 for the extended seed set",
+)
+@pytest.mark.parametrize("seed", GATED_SEEDS)
+def test_generative_document_parity_extended(spark, tmp_path, seed):
+    _run_doc_seed(spark, tmp_path, seed)
