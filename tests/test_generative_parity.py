@@ -57,7 +57,7 @@ QUERIES = [
 # would assert on fixture ambiguity, not on a divergence.
 
 UNGATED_SEEDS = range(3)
-GATED_SEEDS = range(3, 12)
+GATED_SEEDS = range(3, 9)  # 6 more per family under the sweep gate
 
 
 def _write_random_events(seed: int, dst: str) -> None:
@@ -206,3 +206,101 @@ def test_generative_document_parity(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", GATED_SEEDS)
 def test_generative_document_parity_extended(spark, tmp_path, seed):
     _run_doc_seed(spark, tmp_path, seed)
+
+
+# --- relational twin: resampled TPC-H minis, the three-valued-logic class --
+
+# Instead of synthesizing domains, SAMPLE real rows from the sf0.001 tables
+# (keys keep their true join distribution) and re-null cells at random —
+# null join keys, null NOT-IN/NOT-EXISTS probes, and null GROUP keys then
+# collide in combinations the periodic per-column injection cannot produce.
+# The r8/r9 cross-engine finds (q16's NULL-poisoned NOT IN, q13's NULL-
+# custkey group merge, q21's three-valued NOT EXISTS) are exactly this
+# class. Only order-INDEPENDENT queries run — the LIMIT queries (q2, q3,
+# q10, q18, q21) would assert on cut-line ambiguity when two sampled rows
+# tie on the full ORDER BY tuple, which tests the fixture, not the engine.
+REL_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q4_priority_with_returns",
+    "tpch_q5_region_revenue",
+    "tpch_q6_selective",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_by_status",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_share_suppliers",
+    "tpch_q22_idle_rich_customers",
+    "distinct_part_suppliers",
+    "semi_anti_customers",
+    "setops_priority_cohorts",
+    "correlated_min_price_lines",
+    "cube_pricing_matrix",
+]
+
+_REL_ROWS = {
+    "region": None,  # None = keep every row (the join spine stays intact)
+    "nation": None,
+    "supplier": 10,
+    "customer": 12,
+    "part": 12,
+    "orders": 30,
+    "lineitem": 60,
+}
+
+
+def _write_sampled_tpch(seed: int, dst: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+
+    rng = np.random.RandomState(2000 + seed)
+    for name, k in _REL_ROWS.items():
+        tb = pq.read_table(os.path.join(SF_SMOKE, f"{name}.parquet"))
+        if k is not None:
+            idx = np.sort(rng.choice(tb.num_rows, size=min(k, tb.num_rows), replace=False))
+            tb = tb.take(pa.array(idx))
+        for col in tb.schema.names:
+            arr = tb.column(col).combine_chunks()
+            mask = pa.array(rng.rand(tb.num_rows) < 0.12)
+            i = tb.schema.get_field_index(col)
+            tb = tb.set_column(
+                i,
+                tb.schema.field(i),
+                __import__("pyarrow.compute", fromlist=["if_else"]).if_else(
+                    mask, pa.nulls(tb.num_rows, arr.type), arr
+                ),
+            )
+        pq.write_table(tb, f"{dst}/{name}.parquet")
+
+
+def _run_rel_seed(spark, tmp_path, seed: int) -> None:
+    sf = str(tmp_path / f"grel{seed}")
+    os.makedirs(sf)
+    _write_sampled_tpch(seed, sf)
+    for name in REL_QUERIES:
+        assert_matches_oracle(
+            entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
+        )
+
+
+@pytest.mark.parametrize("seed", UNGATED_SEEDS)
+def test_generative_relational_parity(spark, tmp_path, seed):
+    _run_rel_seed(spark, tmp_path, seed)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TSDL_DIRTY_SWEEP"),
+    reason="set TSDL_DIRTY_SWEEP=1 for the extended seed set",
+)
+@pytest.mark.parametrize("seed", GATED_SEEDS)
+def test_generative_relational_parity_extended(spark, tmp_path, seed):
+    _run_rel_seed(spark, tmp_path, seed)
