@@ -304,3 +304,84 @@ def test_generative_relational_parity(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", GATED_SEEDS)
 def test_generative_relational_parity_extended(spark, tmp_path, seed):
     _run_rel_seed(spark, tmp_path, seed)
+
+
+# --- vector twin: duplicate embeddings force exact cosine-score ties ------
+
+# Sampled real embeddings with some rows DUPLICATED under fresh unique ids:
+# identical vectors make cosine/ADC scores tie EXACTLY, so every ANN rank,
+# LSH pair, kept/dropped, and vote tiebreak runs on real ties (the fixture
+# embeddings are near-orthogonal, so organic exact ties never occur).
+# Labels are re-nulled; embeddings stay non-null (NULL vectors raise by
+# design — the named-error contract in test_dirty_inputs).
+VEC_QUERIES = [
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_dup_pairs",
+    "ann_quantize_int8",
+    "ann_pq_adc_topk",
+    "ann_ivf_kmeans_topk",
+    "pipe_knn_label_vote",
+    "pipe_semdedup",
+]
+
+
+def _write_sampled_embeddings(seed: int, dst: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+
+    rng = np.random.RandomState(3000 + seed)
+    tb = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    n = 80
+    idx = rng.choice(tb.num_rows, size=n, replace=False)
+    # ~1/4 of the rows are exact duplicates of another sampled row
+    dup_of = np.where(rng.rand(n) < 0.25, rng.randint(0, n, size=n), np.arange(n))
+    emb = tb.column("embedding").combine_chunks()
+    vecs = [emb[int(idx[int(j)])] for j in dup_of]
+    labels = tb.column("label").combine_chunks()
+    lab = [
+        None if rng.rand() < 0.25 else labels[int(idx[int(j)])].as_py()
+        for j in dup_of
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                # fresh SEQUENTIAL unique ids: the queries' deterministic
+                # centroid/query sets are `vec_id < K` filters, which need
+                # small ids present; rank tiebreaks need uniqueness
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.as_py() for v in vecs], emb.type
+                ),
+                "label": pa.array(lab, labels.type),
+            }
+        ),
+        f"{dst}/embeddings.parquet",
+    )
+
+
+def _run_vec_seed(spark, tmp_path, seed: int) -> None:
+    sf = str(tmp_path / f"gvec{seed}")
+    os.makedirs(sf)
+    _write_sampled_embeddings(seed, sf)
+    for name in VEC_QUERIES:
+        assert_matches_oracle(
+            entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
+        )
+
+
+@pytest.mark.parametrize("seed", UNGATED_SEEDS)
+def test_generative_vector_tie_parity(spark, tmp_path, seed):
+    _run_vec_seed(spark, tmp_path, seed)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TSDL_DIRTY_SWEEP"),
+    reason="set TSDL_DIRTY_SWEEP=1 for the extended seed set",
+)
+@pytest.mark.parametrize("seed", range(3, 6))  # heaviest family: 3 gated seeds
+def test_generative_vector_tie_parity_extended(spark, tmp_path, seed):
+    _run_vec_seed(spark, tmp_path, seed)
