@@ -145,6 +145,10 @@ DOC_QUERIES = [
     "pipe_quality_deciles",
     "text_stats",
     "text_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_winnow_fingerprint",
+    "multimodal_decode_stats",
 ]
 
 
