@@ -1,0 +1,226 @@
+"""Generative null parity fuzzer for the STREAMING surface.
+
+test_generative_parity.py fuzzes the batch catalog against the DuckDB
+oracle; the streaming bindings have no oracle — their contract is equality
+with their batch twins, so far pinned only on clean fixed fixtures. This
+module drives random null-bearing feeds through the three streaming paths
+whose null contracts are DEFINED, and checks each against an independent
+Python recomputation of that contract:
+
+  * ingest -> melt -> narrow-store sink (exactly-once) — melt keeps
+    null-time and null-dimension rows and drops null measure VALUES
+    (operators/melt.py); null event times land in the store's
+    ``date=__HIVE_DEFAULT_PARTITION__`` directory (the layout retention
+    documents and skips). Re-delivered records carry duplicate content —
+    the store must keep BOTH copies (ingest is exactly-once per batch,
+    not content-deduplicating).
+  * streaming EWMA — a null measurement is no observation (the documented
+    skip, analytics_stream.py); fed the globally time-ordered feed so the
+    batch-segmented fold equals the global time-order fold.
+  * content-fingerprint stream dedup — nulls are tagged into the md5
+    canonicalization (dedup_stream.py), so two null-bearing rows with
+    equal content ARE duplicates; first arrival inside the watermark
+    horizon survives.
+
+Deliberately out of scope, same discipline as the batch fuzzer's f2
+exclusion: duplicate-timestamp TIES (the stream smoothers order ties by
+arrival, the batch folds by their own tiebreaks — cross-binding tie order
+is a documented contract limit), and null event times in the EWMA/dedup
+paths (watermark-stateful operators require a timeline position; callers
+filter, per the engine's null-time convention).
+
+Two seeds run ungated; more ride the dirty-sweep gate.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from time_series_and_data_lakes_spark.operators.melt import melt
+from time_series_and_data_lakes_spark.streaming.analytics_stream import ewma_stream
+from time_series_and_data_lakes_spark.streaming.dedup_stream import (
+    dedup_stream_by_content,
+)
+from time_series_and_data_lakes_spark.streaming.ingest import (
+    melt_stream,
+    read_json_stream,
+    start_narrow_store_sink,
+)
+
+from tests.test_streaming import _write_json_batches
+
+UNGATED_SEEDS = range(2)
+GATED_SEEDS = range(2, 6)
+
+_ALPHA = 0.2
+
+
+def _random_readings(seed: int) -> list[dict]:
+    rng = random.Random(7000 + seed)
+    rows = []
+    t = 1_700_000_000_000
+    for _ in range(36):
+        # strictly increasing -> distinct event times (ties are out of
+        # scope, see module docstring); values from a tiny pool -> real
+        # content duplicates for the dedup path
+        t += rng.randint(500, 5000)
+        rows.append(
+            {
+                "sensor_id": None if rng.random() < 0.1 else f"s{rng.randrange(3)}",
+                "temperature": None
+                if rng.random() < 0.2
+                else float(rng.choice([1.0, 2.5, 42.0, 160.5])),
+                "status": None
+                if rng.random() < 0.2
+                else rng.choice(["OK", "WARNING", "ERROR"]),
+                "event_time": None if rng.random() < 0.1 else t,
+            }
+        )
+    return rows
+
+
+def _run_stream(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _check_store_path(spark, tmp_path, rows_dup, seed):
+    (tmp_path / f"store{seed}").mkdir()
+    src = _write_json_batches(tmp_path / f"store{seed}", rows_dup, n_batches=4)
+    store = str(tmp_path / f"store{seed}" / "out")
+    q = start_narrow_store_sink(
+        melt_stream(read_json_stream(spark, src)),
+        store,
+        str(tmp_path / f"store{seed}" / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = Counter(
+        (r["t_ms"], r["sensor_id"], r["status"], r["measure_name"], r["measure_value_double"])
+        for r in spark.read.parquet(store)
+        .select(
+            F.unix_millis("time").alias("t_ms"),
+            "sensor_id",
+            "status",
+            "measure_name",
+            "measure_value_double",
+        )
+        .collect()
+    )
+    want = Counter(
+        (r["event_time"], r["sensor_id"], r["status"], "temperature", r["temperature"])
+        for r in rows_dup
+        if r["temperature"] is not None  # melt drops null measure values only
+    )
+    assert got == want
+
+    # layout contract: null event times (with a live measure) land in the
+    # default partition retention documents and skips
+    if any(r["event_time"] is None and r["temperature"] is not None for r in rows_dup):
+        assert any(
+            d.name == "date=__HIVE_DEFAULT_PARTITION__"
+            for m in (tmp_path / f"store{seed}" / "out").iterdir()
+            if m.name.startswith("measure_name=")
+            for d in m.iterdir()
+        )
+
+
+def _check_ewma_path(spark, tmp_path, rows, seed):
+    timed = [r for r in rows if r["event_time"] is not None and r["sensor_id"] is not None]
+    (tmp_path / f"ewma{seed}").mkdir()
+    src = _write_json_batches(tmp_path / f"ewma{seed}", rows, n_batches=4)
+    out = ewma_stream(
+        read_json_stream(spark, src)
+        .filter(F.col("event_time").isNotNull() & F.col("sensor_id").isNotNull())
+        .select("sensor_id", "event_time", "temperature"),
+        alpha=_ALPHA,
+        time_col="event_time",
+    )
+    _run_stream(out, f"gewma{seed}", "update")
+    final = {}
+    for r in spark.table(f"gewma{seed}").collect():
+        if r["sensor_id"] not in final or r["n_obs"] > final[r["sensor_id"]][0]:
+            final[r["sensor_id"]] = (r["n_obs"], r["ewma"])
+
+    want = {}
+    for r in sorted(timed, key=lambda r: r["event_time"]):
+        if r["temperature"] is None:  # a null measurement is no observation
+            continue
+        n, acc = want.get(r["sensor_id"], (0, None))
+        x = float(r["temperature"])
+        acc = x if acc is None else _ALPHA * x + (1.0 - _ALPHA) * acc
+        want[r["sensor_id"]] = (n + 1, acc)
+    assert final == want  # counts AND doubles bit-exact
+
+
+def _check_dedup_path(spark, tmp_path, rows_dup, seed):
+    timed = [r for r in rows_dup if r["event_time"] is not None]
+    (tmp_path / f"dedup{seed}").mkdir()
+    src = _write_json_batches(tmp_path / f"dedup{seed}", rows_dup, n_batches=4)
+    wide = (
+        read_json_stream(spark, src)
+        .filter(F.col("event_time").isNotNull())
+        .select(
+            "sensor_id",
+            F.timestamp_millis("event_time").alias("time"),
+            "status",
+            "temperature",
+        )
+    )
+    out = dedup_stream_by_content(
+        wide, ["sensor_id", "status", "temperature"], watermark="1 hour"
+    )
+    _run_stream(out, f"gdedup{seed}", "append")
+    got = [
+        (r["t_ms"], r["sensor_id"], r["status"], r["temperature"])
+        for r in spark.table(f"gdedup{seed}")
+        .select(F.unix_millis("time").alias("t_ms"), "sensor_id", "status", "temperature")
+        .collect()
+    ]
+    # Contract: exactly ONE representative per null-tagged content
+    # fingerprint, and the representative IS a member of its group. (Which
+    # member survives an intra-batch duplicate pair is partition processing
+    # order — Spark defines no arrival-order pick, so we don't assert one.)
+    groups: dict[tuple, set] = {}
+    for r in timed:
+        fp = (r["sensor_id"], r["status"], r["temperature"])
+        groups.setdefault(fp, set()).add(r["event_time"])
+    assert sorted(groups, key=repr) == sorted(
+        ((s, st, tp) for _, s, st, tp in got), key=repr
+    )
+    for t_ms, s, st, tp in got:
+        assert t_ms in groups[(s, st, tp)]
+
+
+def _run_seed(spark, tmp_path, seed: int) -> None:
+    rows = _random_readings(seed)
+    rows_dup = rows + rows[::4]  # re-deliveries: duplicate content, late arrival
+    _check_store_path(spark, tmp_path, rows_dup, seed)
+    _check_ewma_path(spark, tmp_path, rows, seed)
+    _check_dedup_path(spark, tmp_path, rows_dup, seed)
+
+
+@pytest.mark.parametrize("seed", UNGATED_SEEDS)
+def test_generative_streaming_null_parity(spark, tmp_path, seed):
+    _run_seed(spark, tmp_path, seed)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TSDL_DIRTY_SWEEP"),
+    reason="set TSDL_DIRTY_SWEEP=1 for the extended seed set",
+)
+@pytest.mark.parametrize("seed", GATED_SEEDS)
+def test_generative_streaming_null_parity_extended(spark, tmp_path, seed):
+    _run_seed(spark, tmp_path, seed)
