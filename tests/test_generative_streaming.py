@@ -43,7 +43,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.melt import melt
-from time_series_and_data_lakes_spark.streaming.analytics_stream import ewma_stream
+from time_series_and_data_lakes_spark.streaming.analytics_stream import (
+    ewma_stream,
+    holt_stream,
+)
 from time_series_and_data_lakes_spark.streaming.dedup_stream import (
     dedup_stream_by_content,
 )
@@ -137,32 +140,63 @@ def _check_store_path(spark, tmp_path, rows_dup, seed):
         )
 
 
-def _check_ewma_path(spark, tmp_path, rows, seed):
-    timed = [r for r in rows if r["event_time"] is not None and r["sensor_id"] is not None]
-    (tmp_path / f"ewma{seed}").mkdir()
-    src = _write_json_batches(tmp_path / f"ewma{seed}", rows, n_batches=4)
-    out = ewma_stream(
+def _smoother_input(spark, src):
+    return (
         read_json_stream(spark, src)
         .filter(F.col("event_time").isNotNull() & F.col("sensor_id").isNotNull())
-        .select("sensor_id", "event_time", "temperature"),
-        alpha=_ALPHA,
-        time_col="event_time",
+        .select("sensor_id", "event_time", "temperature")
     )
-    _run_stream(out, f"gewma{seed}", "update")
-    final = {}
-    for r in spark.table(f"gewma{seed}").collect():
-        if r["sensor_id"] not in final or r["n_obs"] > final[r["sensor_id"]][0]:
-            final[r["sensor_id"]] = (r["n_obs"], r["ewma"])
 
+
+def _final_by_key(spark, name, cols):
+    final = {}
+    for r in spark.table(name).collect():
+        if r["sensor_id"] not in final or r["n_obs"] > final[r["sensor_id"]][0]:
+            final[r["sensor_id"]] = tuple(r[c] for c in cols)
+    return final
+
+
+def _obs_in_order(rows):
+    # non-null key/time rows in global time order (times are distinct);
+    # a null measurement is no observation — the smoothers' documented skip
+    for r in sorted(
+        (r for r in rows if r["event_time"] is not None and r["sensor_id"] is not None),
+        key=lambda r: r["event_time"],
+    ):
+        if r["temperature"] is not None:
+            yield r["sensor_id"], float(r["temperature"])
+
+
+def _check_ewma_path(spark, src, rows, seed):
+    out = ewma_stream(_smoother_input(spark, src), alpha=_ALPHA, time_col="event_time")
+    _run_stream(out, f"gewma{seed}", "update")
     want = {}
-    for r in sorted(timed, key=lambda r: r["event_time"]):
-        if r["temperature"] is None:  # a null measurement is no observation
-            continue
-        n, acc = want.get(r["sensor_id"], (0, None))
-        x = float(r["temperature"])
+    for k, x in _obs_in_order(rows):
+        n, acc = want.get(k, (0, None))
         acc = x if acc is None else _ALPHA * x + (1.0 - _ALPHA) * acc
-        want[r["sensor_id"]] = (n + 1, acc)
-    assert final == want  # counts AND doubles bit-exact
+        want[k] = (n + 1, acc)
+    # counts AND doubles bit-exact
+    assert _final_by_key(spark, f"gewma{seed}", ("n_obs", "ewma")) == want
+
+
+def _check_holt_path(spark, src, rows, seed):
+    out = holt_stream(
+        _smoother_input(spark, src), alpha=0.3, gamma=0.1, time_col="event_time"
+    )
+    _run_stream(out, f"gholt{seed}", "update")
+    want = {}
+    for k, x in _obs_in_order(rows):
+        n, l, b = want.get(k, (0, None, None))
+        if l is None:
+            l, b = x, 0.0
+        else:
+            # spell the complements as the stream does: 1.0 - alpha is NOT
+            # the 0.7 literal in IEEE doubles, and the contract is bit-exact
+            lp = 0.3 * x + (1.0 - 0.3) * (l + b)
+            b = 0.1 * (lp - l) + (1.0 - 0.1) * b
+            l = lp
+        want[k] = (n + 1, l, b)
+    assert _final_by_key(spark, f"gholt{seed}", ("n_obs", "holt_level", "holt_trend")) == want
 
 
 def _check_dedup_path(spark, tmp_path, rows_dup, seed):
@@ -208,7 +242,10 @@ def _run_seed(spark, tmp_path, seed: int) -> None:
     rows = _random_readings(seed)
     rows_dup = rows + rows[::4]  # re-deliveries: duplicate content, late arrival
     _check_store_path(spark, tmp_path, rows_dup, seed)
-    _check_ewma_path(spark, tmp_path, rows, seed)
+    (tmp_path / f"sm{seed}").mkdir()
+    src = _write_json_batches(tmp_path / f"sm{seed}", rows, n_batches=4)
+    _check_ewma_path(spark, src, rows, seed)
+    _check_holt_path(spark, src, rows, seed)
     _check_dedup_path(spark, tmp_path, rows_dup, seed)
 
 
