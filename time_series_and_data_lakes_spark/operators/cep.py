@@ -106,16 +106,15 @@ def match_error_pattern(
     # share __err_seq = k. History preserves arrival order via pos-sorted
     # collect; min/max/sum feed the full-match MEASURES.
     #
-    # Bound the per-segment state BEFORE aggregating: a segment with more
-    # than max_b interior rows can never join a selected pair (n_b comes
-    # from error positions, not from this aggregation), yet its collect_list
-    # would otherwise buffer the whole segment — one aggregation row holding
-    # a month of OK readings between two rare errors. Rows past max_b
-    # positions after the segment's opening error are therefore dropped
-    # here; every VALID segment (no interior nulls, n_b <= max_b) keeps all
-    # of its rows, so emitted measures are unchanged. The running last-error
-    # position rides the same (key, order) sort — no new exchange, and the
-    # streaming NFA applies the identical cap (cep_stream._nfa_step).
+    # Bound per-segment state BEFORE aggregating: a segment with more than
+    # max_b interior rows can never join a selected pair (n_b comes from
+    # error positions, not this aggregation), yet its collect_list would
+    # buffer the whole segment — a month of OK readings between two rare
+    # errors. Rows past max_b positions after the opening error are dropped;
+    # every VALID segment (no interior nulls, n_b <= max_b) keeps all rows,
+    # so emitted measures are unchanged. The running last-error position
+    # rides the same (key, order) sort — no new exchange — and the streaming
+    # NFA applies the identical cap (cep_stream._nfa_step).
     rows = rows.withColumn(
         "__rel",
         F.col("__pos")
@@ -215,6 +214,10 @@ def match_error_pattern(
         b_temps = F.coalesce(
             F.col("__b_temps"), F.array().cast("array<double>")
         )
+    raw_avg = F.aggregate(
+        F.concat(F.array(F.col("__v_a")), b_temps, F.array(F.col("__v_c"))),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ) / (b_count + F.lit(2))
     out = selected.join(
         segs,
         on=[selected[key] == segs[key], selected["__k"] == segs["__err_seq"]],
@@ -225,24 +228,15 @@ def match_error_pattern(
         b_count.alias("non_errors"),
         history.alias("history"),
         F.least("__b_min", "__v_a", "__v_c").alias("min_temperature"),
-        # Fold the match temperatures in row order (A, B..., C) and round via
-        # an explicit floor(x*10^n + 0.5)/10^n: both the fold order and the
-        # rounding are then single IEEE expression trees, deterministic and
-        # identical across Spark / DuckDB / the streaming NFA (engine-native
-        # round() implementations disagree on boundary doubles).
-        (
-            F.floor(
-                F.aggregate(
-                    F.concat(
-                        F.array(F.col("__v_a")), b_temps, F.array(F.col("__v_c"))
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (b_count + F.lit(2))
-                * F.lit(float(10**round_avg))
-                + F.lit(0.5)
-            )
+        # Fold the match temps in row order (A, B..., C), round via explicit
+        # floor(x*10^n + 0.5)/10^n — single IEEE expression trees, identical
+        # across Spark / DuckDB / the Python NFA twins (engine round()s
+        # disagree on boundary doubles). A non-finite avg bypasses rounding:
+        # Spark's floor(double) is BIGINT, laundering NaN to 0 and ±Inf to
+        # ±Long.MAX/10^n, where DuckDB's double floor propagates (r10 find).
+        F.when(F.isnan(raw_avg) | (F.abs(raw_avg) == F.lit(float("inf"))), raw_avg)
+        .otherwise(
+            F.floor(raw_avg * F.lit(float(10**round_avg)) + F.lit(0.5))
             / F.lit(float(10**round_avg))
         ).alias("avg_temperature"),
         F.greatest("__b_max", "__v_a", "__v_c").alias("max_temperature"),
@@ -323,7 +317,13 @@ def brute_force_matches(
                 acc = 0.0
                 for t in (va, *b_temps, vc):
                     acc += t
-                avg = math.floor(acc / len(match) * factor + 0.5) / factor
+                scaled = acc / len(match)
+                # non-finite propagates unrounded (math.floor would raise)
+                avg = (
+                    scaled
+                    if not math.isfinite(scaled)
+                    else math.floor(scaled * factor + 0.5) / factor
+                )
             out.append(
                 {
                     "event_time": rows[i][0],

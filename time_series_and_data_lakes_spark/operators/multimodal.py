@@ -985,21 +985,20 @@ _PIXEL_CODECS = {
 
 # Optional accelerated backend (round-5 verdict item 5): the pure
 # numpy/stdlib codecs above are the REFERENCE implementation — complete,
-# deterministic, and what every oracle-gated query pins. Their honest cost
-# is throughput (~0.3-0.7 s/720p JPEG interpreted); at 100 TB a native decoder
-# is the difference between feasible and not. When PIL is installed, the
-# same (decode, encode) API can be served by it:
+# deterministic, what every oracle-gated query pins — at an honest
+# ~0.3-0.7 s/720p JPEG; at 100 TB a native decoder is the difference
+# between feasible and not. With PIL installed the same API is served by it:
 #
 #   TSDL_CODEC_BACKEND=pure    (default) pure codecs only — bit-determinism
 #   TSDL_CODEC_BACKEND=auto    native where available, pure otherwise
 #   TSDL_CODEC_BACKEND=native  native required; raises if PIL is absent
 #
-# The env var is read per-process, so it propagates to executor Python
-# workers in local mode and via spark.executorEnv on a cluster. The
-# cross-validation contract (tests/test_multimodal.py, skipped unless PIL
-# is installed): identical dimensions everywhere; bit-identical pixels for
-# the lossless codecs (bmp/ppm/png/gif frames); bounded per-sample deltas
-# for JPEG, whose spec fixes the bitstream, not the IDCT rounding.
+# The env var is read per-process, so it reaches executor Python workers in
+# local mode and via spark.executorEnv on a cluster. Cross-validation
+# (tests/test_multimodal.py, skipped without PIL): identical dimensions;
+# bit-identical pixels for the lossless codecs (bmp/ppm/png/gif frames);
+# bounded per-sample deltas for JPEG (the spec fixes the bitstream, not the
+# IDCT rounding).
 
 
 def _native_codecs() -> dict:

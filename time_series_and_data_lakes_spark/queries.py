@@ -87,16 +87,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
-        # testdata generations (which Spark's vectorized reader rejects) and
-        # plain TIMESTAMP(MICROS) in others. Adapt to whichever is present:
-        # if it arrives as a long (legacy nanos), floor-convert to
-        # microsecond timestamps — the same truncation DuckDB applies, so
-        # oracle comparisons stay exact; if it is already a timestamp, use
-        # it as-is. The nanosAsLong conf is SESSION-WIDE and must persist
-        # through lazy execution (it cannot be save/restored around the
-        # read), so it is engaged only when the footer actually carries
-        # nanos — a micros store leaves the shared driver session's parquet
-        # semantics untouched.
+        # testdata generations (Spark's vectorized reader rejects it) and
+        # TIMESTAMP(MICROS) in others. Adapt: a legacy-nanos long is
+        # floor-converted to microsecond timestamps (DuckDB's truncation, so
+        # oracle comparisons stay exact); a timestamp passes through. The
+        # nanosAsLong conf is SESSION-WIDE and must persist through lazy
+        # execution (no save/restore around the read), so it is engaged only
+        # when the footer actually carries nanos — a micros store leaves the
+        # shared driver session's parquet semantics untouched.
         if _events_ts_is_nanos(f"{sf_dir}/events.parquet"):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -370,6 +368,9 @@ SELECT event_type AS status, count(*) AS status_count FROM events GROUP BY event
 """
 
 
+_PCT_NO_NAN = "percentile(CASE WHEN NOT isnan(temperature) THEN temperature END, {})"
+
+
 def g5_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `grafana…json:392`: bin(time, $__interval_ms) + ROUND(AVG) + percentiles.
     # Exact percentile here so the DuckDB oracle can match; the approximate
@@ -379,9 +380,12 @@ def g5_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         obs.groupBy(time_bin("time", "1 day").alias("time_bin"))
         .agg(
+            # avg propagates IEEE non-finites (cross-engine identical); the
+            # percentiles exclude NaN — Spark totally orders it greatest,
+            # DuckDB's quantile_cont comparator gives undefined output on it
             F.round(F.avg("temperature"), 6).alias("avg_temperature"),
-            F.round(F.expr("percentile(temperature, 0.9)"), 6).alias("p90_temperature"),
-            F.round(F.expr("percentile(temperature, 0.75)"), 6).alias("p75_temperature"),
+            F.round(F.expr(_PCT_NO_NAN.format(0.9)), 6).alias("p90_temperature"),
+            F.round(F.expr(_PCT_NO_NAN.format(0.75)), 6).alias("p75_temperature"),
         )
         .orderBy(F.desc("time_bin"))
     )
@@ -390,8 +394,8 @@ def g5_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 G5_ORACLE = """
 SELECT make_timestamp(epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) AS time_bin,
        round(avg(value), 6) AS avg_temperature,
-       round(quantile_cont(value, 0.9), 6) AS p90_temperature,
-       round(quantile_cont(value, 0.75), 6) AS p75_temperature
+       round(quantile_cont(CASE WHEN NOT isnan(value) THEN value END, 0.9), 6) AS p90_temperature,
+       round(quantile_cont(CASE WHEN NOT isnan(value) THEN value END, 0.75), 6) AS p75_temperature
 FROM events
 GROUP BY 1 ORDER BY time_bin DESC
 """
@@ -869,15 +873,14 @@ F2_ORACLE = _cep_oracle(_CEP_WITHIN_US, min_b=1, max_b=5)
 # --------------------------------------------------------------------------
 # F3 — event-time CEP twin (`kinesis-studio-notebook/notebook.txt:47-68`,
 # `ORDER BY ptime` replaced by event time). The reference's MATCH_RECOGNIZE
-# consumes rows in processing-time order, which is replay-sensitive; the
-# streaming engine's `allowed_lateness=` mode (streaming/cep_stream.py)
-# instead reorders each key by event time behind a bounded frontier. This
-# batch query is that mode's deterministic twin: same NFA semantics, rows
-# consumed in (event_time, event_id) order — the event_id tiebreak makes the
-# match set well-defined even under duplicate timestamps, which processing
-# time can never guarantee. Parameterized differently from F2 (B{1,3} within
-# 3 days) so the driver gates a distinct match set; pytest binds the
-# streaming event-time mode to this twin under random bounded disorder
+# consumes rows in replay-sensitive processing-time order; the streaming
+# engine's `allowed_lateness=` mode (cep_stream.py) instead reorders each
+# key by event time behind a bounded frontier. This batch query is that
+# mode's deterministic twin: same NFA, rows consumed in (event_time,
+# event_id) order — the tiebreak keeps the match set well-defined under
+# duplicate timestamps. Parameterized differently from F2 (B{1,3} within 3
+# days) so the driver gates a distinct match set; pytest binds the streaming
+# mode to this twin under random bounded disorder
 # (tests/test_cep.py::test_event_time_stream_equals_batch_twin).
 # --------------------------------------------------------------------------
 
@@ -1481,7 +1484,7 @@ def analytics_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANALYTICS_ORACLE = """
 SELECT user_id AS sensor_id, ts AS time,
-  CAST(sum(CAST(value AS DECIMAL(12,2)))
+  CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(12,2)) END)
        OVER (PARTITION BY user_id ORDER BY ts, value
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS VARCHAR) AS moving_sum_5,
   count(*) OVER (PARTITION BY user_id ORDER BY ts, value
@@ -1494,18 +1497,15 @@ FROM events
 _EWMA_ALPHA = 0.2
 
 # Upper bound on the points a batch sequential fold materializes per key
-# (VERDICT_r4 item 4). The folds below collect each key's time-ordered
-# history into ONE array value inside one task — the only DuckDB-portable
-# exact-fold shape, and the same cardinality the reference's
-# CREATE_TIME_SERIES materializes per group — but an unbounded key (years
-# of 1 Hz data) would OOM that task. Each fold therefore consumes only the
-# most recent _FOLD_MAX_POINTS observations per key, pruned BEFORE the
-# collect by a key-partitioned row_number (so the giant array is never
-# built; the filter rides the same single key exchange the fold already
-# pays). 50k points ≈ 1.2 MB of struct<timestamp,double> per key — safely
-# inside any executor. Inert at every fixture scale (max key cardinality at
-# sf0.1 is ~3k rows); the streaming twins (streaming/analytics_stream.py,
-# O(1) keyed state) are the unbounded-history path — see SCALE.md.
+# (VERDICT_r4 item 4): the folds collect each key's time-ordered history
+# into ONE array inside one task — the only DuckDB-portable exact-fold
+# shape, the cardinality the reference's CREATE_TIME_SERIES materializes —
+# so an unbounded key (years of 1 Hz data) would OOM the task. Each fold
+# keeps the most recent _FOLD_MAX_POINTS per key, pruned BEFORE the collect
+# by a key-partitioned row_number riding the fold's own single key exchange.
+# 50k points ≈ 1.2 MB of struct<timestamp,double> per key — safe in any
+# executor; inert at fixture scales (max key ~3k rows at sf0.1). The
+# streaming twins (O(1) keyed state) are the unbounded path — see SCALE.md.
 _FOLD_MAX_POINTS = 50_000
 
 
@@ -2342,24 +2342,16 @@ ORACLES.update(TPCH2_ORACLES)
 ORACLES.update(PIPELINE_ORACLES)
 
 # ---------------------------------------------------------------------------
-# Driver-gate rotation. The external correctness harness checks the FIRST 50
-# entries of this registry; queries past entry 50 keep their catalog entries
-# and local DuckDB-oracle pytest coverage (tests/test_oracle_queries.py) but
-# get no driver row that round. Rotation policy (pinned by
-# tests/test_registry.py): an entry may sit in the tail ONLY if it is
-# driver-green in at least TWO rounds (or is approximate-by-design, where no
-# oracle row can ever exist), AND — standing rule per VERDICT_r9 — any query
-# whose program, oracle, or operator dependency changed in round N must
-# re-enter round N+1's window (a banked green only attests the code that
-# earned it): such queries go in _DRIVER_LEAD, which must prefix the window.
-#
-# Round-10 rotation (audited against CORRECTNESS_r01-r09 by
-# tests/test_registry.py — green counts come from the driver's own JSON
-# rows, never comments): lead = the SEVEN round-9-changed queries (decimal
-# conversions q1/q3/q5/q6, null fixes q13/q16, range_join_cep_context —
-# commits 562cad9/9a41120, zero post-change greens), + the 19-query core
-# (q1-q3, panels g1-g10 + g4b + CEP pivot g1, a1, f2/f3, melt), + the 24
-# stalest-green tail entries (lowest banked count, then alphabetical).
+# Driver-gate rotation. The external harness checks the FIRST 50 registry
+# entries; later queries keep catalog + local-oracle pytest coverage but get
+# no driver row that round. Policy (pinned structurally by
+# tests/test_registry.py, green counts from the driver's own JSON rows): the
+# tail holds only >=2x-driver-green or approximate-by-design entries, and —
+# standing rule per VERDICT_r9 — any query whose program, oracle, or operator
+# dependency changed in round N re-enters round N+1's window via
+# _DRIVER_LEAD, which must prefix it. Round-10 window = lead (the seven
+# r9-changed queries + in-round additions) + the 19-query core + the
+# stalest-green tail fill (lowest banked count, then alphabetical).
 # ---------------------------------------------------------------------------
 
 # Changed last round (or in-round, pre-driver) -> lead this round's window.
@@ -2375,6 +2367,9 @@ _DRIVER_LEAD: list[str] = [
     # r10 NULLS-LAST ASC tiebreaks under LIMIT (null group keys at the cut)
     "tpch_q21_sole_late_suppliers", "tpch_q2_min_cost_supplier",
     "text_rrf_hybrid_topk", "text_bm25_topk",
+    # r10 non-finite sweep: oracle gained the isfinite guard mirroring
+    # Spark's NULL-on-nonfinite decimal cast (f2/f3/g5 re-bank via CORE19)
+    "analytics_moving_window",
 ]
 
 _DRIVER_TAIL: list[str] = [
@@ -2394,10 +2389,11 @@ _DRIVER_TAIL: list[str] = [
     "tpch_q15_top_supplier_revenue", "tpch_q19_disjunctive_revenue",
     "tpch_q17_small_quantity_revenue", "tpch_q11_important_parts",
     "tpch_q12_priority_by_status", "tpch_q20_excess_share_suppliers",
-    "rollup_cascade_stats", "json_props_extract", "analytics_moving_window",
+    "rollup_cascade_stats", "json_props_extract",
     "gap_report_sensors", "text_winnow_fingerprint", "ann_cosine_topk", "text_stats",
     "text_repetition_stats", "setops_priority_cohorts", "text_fingerprint",
     "text_lang_id", "text_quality", "sessionize_events",  # r10-lead displaced
+    "semi_anti_customers",  # displaced by analytics_moving_window's lead slot
     "multimodal_decode_stats", "multimodal_frame_sample", "multimodal_resize",
     # approximate by design — no exact oracle can exist; error-bounded by
     # property tests with exact driver-green twins. Kept LAST so a catalog

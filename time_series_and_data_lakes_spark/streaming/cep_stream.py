@@ -133,8 +133,13 @@ def _nfa_step(
                 acc = 0.0
                 for t in (a_temp, *b_real, temp):
                     acc += t
+                scaled = acc / (len(b_statuses) + 2)
+                # ±Inf temps make the avg non-finite (inf, or inf - inf =
+                # NaN): propagate, as batch does — math.floor would raise
                 avg = (
-                    math.floor(acc / (len(b_statuses) + 2) * factor + 0.5) / factor
+                    scaled
+                    if not math.isfinite(scaled)
+                    else math.floor(scaled * factor + 0.5) / factor
                 )
             match = {
                 "a_time_us": a_time,
