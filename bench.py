@@ -26,17 +26,16 @@ HEADLINE = [
     "q1_flagship_interpolate", "g5_binned_percentiles", "g6_top_sensors_recent_max",
     "a1_enrichment_join", "tpch_q1_pricing_summary", "tpch_q3_top_orders",
     "tpch_q10_returned_revenue", "tpch_q18_large_orders", "melt_narrow",
-    "f2_cep_match_recognize", "g2_measure_series", "dedup_minhash_lsh",
-    "dedup_components", "dedup_ngram_jaccard", "dedup_simhash", "ann_cosine_topk",
-    "ann_ivf_topk", "ann_lsh_dup_pairs", "rollup_pricing_totals",
-    "multimodal_decode_stats", "pipe_decontaminate", "pipe_knn_label_vote",
-    "tpch_q8_market_share", "tpch_q17_small_quantity_revenue",
-    "tpch_q9_profit_by_nation", "tpch_q21_sole_late_suppliers",
-    "ann_ivf_kmeans_topk", "pipe_token_budget", "tpch_q2_min_cost_supplier",
-    "tpch_q20_excess_share_suppliers", "pipe_mix_weights", "pipe_quality_funnel",
-    "multimodal_resize_pixels", "ann_pq_adc_topk", "text_bm25_topk",
-    "pipe_semdedup", "text_repetition_stats", "analytics_ewma",
-    "analytics_lttb_downsample", "f3_cep_event_time",
+    "f2_cep_match_recognize", "g2_measure_series", "dedup_minhash_lsh", "dedup_components",
+    "dedup_ngram_jaccard", "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_lsh_dup_pairs", "rollup_pricing_totals", "multimodal_decode_stats",
+    "pipe_decontaminate", "pipe_knn_label_vote", "tpch_q8_market_share",
+    "tpch_q17_small_quantity_revenue", "tpch_q9_profit_by_nation",
+    "tpch_q21_sole_late_suppliers", "ann_ivf_kmeans_topk", "pipe_token_budget",
+    "tpch_q2_min_cost_supplier", "tpch_q20_excess_share_suppliers", "pipe_mix_weights",
+    "pipe_quality_funnel", "multimodal_resize_pixels", "ann_pq_adc_topk", "text_bm25_topk",
+    "pipe_semdedup", "text_repetition_stats", "analytics_ewma", "analytics_lttb_downsample",
+    "f3_cep_event_time",
 ]
 
 NOISE_NOTE = (

@@ -180,6 +180,58 @@ def test_cep_nonfinite_avg_propagates_unrounded(spark):
         assert _avg_eq(m["avg_temperature"], want), (k, m["avg_temperature"], want)
 
 
+# --- vectors: non-finite elements are a NAMED ingress error ---------------
+
+# The ANN model-training ops (int8 quantization, PQ codebooks, k-means
+# decimal-mean oracles) have no cross-engine-definable output on NaN/±Inf
+# elements, and cosine would otherwise rank NaN silently (a NaN norm passes
+# `> 0` under Spark's total order) — so, mirroring the null-embedding
+# convention, the vector family rejects them at ingress by name.
+
+
+def _poisoned_embeddings(tmp_path, poison: float) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / f"vec{poison!r}")
+    os.makedirs(sf)
+    rng = np.random.RandomState(9)
+    vecs = [[float(x) for x in rng.rand(8)] for _ in range(20)]
+    vecs[7][3] = poison
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+                "label": pa.array(["a"] * 20, pa.string()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+    return sf
+
+
+@pytest.mark.parametrize("poison", [_NAN, _INF, -_INF])
+def test_nonfinite_embedding_elements_raise_named_error(spark, tmp_path, poison):
+    sf = _poisoned_embeddings(tmp_path, poison)
+    with pytest.raises(Exception, match="non-finite embedding"):
+        entry.queries()["ann_cosine_topk"](spark, sf).collect()
+
+
+def test_drop_degenerate_vectors_drops_nonfinite(spark):
+    from time_series_and_data_lakes_spark.operators.similarity import (
+        drop_degenerate_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [_NAN, 1.0]), (3, [_INF, 0.0]), (4, [0.0, 0.0]), (5, None)],
+        "vec_id long, embedding array<double>",
+    )
+    kept = [r["vec_id"] for r in drop_degenerate_vectors(df).collect()]
+    assert kept == [1]
+
+
 def test_cep_stream_nonfinite_avg_no_crash(spark, tmp_path):
     # the streaming NFA's math.floor raised on an Inf-poisoned avg
     # (cep_stream.py); NaN is out of scope here — the Arrow float64 batch

@@ -211,11 +211,14 @@ def test_q19_disjunctive_envelopes_pushed_both_sides(spark, sf_dir):
 
 def test_q21_double_exists_decorrelates_to_one_fact_pass(spark, sf_dir):
     # the EXISTS + NOT EXISTS pair must NOT become two correlated self-joins
-    # (three lineitem scans); the engine folds both into one aggregation
-    # over the order key: one lineitem scan, one distinct-aggregate Expand
+    # (three lineitem scans); the engine folds both into a two-level exact
+    # aggregation over the order key: one lineitem scan and NO
+    # count-distinct Expand (RewriteDistinctAggregates would triple the
+    # fact rows AND number its gid branches nondeterministically — the r10
+    # plan-fingerprint flip)
     plan = _plan(Q.QUERIES["tpch_q21_sole_late_suppliers"](spark, sf_dir))
     assert _nodes(plan, "Scan parquet") == 3  # lineitem, orders, supplier
-    assert _nodes(plan, "Expand") == 1
+    assert _nodes(plan, "Expand") == 0
     assert "EqualTo(o_orderstatus,F)" in plan
 
 

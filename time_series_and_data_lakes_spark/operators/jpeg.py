@@ -1,25 +1,23 @@
 """JPEG codec (ITU T.81, baseline + progressive DCT) in pure numpy/stdlib.
 
 JPEG's entropy coding is canonical Huffman over run-length-coded,
-zigzag-ordered, quantized 8x8 DCT blocks — all pure arithmetic, so like
-the PNG (zlib) and GIF (LZW) codecs no external library is required;
-what PIL would provide is speed, not capability. This module implements:
+zigzag-ordered, quantized 8x8 DCT blocks — pure arithmetic, so like the
+PNG (zlib) and GIF (LZW) codecs no external library is required; PIL
+would provide speed, not capability. Implemented:
 
-- ``jpeg_decode``: sequential AND progressive decode — DQT (8/16-bit),
-  DHT (canonical table build), SOF0/1/2 at 8- OR 12-bit sample
-  precision (12-bit reconstructs at full depth, then keeps the top
-  byte — the PNG 16→8 convention), DRI + restart markers,
-  interleaved-MCU scan with arbitrary sampling factors up to 2x2
-  (4:4:4, 4:2:2, 4:2:0), byte-destuffing bit reader, dequant → IDCT →
-  level shift, nearest chroma upsample, JFIF YCbCr→RGB. Single-scan
-  sequential streams take a direct decode path; multi-scan sequential
-  and progressive (SOF2) streams run through a coefficient-store engine
-  (``_decode_multi``): each SOS — spectral-selection bands, successive-
-  approximation first/refinement passes for DC and AC, EOB-run coding
-  (T.81 §G.1.2) — accumulates into per-component stores, reconstructed
-  once at end-of-stream with the same per-block IDCT arithmetic as the
-  direct path. Arithmetic coding and lossless/hierarchical processes
-  raise ``NotImplementedError`` honestly.
+- ``jpeg_decode``: sequential AND progressive — DQT (8/16-bit), DHT
+  (canonical build), SOF0/1/2 at 8- OR 12-bit precision (12-bit
+  reconstructs at full depth, keeps the top byte — the PNG 16→8
+  convention), DRI + restart markers, interleaved MCUs with sampling
+  factors to 2x2 (4:4:4/4:2:2/4:2:0), byte-destuffing bit reader,
+  dequant → IDCT → level shift, nearest chroma upsample, JFIF YCbCr→RGB.
+  Single-scan sequential streams decode directly; multi-scan sequential
+  and progressive (SOF2) run through a coefficient-store engine
+  (``_decode_multi``): each SOS — spectral bands, successive-approximation
+  first/refinement passes for DC and AC, EOB runs (T.81 §G.1.2) —
+  accumulates per component, reconstructed once at end-of-stream with the
+  direct path's per-block IDCT arithmetic. Arithmetic coding and
+  lossless/hierarchical processes raise ``NotImplementedError`` honestly.
 - ``jpeg_encode``: baseline sequential encode (4:4:4 or 4:2:0) with
   caller-suppliable quantization tables. The Huffman tables are a valid
   fixed-length canonical set (12 DC symbols at 4 bits, 162 AC symbols at

@@ -7,42 +7,36 @@ The codec layer:
 
 - ``bmp`` / ``ppm`` / ``png``: REAL PIXEL codecs (:func:`bmp_decode` /
   :func:`bmp_encode` / :func:`ppm_decode` / :func:`ppm_encode` — 24-bpp
-  BI_RGB Windows BMP and binary P6 PPM, pure numpy/struct — and
-  :func:`png_decode` / :func:`png_encode`, a full PNG codec: PNG's
-  entropy coding is zlib, which IS stdlib, so chunk walk + inflate + all
-  five defilters need no external library; decode covers every legal
-  bit depth (1/2/4/8/16) and both interlace methods (Adam7), encode
-  emits 8-bit non-interlaced). :func:`resize_media` performs an actual
-  pixel transcode for every registered pixel codec, with two exact
-  integer resamplers: :func:`nn_resize` (nearest-neighbor, default)
-  and :func:`area_resize` (box filter — the anti-aliased downscale for
-  training corpora, exact rational coverage weights).
-- ``gif``: REAL PIXEL codec too (:func:`gif_decode` / :func:`gif_encode`
-  — GIF's entropy coding is 12-bit variable-width LZW, implemented here
-  both ways and validated against a published foreign-encoder stream).
-  ANIMATIONS fully decode with disposal-method compositing + transparency
-  masking (:func:`gif_decode_frames`; :func:`extract_frames` expands them
-  row-per-frame into the pixel pipeline); the registry's single-image
-  :func:`gif_decode` raises for animations because a registry resize
-  would silently drop frames. Encode is single-frame, lossless for
-  ≤256-color images (always true of decode→resize output); richer
-  images raise rather than silently quantize.
-- ``jpeg``: REAL PIXEL codec as well (:mod:`.jpeg` — sequential AND
-  progressive Huffman+DCT in pure numpy: canonical DHT build,
-  byte-destuffed bit reader, restart markers, 4:4:4/4:2:2/4:2:0
-  sampling, JFIF color transform, and a coefficient-store engine for
-  multi-scan sequential + progressive SOF2 streams (spectral selection,
-  successive approximation, EOB runs); the decoder is validated against
-  hand-derived sequential AND progressive streams using the standard's
-  own Annex K tables). Decode is exact for the payload; re-encode is
-  lossy by format design. Arithmetic coding and lossless/hierarchical
-  processes raise.
+  BI_RGB BMP and binary P6 PPM, pure numpy/struct — and :func:`png_decode`
+  / :func:`png_encode`: PNG's entropy coding is stdlib zlib, so chunk walk
+  + inflate + all five defilters need no external library; decode covers
+  every legal bit depth (1/2/4/8/16) and Adam7 interlace, encode emits
+  8-bit non-interlaced). :func:`resize_media` pixel-transcodes every
+  registered pixel codec via two exact integer resamplers:
+  :func:`nn_resize` (nearest-neighbor, default) and :func:`area_resize`
+  (box filter, exact rational coverage weights).
+- ``gif``: REAL PIXEL codec (:func:`gif_decode` / :func:`gif_encode` —
+  12-bit variable-width LZW both ways, validated against a published
+  foreign-encoder stream). Animations fully decode with disposal-method
+  compositing + transparency masking (:func:`gif_decode_frames`;
+  :func:`extract_frames` expands row-per-frame); the registry's
+  single-image :func:`gif_decode` raises for animations (a registry
+  resize would silently drop frames). Encode is single-frame, lossless
+  for ≤256 colors (always true of decode→resize output); richer images
+  raise rather than silently quantize.
+- ``jpeg``: REAL PIXEL codec (:mod:`.jpeg` — sequential AND progressive
+  Huffman+DCT in pure numpy: canonical DHT build, byte-destuffed bit
+  reader, restart markers, 4:4:4/4:2:2/4:2:0, JFIF color transform, and a
+  coefficient-store engine for multi-scan sequential + progressive SOF2
+  (spectral selection, successive approximation, EOB runs); decoder
+  validated against hand-derived sequential AND progressive streams using
+  the standard's own Annex K tables). Decode is exact for the payload;
+  re-encode lossy by format design. Arithmetic/lossless/hierarchical raise.
 - ``wav``: REAL AUDIO codec (:func:`wav_encode` / :func:`wav_decode` —
-  RIFF chunk-walking parser, pure stdlib/numpy; decode covers 8/16/24/
-  32-bit PCM, IEEE float32/float64, G.711 a-law/µ-law, and
-  WAVE_FORMAT_EXTENSIBLE, all normalized to int16; encode emits 16-bit
-  PCM), with real DSP ops: :func:`audio_stats` (peak/RMS) and
-  :func:`resample_audio` (integer decimation). Compressed audio
+  RIFF chunk walker, pure stdlib/numpy; 8/16/24/32-bit PCM, IEEE
+  float32/64, G.711 a-law/µ-law, WAVE_FORMAT_EXTENSIBLE, normalized to
+  int16; encode emits 16-bit PCM), plus :func:`audio_stats` (peak/RMS)
+  and :func:`resample_audio` (integer decimation). Compressed audio
   (ADPCM/mp3/aac/...) raises.
 - ``tsdl-fake``: deterministic fake header layout for oracle-gated tests.
 - anything else (compressed audio / video codecs): explicit
@@ -727,7 +721,6 @@ def area_resize(arr: "np.ndarray", new_w: int, new_h: int) -> "np.ndarray":
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
-
     return (
         struct.pack(">I", len(body))
         + ctype

@@ -35,27 +35,35 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _has_nonfinite(v: Column) -> Column:
+    return F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+
+
 def require_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Loud vector-ingress validation: a NULL vector in ``vec_col``
-    raises a NAMED error. Apply where data ENTERS a query program (the
-    catalog wraps its embeddings loader) — NOT inside operators below a
-    null-dropping filter: Catalyst's inferred join constraints evaluate
-    derived expressions BELOW user filters, so an in-op guard falsely
-    fired on already-dropped rows (r10 find, reproduced with codegen
-    off). Drop path: :func:`drop_degenerate_vectors`."""
+    """Loud vector-ingress validation: a NULL vector in ``vec_col`` — or
+    one carrying a NaN/±Inf element (r10 non-finite sweep: quantization
+    and codebook training have no cross-engine-definable output on them,
+    and cosine would rank NaN silently) — raises a NAMED error. Apply
+    where data ENTERS a query program (the catalog wraps its embeddings
+    loader) — NOT inside operators below a null-dropping filter:
+    Catalyst's inferred join constraints evaluate derived expressions
+    BELOW user filters, so an in-op guard falsely fired on already-dropped
+    rows (r10 find, reproduced with codegen off). Drop path:
+    :func:`drop_degenerate_vectors`."""
     v = F.col(vec_col)
+    null_msg = F.lit(
+        "null embedding: cosine/quantization is undefined for a NULL"
+        " vector — drop_degenerate_vectors() or impute before the op"
+    )
+    nf_msg = F.lit(
+        "non-finite embedding element: NaN/Inf makes cosine and quantization"
+        " undefined — drop_degenerate_vectors() or impute before the op"
+    )
     return df.withColumn(
         vec_col,
-        F.when(
-            v.isNull(),
-            F.raise_error(
-                F.lit(
-                    "null embedding: cosine/quantization is undefined for a"
-                    " NULL vector — drop_degenerate_vectors() or impute"
-                    " before the op"
-                )
-            ),
-        ).otherwise(v),
+        F.when(v.isNull(), F.raise_error(null_msg))
+        .when(_has_nonfinite(v), F.raise_error(nf_msg))
+        .otherwise(v),
     )
 
 
@@ -78,18 +86,18 @@ def norm(v: Column) -> Column:
 
 def drop_degenerate_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """The scale-path pre-filter for every cosine-scoring op: drop rows
-    whose vector is NULL or has zero norm. Cosine is undefined for them,
-    and the ops deliberately keep the LOUD contract (ANSI DIVIDE_BY_ZERO
-    fails the job) rather than ranking NaN/inf silently — but at corpus
-    scale a failed embedding job WILL ship null or all-zero vectors, and
-    they should cost their own rows, not the query. Surviving rows keep
-    the exact same IEEE score tree, so on a clean corpus this is a pure
-    no-op filter (and it pushes into the scan as a cheap predicate).
-
-    Use as ``cosine_topk(drop_degenerate_vectors(corpus), queries)`` —
-    same for ivf/lsh/pq/semantic_dedup inputs."""
+    whose vector is NULL, has a NaN/±Inf element (NaN sorts ABOVE +Inf in
+    Spark's total order, so a NaN norm passes ``> 0`` — the r10 non-finite
+    sweep caught that silent-ranking path), or has zero norm. Cosine is
+    undefined for all three; the ops keep the LOUD contract rather than
+    ranking garbage, but at corpus scale a failed embedding job WILL ship
+    such vectors, and they should cost their own rows, not the query.
+    Survivors keep the exact same IEEE score tree — a pure no-op filter on
+    a clean corpus, pushed into the scan as a cheap predicate. Use as
+    ``cosine_topk(drop_degenerate_vectors(corpus), queries)`` — same for
+    ivf/lsh/pq/semantic_dedup inputs."""
     v = F.col(vec_col)
-    return df.filter(v.isNotNull() & (norm(as_double(v)) > 0))
+    return df.filter(v.isNotNull() & ~_has_nonfinite(v) & (norm(as_double(v)) > 0))
 
 
 def cosine_topk(

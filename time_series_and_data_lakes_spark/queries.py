@@ -436,7 +436,6 @@ LIMIT 10
 
 
 def g2_measure_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-
     obs = sensor_obs(spark, sf_dir)
     narrow = melt(
         obs.select(F.col("time"), F.col("sensor_id"), F.col("status"), F.col("temperature")),
@@ -963,7 +962,6 @@ _RJ_PAD_S = 3600
 
 
 def range_join_cep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
-
     cep = f2_cep_match_recognize(spark, sf_dir)
     pad_us = _RJ_PAD_S * 1_000_000
     iv = cep.select(
@@ -1984,7 +1982,6 @@ FROM stats s LEFT JOIN flagged f USING (sensor_id)
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-
     obs = sensor_obs(spark, sf_dir)
     sessions = sessionize(obs, ["sensor_id"], "time", gap="INTERVAL 12 HOURS")
     return (
@@ -2026,7 +2023,6 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-
     events = load(spark, sf_dir, "events").select(
         F.col("user_id").alias("custkey"), F.col("ts").alias("time"), "event_id"
     )
@@ -2357,19 +2353,21 @@ ORACLES.update(PIPELINE_ORACLES)
 # Changed last round (or in-round, pre-driver) -> lead this round's window.
 _DRIVER_LEAD: list[str] = [
     "tpch_q1_pricing_summary", "tpch_q3_top_orders", "tpch_q5_region_revenue",
-    "tpch_q6_selective", "tpch_q13_order_count_distribution",
-    "tpch_q16_supplier_count", "range_join_cep_context",
+    "tpch_q6_selective", "tpch_q13_order_count_distribution", "tpch_q16_supplier_count",
+    "range_join_cep_context",
     "a2_enrichment_view",  # r10 null-id NULLS-LAST fix: program+oracle changed
-    # r10 null-id model fixes (nulls-last PQ seed; per-row kmeans argmax rid)
-    "ann_ivf_kmeans_topk", "ann_pq_adc_topk",
-    # r10 one-row-sweep fix: zero-pair audit ratios are NULL, not ANSI errors
-    "dedup_minhash_eval", "dedup_simhash_eval",
+    # r10 null-id model fixes (nulls-last PQ seed; per-row kmeans argmax rid),
+    # and the one-row-sweep fix (zero-pair audit ratios NULL, not ANSI errors)
+    "ann_ivf_kmeans_topk", "ann_pq_adc_topk", "dedup_minhash_eval", "dedup_simhash_eval",
     # r10 NULLS-LAST ASC tiebreaks under LIMIT (null group keys at the cut)
-    "tpch_q21_sole_late_suppliers", "tpch_q2_min_cost_supplier",
-    "text_rrf_hybrid_topk", "text_bm25_topk",
+    "tpch_q21_sole_late_suppliers", "tpch_q2_min_cost_supplier", "text_rrf_hybrid_topk", "text_bm25_topk",
     # r10 non-finite sweep: oracle gained the isfinite guard mirroring
     # Spark's NULL-on-nonfinite decimal cast (f2/f3/g5 re-bank via CORE19)
     "analytics_moving_window",
+    # r10: require_vectors ingress now rejects NaN/±Inf elements too —
+    # every embeddings-loader query re-banks
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_dup_pairs", "ann_quantize_int8",
+    "pipe_knn_label_vote", "pipe_knn_label_vote_ivf", "pipe_semdedup", "pipe_label_propagation",
 ]
 
 _DRIVER_TAIL: list[str] = [
@@ -2380,20 +2378,19 @@ _DRIVER_TAIL: list[str] = [
     "correlated_min_price_lines", "cube_pricing_matrix", "dedup_exact",
     "dedup_minhash_lsh", "dedup_components", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_containment", "dedup_edit_distance", "dedup_retention_report",
-    "ann_ivf_topk", "ann_lsh_dup_pairs", "ann_quantize_int8",
     "multimodal_resize_pixels", "multimodal_audio_stats", "multimodal_audio_resample",
     "multimodal_video_frames", "tpch_q8_market_share", "tpch_q9_profit_by_nation",
-    "tpch_q4_priority_with_returns", "tpch_q10_returned_revenue",
-    "tpch_q14_promo_effect", "tpch_q18_large_orders", "tpch_q22_idle_rich_customers",
-    "text_top_tokens", "text_tfidf_keywords", "tpch_q7_nation_volume",
-    "tpch_q15_top_supplier_revenue", "tpch_q19_disjunctive_revenue",
-    "tpch_q17_small_quantity_revenue", "tpch_q11_important_parts",
-    "tpch_q12_priority_by_status", "tpch_q20_excess_share_suppliers",
-    "rollup_cascade_stats", "json_props_extract",
-    "gap_report_sensors", "text_winnow_fingerprint", "ann_cosine_topk", "text_stats",
+    "tpch_q4_priority_with_returns", "tpch_q10_returned_revenue", "tpch_q14_promo_effect",
+    "tpch_q18_large_orders", "tpch_q22_idle_rich_customers", "text_top_tokens",
+    "text_tfidf_keywords", "tpch_q7_nation_volume", "tpch_q15_top_supplier_revenue",
+    "tpch_q19_disjunctive_revenue", "tpch_q17_small_quantity_revenue",
+    "tpch_q11_important_parts", "tpch_q12_priority_by_status",
+    "tpch_q20_excess_share_suppliers", "rollup_cascade_stats", "json_props_extract",
+    "gap_report_sensors", "text_winnow_fingerprint", "text_stats",
     "text_repetition_stats", "setops_priority_cohorts", "text_fingerprint",
     "text_lang_id", "text_quality", "sessionize_events",  # r10-lead displaced
-    "semi_anti_customers",  # displaced by analytics_moving_window's lead slot
+    # displaced (3x green each) by the moving_window + require_vectors lead slots:
+    "semi_anti_customers", "pipe_split_train_test", "pipe_token_budget", "pivot_wide", "rollup_pricing_totals",
     "multimodal_decode_stats", "multimodal_frame_sample", "multimodal_resize",
     # approximate by design — no exact oracle can exist; error-bounded by
     # property tests with exact driver-green twins. Kept LAST so a catalog

@@ -86,7 +86,7 @@ def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # require_vectors at INGRESS (r10): every embeddings catalog query
-    # raises one shared named error on a NULL vector — see
+    # raises a shared named error on a NULL or non-finite vector — see
     # operators.similarity.require_vectors for why ingress-only.
     return S.require_vectors(
         spread_small(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))

@@ -510,7 +510,6 @@ def pipe_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lp_oracle() -> str:
-
     ctes = [
         f"pairs AS ({_lsh_pairs_oracle(threshold=_LP_EDGE_THRESHOLD)})",
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"

@@ -340,27 +340,33 @@ def tpch_q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines. Lateness is l_shipdate > o_orderdate + 90 days (the trimmed
     schema has no commit/receipt dates). The canonical form is a
     double-correlated EXISTS + NOT EXISTS over lineitem (see the oracle);
-    the engine decorrelates BOTH into one aggregation over the order key:
-    per order, count distinct suppliers (EXISTS ⟺ > 1), distinct late
-    suppliers (NOT EXISTS ⟺ exactly 1), the argmax late supplier, and its
-    late-line count — one shuffle over the fact instead of two correlated
-    self-joins (three fact scans → one)."""
+    the engine decorrelates BOTH into a two-level aggregation over the
+    order key: level 1 collapses the fact to (order, supplier) groups with
+    a late-line count; level 2 derives the distinct-supplier count (EXISTS
+    ⟺ > 1), distinct late suppliers (NOT EXISTS ⟺ exactly 1), the argmax
+    late supplier, and its late-line count — one fact pass instead of two
+    correlated self-joins. Stacked exact aggregates, NOT count-DISTINCTs:
+    RewriteDistinctAggregates would Expand the joined fact 3× and number
+    its gid branches nondeterministically (the plan fingerprint flipped
+    run-to-run — r10 find); this shape plans deterministically."""
     orders_f = _load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _load(spark, sf_dir, "lineitem")
     j = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
         "_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
-        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_supp"),
-        # NULL-suppkey late lines never join supplier in the oracle's l1
-        # iteration (and never block its NOT EXISTS — the <> comparison is
-        # UNKNOWN), so they must not inflate numwait here either.
-        F.sum(
-            F.when(F.col("_late") & F.col("l_suppkey").isNotNull(), 1).otherwise(0)
-        ).alias("_late_lines"),
+    per_ps = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_late_ln")
+    )
+    # NULL-suppkey late lines never join supplier in the oracle's l1 pass
+    # (nor block its NOT EXISTS — <> is UNKNOWN), so the NULL group is
+    # excluded from every aggregate below.
+    nn = F.col("l_suppkey").isNotNull()
+    per_order = per_ps.groupBy("l_orderkey").agg(
+        F.count(F.when(nn, 1)).alias("_n_supp"),
+        F.count(F.when(nn & (F.col("_late_ln") > 0), 1)).alias("_n_late"),
+        F.max(F.when(F.col("_late_ln") > 0, F.col("l_suppkey"))).alias("_late_supp"),
+        F.sum(F.when(nn, F.col("_late_ln")).otherwise(0)).alias("_late_lines"),
     )
     supplier = _load(spark, sf_dir, "supplier")
     return (
