@@ -316,6 +316,17 @@ def test_parquet_footer_max_matches_scan_and_falls_back(spark, tmp_path):
     (part_store / "_SUCCESS").touch()
     pq.write_table(table, str(day / "part-000.parquet"))
     assert parquet_footer_max_micros(str(part_store), "ts") == expected
+    # hidden DIRECTORIES are pruned, not just hidden files: a mid-write
+    # .staging-ingest-* tree is invisible to Spark readers, and a LATER
+    # staged max must not leak into the anchor (r10 find — the old walk
+    # only filtered on file names)
+    staged_day = part_store / ".staging-ingest-7" / "day=2024-03-09"
+    staged_day.mkdir(parents=True)
+    later = pa.table(
+        {"ts": pa.array([dt.datetime(2024, 3, 9, 6)], type=pa.timestamp("us"))}
+    )
+    pq.write_table(later, str(staged_day / "part-000.parquet"))
+    assert parquet_footer_max_micros(str(part_store), "ts") == expected
     # missing column -> None
     assert parquet_footer_max_micros(p, "nope") is None
 

@@ -1,16 +1,14 @@
 """Metadata-only statistics from parquet file footers.
 
-``ago()``-anchored queries need ``max(time)`` of the events table before they
-can filter it. Computing that anchor with an aggregation costs a full extra
-scan of the table — harmless at sf0.1, a second pass over ~100 TB at scale.
-Parquet footers already carry per-row-group min/max statistics for every
-column, so the anchor is answerable from a few KB of footer reads on the
-driver, no Spark job at all (VERDICT_r3 hardening item 4).
-
-The helper is deliberately conservative: statistics are an optimization,
-never a correctness dependency. Missing min/max anywhere, a corrupt or
-unreadable part file, a missing pyarrow — anything unexpected returns
-``None`` and the caller falls back to the scan-based aggregate.
+``ago()``-anchored queries need ``max(time)`` of the events table before
+they can filter it; an aggregation anchor costs a full extra scan — a
+second pass over ~100 TB at scale. Parquet footers already carry
+per-row-group min/max for every column, so the anchor is answerable from a
+few KB of driver-side footer reads, no Spark job (VERDICT_r3 item 4).
+Deliberately conservative: statistics are an optimization, never a
+correctness dependency — missing min/max, a corrupt part file, a missing
+pyarrow, anything unexpected returns ``None`` and the caller falls back to
+the scan-based aggregate.
 """
 
 from __future__ import annotations
@@ -26,31 +24,33 @@ def parquet_footer_max_micros(path: str, column: str) -> int | None:
     ``.parquet`` file or a directory of part files), as epoch MICROSECONDS
     of the stored wall-clock value, read from footer statistics only.
 
-    Nanosecond-unit columns are truncated toward zero to micros — the same
-    direction as the ``ts div 1000`` conversion ``queries.load`` applies to
-    the data itself (Spark's ``div`` truncates, Python's ``//`` floors; the
-    two differ on pre-1970 values), so the footer max equals ``max()`` of
-    the loaded column exactly. Returns ``None`` on any surprise — missing
-    statistics, non-timestamp column, unreadable file — never raises.
+    Nanosecond-unit columns truncate toward zero to micros — the direction
+    of the ``ts div 1000`` conversion ``queries.load`` applies to the data
+    (Spark's ``div`` truncates, Python's ``//`` floors; they differ
+    pre-1970) — so the footer max equals ``max()`` of the loaded column
+    exactly. ``None`` on any surprise; never raises.
     """
     try:
         if os.path.isdir(path):
             # recursive: a PARTITIONED store has no top-level part files,
-            # and falling back to the aggregate pre-scan there would cost
-            # the full extra pass this helper exists to avoid (footers of
-            # every part file still carry the column's min/max)
-            paths = sorted(
-                os.path.join(root, f)
-                for root, _dirs, files in os.walk(path)
-                for f in files
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            )
+            # and the scan fallback there would cost the full extra pass
+            # this helper exists to avoid (part footers still carry min/max)
+            paths = []
+            for root, dirs, files in os.walk(path):
+                # prune hidden/_ DIRECTORIES too: a mid-write staging tree
+                # is invisible to Spark readers, and the anchor must not
+                # see its uncommitted maxima (r10 find)
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                paths += [
+                    os.path.join(root, f)
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
         else:
             paths = [path]
         if not paths:
             return None
-        best: int | None = None
-        saw_stats = False
+        best, saw_stats = None, False
         for p in paths:
             md = pq.ParquetFile(p).metadata
             if md.num_row_groups == 0:
