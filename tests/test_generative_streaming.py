@@ -254,6 +254,87 @@ def test_generative_streaming_null_parity(spark, tmp_path, seed):
     _run_seed(spark, tmp_path, seed)
 
 
+# --- CDC upsert twin: null-safe keys and null partition values ------------
+
+# merge_upsert's two null contracts are DEFINED (eqNullSafe on key AND
+# partition predicates — ADVICE_r4 / the Delta `<=>` convention), so the
+# random family asserts them: a NULL key upserts like any other key, and
+# rows in a NULL partition value are replaced, not duplicated. Partition
+# stays immutable per key (the documented caller contract) by deriving it
+# from the key; at most one change per key per batch (ditto).
+
+_CDC_SCHEMA = "id bigint, part string, value double, tag string"
+
+
+def _cdc_part(key):
+    if key is None:
+        return "dnull"
+    return None if key % 5 == 0 else f"d{key % 3}"  # key 0/5/10 -> NULL part
+
+
+def _run_cdc_seed(spark, tmp_path, seed: int) -> None:
+    from time_series_and_data_lakes_spark.sources.merge import (
+        merge_upsert,
+        start_cdc_upsert_sink,
+    )
+
+    rng = random.Random(8000 + seed)
+    keyspace = [None] + list(range(10))
+    base = [
+        (k, _cdc_part(k), float(rng.randrange(50)), "base")
+        for k in keyspace
+        if rng.random() < 0.7
+    ]
+    store = str(tmp_path / "store")
+    merge_upsert(spark, store, spark.createDataFrame(base, _CDC_SCHEMA), ["id"], ["part"])
+
+    state = {r[0]: r for r in base}
+    src = str(tmp_path / "changes")
+    n_batches = 3
+    for b in range(n_batches):
+        batch_keys = [k for k in keyspace if rng.random() < 0.4]
+        batch = [
+            (k, _cdc_part(k), None if rng.random() < 0.2 else float(rng.randrange(50)), f"b{b}")
+            for k in batch_keys
+        ]
+        if not batch:
+            continue
+        spark.createDataFrame(batch, _CDC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        for r in batch:
+            state[r[0]] = r
+    if not os.path.exists(src):
+        return  # every batch rolled empty — nothing to stream
+    stream = (
+        spark.readStream.schema(_CDC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_cdc_upsert_sink(stream, store, ["id"], ["part"], str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    # partitionBy moves `part` to the end of the read-back schema — select
+    # the declared order before comparing
+    got = sorted(
+        (tuple(r) for r in spark.read.parquet(store).select("id", "part", "value", "tag").collect()),
+        key=repr,
+    )
+    want = sorted(state.values(), key=repr)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_generative_cdc_null_key_parity(spark, tmp_path, seed):
+    _run_cdc_seed(spark, tmp_path, seed)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TSDL_DIRTY_SWEEP"),
+    reason="set TSDL_DIRTY_SWEEP=1 for the extended seed set",
+)
+@pytest.mark.parametrize("seed", range(2, 5))
+def test_generative_cdc_null_key_parity_extended(spark, tmp_path, seed):
+    _run_cdc_seed(spark, tmp_path, seed)
+
+
 @pytest.mark.skipif(
     not os.environ.get("TSDL_DIRTY_SWEEP"),
     reason="set TSDL_DIRTY_SWEEP=1 for the extended seed set",
