@@ -60,14 +60,13 @@ UNGATED_SEEDS = range(3)
 GATED_SEEDS = range(3, 9)  # 6 more per family under the sweep gate
 
 
-def _write_random_events(seed: int, dst: str) -> None:
+def _write_random_events(seed: int, dst: str, t0: dt.datetime = dt.datetime(2024, 1, 1)) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.RandomState(seed)
     n = 48
-    t0 = dt.datetime(2024, 1, 1)
     # 8 distinct offsets for 48 rows -> ~6-way timestamp collisions per
     # sensor; a third of the rows land within CEP's 3-day WITHIN window
     offsets_h = [0, 1, 2, 3, 26, 52, 78, 104]
@@ -98,10 +97,10 @@ def _write_random_events(seed: int, dst: str) -> None:
     )
 
 
-def _run_seed(spark, tmp_path, seed: int) -> None:
+def _run_seed(spark, tmp_path, seed: int, t0: dt.datetime = dt.datetime(2024, 1, 1)) -> None:
     sf = str(tmp_path / f"gen{seed}")
     os.makedirs(sf)
-    _write_random_events(seed, sf)
+    _write_random_events(seed, sf, t0)
     for name in QUERIES:
         assert_matches_oracle(
             entry.queries()[name](spark, sf), sf, entry.oracle_sql()[name], name
@@ -120,6 +119,15 @@ def test_generative_null_tie_parity(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", GATED_SEEDS)
 def test_generative_null_tie_parity_extended(spark, tmp_path, seed):
     _run_seed(spark, tmp_path, seed)
+
+
+def test_generative_parity_pre_1970(spark, tmp_path):
+    # rows straddling the epoch: negative epoch-micros are where truncating
+    # division (Spark div, C-style) and flooring (Python //, DuckDB %)
+    # disagree — time_bin, grid arithmetic, and the g5 bin oracle's
+    # double-pmod all run on negative values here (r10 probe: clean on 3
+    # seeds; pinned with one)
+    _run_seed(spark, tmp_path, 0, t0=dt.datetime(1969, 12, 28))
 
 
 # --- documents-table twin: random duplicate/near-duplicate corpora --------
