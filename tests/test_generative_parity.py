@@ -142,6 +142,13 @@ _TEXT_POOL = [
     "a completely different document about spark engines",
     "tiny",
     "",
+    # non-ASCII (r10): Java-regex vs RE2 \\w-class and casing semantics are
+    # the cross-engine hazard; probed clean over 3 seeds, pinned here
+    "über die brücke fährt ein großer zug über die brücke",
+    "café résumé naïve façade élan café résumé",
+    "日本語のテキストです 漢字 ひらがな カタカナ",
+    "emoji text \U0001f600 \U0001f680 mixed with words \U0001f600",
+    "tab\tseparated\nnewline  double  spaces",
 ]
 
 DOC_QUERIES = [
@@ -157,6 +164,15 @@ DOC_QUERIES = [
     "dedup_simhash",
     "text_winnow_fingerprint",
     "multimodal_decode_stats",
+    # the analysis family (lang-ID heuristics, quality ratios, token
+    # ranking, BM25 with its nulls-last doc_id tiebreak) — unique non-null
+    # doc_ids keep every LIMIT cut well-defined on random corpora
+    "text_lang_id",
+    "text_quality",
+    "text_top_tokens",
+    "text_tfidf_keywords",
+    "text_repetition_stats",
+    "text_bm25_topk",
 ]
 
 
