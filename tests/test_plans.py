@@ -89,11 +89,15 @@ def test_flagship_reagg_reuses_partitioning(spark, sf_dir):
 
 def test_rollup_is_one_expand_one_exchange(spark, sf_dir):
     # ROLLUP expands grouping sets map-side (Expand) and aggregates through
-    # ONE shuffle keyed by (gid, keys) — a per-level union/re-agg would show
-    # extra exchanges and scans.
+    # ONE hash shuffle keyed by (gid, keys) — a per-level union/re-agg would
+    # show extra hash exchanges and scans. spread_small's round-robin (r10:
+    # parallelizes the Expand + decimal partials on under-partitioned scans,
+    # skipped on properly-split scans at scale) is the one permitted
+    # non-hash exchange, same as the ivf gate documents.
     plan = _plan(Q.rollup_pricing_totals(spark, sf_dir))
     assert _nodes(plan, "Expand") == 1
-    assert _nodes(plan, "Exchange") == 1
+    assert len(_hash_keys(plan)) == 1
+    assert _nodes(plan, "Exchange") <= 2
     assert _nodes(plan, "Scan parquet") == 1
 
 

@@ -21,8 +21,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def truncate_lineage(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
     """Materialize ``df`` and return a plan-root replacement for it.
+
+    ``eager=False`` (r10 optimization) defers block materialization to the
+    caller's NEXT action instead of running a dedicated job per call: the
+    logical plan is truncated immediately either way (a LogicalRDD replaces
+    the subtree, so per-round analysis cost stays constant — the property
+    iterative callers need), but an iteration that immediately runs its own
+    action (the connected-components fixpoint collect, the k-means
+    next-round broadcast build) folds the checkpoint job into that action —
+    halving the driver job round trips per round. Use eager only when no
+    action follows promptly (blocks would otherwise materialize at an
+    unpredictable later point).
 
     ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-memory blocks);
     a directory → reliable ``checkpoint`` into it. The SparkContext keeps
@@ -39,8 +52,8 @@ def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFr
     startup-time conf) and superseded iterations are deleted as their RDDs
     go out of scope; otherwise clear the directory after the job."""
     if checkpoint_dir is None:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint()
+    return df.checkpoint(eager=eager)

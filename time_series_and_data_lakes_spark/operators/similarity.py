@@ -323,8 +323,11 @@ def kmeans_centroids(
             # codegen cost grows superlinearly in iters (measured 1.5 s for
             # 1 iter but 4.3 s for 2 at sf0.1). Same discipline as
             # operators/graph.py connected components; checkpoint_dir opts
-            # into the executor-loss-resilient reliable store.
+            # into the executor-loss-resilient reliable store. eager=False:
+            # the k-row blocks materialize inside the next iteration's (or
+            # the caller's) own jobs — no dedicated job per iteration.
             checkpoint_dir,
+            eager=False,
         )
     return cent.select(F.col("cid").alias(id_col), F.col("cv").alias(vec_col))
 
@@ -600,7 +603,13 @@ def _pq_lut_frame(
                 }
             )
 
-    return queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    # coalesce(1): the query side is broadcast-small by contract (tens of
+    # rows), but it inherits the corpus frame's partitioning (spread_small's
+    # 32-way round robin) — and EVERY partition of a MapInPandas stage pays
+    # a Python-worker round trip even when empty (measured ~0.2 s/stage of
+    # pure handshake on empty/near-empty tasks). One partition, one round
+    # trip; no shuffle (coalesce narrows).
+    return queries.select(F.col(id_col), F.col(vec_col)).coalesce(1).mapInPandas(
         build_lut, schema=lut_schema
     )
 

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from time_series_and_data_lakes_spark.operators.cep import match_error_pattern
+from time_series_and_data_lakes_spark.operators.dedup import spread_small
 from time_series_and_data_lakes_spark.operators.melt import melt, pivot_measures
 from time_series_and_data_lakes_spark.operators.intervals import range_join
 from time_series_and_data_lakes_spark.operators.rollup import (
@@ -686,8 +687,17 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverges: Spark rounds the shortest decimal repr HALF_UP, DuckDB the
     binary value, measured 330/60k rows apart at DECIMAL(18,4)), summed
     exactly, and rounded once in decimal space (exact half-up both
-    engines) before the output cast to double."""
-    li = load(spark, sf_dir, "lineitem")
+    engines) before the output cast to double.
+
+    spread_small (r10): the decimal casts + 8 partial sums are the whole
+    query and collapse map-side to 4 groups, so on an under-partitioned
+    scan (the single-rowgroup fixture file) they serialize onto one core —
+    the round-robin spread parallelizes them for a measured 1.7x (decimal
+    addition is exact, so any partial grouping is bit-identical) and is a
+    no-op on properly-split scans at scale. NOT applied to high-cardinality
+    partial aggs (q18's per-order sums: measured 1.5x SLOWER — the spread
+    multiplies the partial-agg output by the partition count)."""
+    li = spread_small(load(spark, sf_dir, "lineitem"))
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
@@ -1386,8 +1396,11 @@ FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM low)
 def rollup_pricing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP(returnflag, linestatus): per-pair, per-flag and grand
     totals in one pass — Spark expands grouping sets map-side, so the 100 TB
-    cost is one shuffle keyed by (gid, flag, status), same as the flat agg."""
-    li = load(spark, sf_dir, "lineitem")
+    cost is one shuffle keyed by (gid, flag, status), same as the flat agg.
+    spread_small parallelizes the Expand + decimal partials on
+    under-partitioned scans (12 grouping-set partials per task — see
+    tpch_q1_pricing_summary; measured 1.7x, bit-identical, scale-no-op)."""
+    li = spread_small(load(spark, sf_dir, "lineitem"))
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     return li.rollup("l_returnflag", "l_linestatus").agg(
