@@ -40,6 +40,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor assumes bytes ~ work; the engine's window/
+        # fold stages are compute-dense per byte (a 3 MB sensor exchange is
+        # seconds of window work), and the default 1m floor collapsed them
+        # to 1-3 tasks on MB-scale inputs (r10: -24% on the window-heavy
+        # bench subset at 64k, results conf-independent). Inert at cluster
+        # scale, where post-shuffle partitions are 100 MB-1 GB (guide-sized
+        # via spark.sql.adaptive.advisoryPartitionSizeInBytes) and the
+        # parallelismFirst cap is shuffle.partitions anyway; override for
+        # byte-bound workloads via TSDL_AQE_MIN_PARTITION.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("TSDL_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas interchange (toPandas, pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
