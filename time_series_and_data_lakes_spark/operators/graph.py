@@ -46,12 +46,21 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
-    o = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+def _small_star(e: DataFrame, normalized: bool = False) -> DataFrame:
+    # ``normalized=True`` (r10): skip the orientation pass when the input
+    # is already distinct with u > v on every row — true of _large_star's
+    # output by construction (it emits (old v, m) with m <= old u < old v,
+    # then distincts), so the alternating composition saves one full
+    # exchange + aggregation per round. The generic path stays for
+    # arbitrary edge sets.
+    if normalized:
+        o = e
+    else:
+        o = (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
     m = o.groupBy("u").agg(F.min("v").alias("m"))
     linked = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     self_links = m.select("u", F.col("m").alias("v"))
@@ -77,8 +86,9 @@ def connected_components(
     """
     # eager=False: every round runs its own fixpoint-signature collect right
     # after the truncation, so the checkpoint materializes inside that job —
-    # one driver job per round instead of two (r10: 35 -> ~19 jobs/run on
-    # the dedup_components bench query, identical blocks and results)
+    # no dedicated checkpoint job per round (r10: 35 -> 32 jobs/run measured
+    # on the dedup_components bench query — the folded jobs were small, the
+    # win is fewer driver scheduling barriers; blocks and results identical)
     e = truncate_lineage(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -90,7 +100,7 @@ def connected_components(
     converged = False
     for _ in range(max_iter):
         e = truncate_lineage(
-            _small_star(_large_star(e)), checkpoint_dir, eager=False
+            _small_star(_large_star(e), normalized=True), checkpoint_dir, eager=False
         )
         # order-independent fingerprint of the edge set (edges are distinct,
         # so xor never cancels duplicates); ANSI-safe unlike a long sum
