@@ -61,6 +61,8 @@ AGG = f"min-of-{N_RUNS}"
 
 
 def main() -> None:
+    if "--matched-pairs" in sys.argv[1:]:
+        return matched_pairs_main(sys.argv[1:])
     commit_plans = "--commit-plans" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -197,6 +199,129 @@ def format_records(
             file=sys.stderr,
         )
     return line, full, default_scale
+
+
+def parse_pair_spec(spec: str) -> list[tuple[str, str, str]]:
+    """Parse ``key=valA|valB[;key2=...]`` into ``[(key, valA, valB), ...]``.
+
+    Keys starting with ``spark.`` are applied as runtime session confs
+    (``spark.conf.set``); any other key is applied as an environment
+    variable (for ``TSDL_*`` knobs the engine reads at plan-build time).
+    """
+    out = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        key, _, vals = part.partition("=")
+        a, sep, b = vals.partition("|")
+        if not key or not sep:
+            raise SystemExit(
+                f"--matched-pairs: bad spec segment {part!r} "
+                "(expected key=valA|valB)"
+            )
+        out.append((key.strip(), a.strip(), b.strip()))
+    if not out:
+        raise SystemExit("--matched-pairs: empty spec")
+    return out
+
+
+def _arg_after(argv: list[str], flag: str, default: str | None = None) -> str | None:
+    if flag in argv:
+        i = argv.index(flag)
+        if i + 1 >= len(argv):
+            raise SystemExit(f"{flag} requires a value")
+        return argv[i + 1]
+    return default
+
+
+def matched_pairs_main(argv: list[str]) -> None:
+    """A/B adjudication mode (round-10 verdict item 7): alternate two
+    configurations of the SAME session run-by-run so keep/revert calls are
+    reproducible instead of judgment calls on a possibly-loaded host.
+
+    ``--matched-pairs "key=valA|valB[;k2=...]"`` gives the two arms;
+    ``--queries a,b,c`` restricts the query set (default: full HEADLINE);
+    ``--pairs N`` sets the number of A/B pairs per query (default 4).
+    Arms alternate A,B,A,B within each query, so host drift lands on both
+    arms symmetrically; each arm gets one unmeasured warm run first.
+    Additions-only: the default ``python3 bench.py`` path is untouched and
+    this mode never writes BENCH_PLANS*.json. Prints ONE JSON line."""
+    spec = _arg_after(argv, "--matched-pairs")
+    pairs = int(_arg_after(argv, "--pairs", "4"))
+    qarg = _arg_after(argv, "--queries")
+    names = [q.strip() for q in qarg.split(",")] if qarg else list(HEADLINE)
+    unknown = [n for n in names if n not in Q.QUERIES]
+    if unknown:
+        raise SystemExit(f"--queries: unknown query names {unknown}")
+    arms = parse_pair_spec(spec)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="tsdl-bench-pairs")
+    spark.sparkContext.setLogLevel("ERROR")
+    saved_env = {k: os.environ.get(k) for k, _, _ in arms if not k.startswith("spark.")}
+
+    def apply(arm: int) -> None:
+        for key, a, b in arms:
+            val = a if arm == 0 else b
+            if key.startswith("spark."):
+                spark.conf.set(key, val)
+            else:
+                os.environ[key] = val
+
+    def run(name: str, measured: bool) -> float:
+        fn = Q.QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        spark.catalog.clearCache()
+        return round(elapsed, 3) if measured else elapsed
+
+    results: dict[str, dict] = {}
+    try:
+        for name in names:
+            spark.sparkContext.setJobDescription(f"pairs:{name}")
+            for arm in (0, 1):  # one unmeasured warm run per arm
+                apply(arm)
+                run(name, measured=False)
+            a_times: list[float] = []
+            b_times: list[float] = []
+            for _ in range(pairs):
+                apply(0)
+                a_times.append(run(name, measured=True))
+                apply(1)
+                b_times.append(run(name, measured=True))
+            a_min, b_min = min(a_times), min(b_times)
+            results[name] = {
+                "a": a_times,
+                "b": b_times,
+                "a_min": a_min,
+                "b_min": b_min,
+                # per-pair sign votes: how many pairs arm B won outright
+                "b_wins": sum(1 for x, y in zip(a_times, b_times) if y < x),
+                "b_over_a_min": round(b_min / a_min, 3) if a_min else None,
+            }
+            spark.sparkContext.setJobDescription(None)
+    finally:
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    line = json.dumps(
+        {
+            "metric": "matched_pairs_wall_time",
+            "unit": "sec",
+            "spec": spec,
+            "pairs": pairs,
+            "sf": sf,
+            "queries": results,
+        }
+    )
+    print(line)
+    spark.stop()
 
 
 def plans_target(default_scale: bool, commit_plans: bool) -> str:

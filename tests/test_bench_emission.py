@@ -76,3 +76,22 @@ def test_committed_plans_need_explicit_flag_and_default_scale():
     assert bench.plans_target(True, False) == "BENCH_PLANS.run.json"
     assert bench.plans_target(False, True) == "BENCH_PLANS.run.json"
     assert bench.plans_target(False, False) == "BENCH_PLANS.run.json"
+
+
+def test_matched_pairs_spec_parses_and_rejects_garbage():
+    # r11 (round-10 verdict item 7): the A/B adjudication mode's spec
+    # grammar — "key=valA|valB[;key2=...]" — additions-only, so the default
+    # bench path (and the driver's capture) is untouched.
+    assert bench.parse_pair_spec(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize=64k|1m"
+    ) == [("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k", "1m")]
+    assert bench.parse_pair_spec("TSDL_X=0|2048; spark.a=1|2") == [
+        ("TSDL_X", "0", "2048"),
+        ("spark.a", "1", "2"),
+    ]
+    import pytest
+
+    with pytest.raises(SystemExit):
+        bench.parse_pair_spec("no_pipe=1")
+    with pytest.raises(SystemExit):
+        bench.parse_pair_spec("")

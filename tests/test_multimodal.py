@@ -1957,3 +1957,40 @@ def test_decode_media_reports_avi_header_dims(spark):
     )
     (row,) = decode_media(df).collect()
     assert (row["width"], row["height"], row["n_frames"]) == (8, 6, 4)
+
+
+def test_media_docs_python_stage_partitions_are_row_bounded(spark, sf_dir, monkeypatch):
+    # r11: the multimodal fixture chains (2-3 mapInPandas stages) size their
+    # task count by rows-per-task from parquet footer metadata, not by core
+    # count — every Python stage task pays a worker round trip even when
+    # near-empty, so the r10 core-count spread cost 64-96 handshakes for a
+    # 5k-row fixture (the driver-measured decode_stats regression).
+    import math
+
+    from time_series_and_data_lakes_spark import queries_ext as QE
+    from time_series_and_data_lakes_spark.sources.stats import parquet_footer_rows
+
+    n = parquet_footer_rows(f"{sf_dir}/documents.parquet")
+    assert n is not None and n > 0
+    expect = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(n / QE._PY_ROWS_PER_TASK),
+        ),
+    )
+    assert QE._media_docs(spark, sf_dir).rdd.getNumPartitions() == expect
+    # the 0 arm reproduces the old core-count spread bit-for-bit (this is
+    # the matched-pairs baseline arm used for the r11 adjudication)
+    monkeypatch.setenv("TSDL_PY_ROWS_PER_TASK", "0")
+    assert (
+        QE._media_docs(spark, sf_dir).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_parquet_footer_rows_conservative_none(tmp_path):
+    from time_series_and_data_lakes_spark.sources.stats import parquet_footer_rows
+
+    assert parquet_footer_rows(str(tmp_path / "missing.parquet")) is None
+    assert parquet_footer_rows(str(tmp_path)) is None  # empty dir: no parts

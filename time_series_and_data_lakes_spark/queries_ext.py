@@ -10,6 +10,7 @@ determinism contract is documented in each operator module.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -26,6 +27,7 @@ from time_series_and_data_lakes_spark.operators.dedup import (
     tokens_col,
 )
 from time_series_and_data_lakes_spark.operators.graph import connected_components
+from time_series_and_data_lakes_spark.sources.stats import parquet_footer_rows
 from time_series_and_data_lakes_spark.operators.text import bm25_topk
 from time_series_and_data_lakes_spark.operators import similarity as S
 from time_series_and_data_lakes_spark.operators import text as X
@@ -82,6 +84,47 @@ def _cosine_sql(a: str, b: str, dim: int = 64) -> str:
 def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# Rows per task for the multimodal Python codec chains (below): sized so a
+# task's Arrow batches amortize the per-stage Python worker round trip
+# (~0.2 s even for a near-empty task — the r10 host fact) while staying a
+# fraction of spark.sql.execution.arrow.maxRecordsPerBatch (10k) so a task
+# still streams multiple batches. Env-overridable for A/B adjudication
+# (bench.py --matched-pairs); 0 disables the bound (falls back to
+# spread_small's core-count spread).
+_PY_ROWS_PER_TASK = 2048
+
+
+def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents loader for the multimodal fixture builders, whose plans are
+    chains of 2-3 ``mapInPandas`` stages. ``spread_small``'s core-count
+    spread is the wrong sizing for those: every task of every Python stage
+    pays a worker round trip even when near-empty, so a 32-way spread of a
+    5k-row fixture costs 64-96 handshakes for microseconds of work each
+    (r10's one real regression: multimodal_decode_stats 0.81 -> 2.60 s at 32
+    cores while running 0.43 s at 8). Bound the task count by DATA VOLUME
+    instead: ceil(n_rows / _PY_ROWS_PER_TASK), capped at defaultParallelism,
+    with n_rows from parquet footer metadata (no Spark job — same contract
+    as the ago() anchor). Never coalesces a wider scan down (at 100 TB the
+    scan's own splits already size tasks by bytes; this only guards the
+    small-input regime), and falls back to spread_small when footer
+    metadata is unavailable."""
+    path = f"{sf_dir}/documents.parquet"
+    df = spark.read.parquet(path)
+    rows_per_task = int(
+        os.environ.get("TSDL_PY_ROWS_PER_TASK", str(_PY_ROWS_PER_TASK))
+    )
+    n_rows = parquet_footer_rows(path) if rows_per_task > 0 else None
+    if n_rows is None:
+        return spread_small(df)
+    target = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-n_rows // rows_per_task),
+    ))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,7 +988,7 @@ def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media rows with stub-codec payloads (header fields are
     pure functions of doc_id, so frame/metadata outputs stay oracle-able)."""
 
-    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    docs = _media_docs(spark, sf_dir).select("doc_id", "text")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1186,7 +1229,7 @@ def _pixel_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(d*7 + x*5 + y*3 + c) % 256`` — a pure function of the id, so the
     decode→resize→encode chain is value-checkable end to end."""
 
-    docs = _load_docs(spark, sf_dir).select("doc_id")
+    docs = _media_docs(spark, sf_dir).select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1570,7 +1613,7 @@ def _fake_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     8000 + (d % 3) * 4000 — deterministic, so the stats are SQL-replayable
     while the codec work (RIFF encode/parse) is entirely real."""
 
-    docs = _load_docs(spark, sf_dir).select("doc_id")
+    docs = _media_docs(spark, sf_dir).select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1675,7 +1718,7 @@ def _fake_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel (k, y, x, c) of doc d is ``(d*7 + k*13 + y*5 + x*3 + c) % 256``
     — deterministic pixels, REAL container encoding."""
 
-    docs = _load_docs(spark, sf_dir).select("doc_id")
+    docs = _media_docs(spark, sf_dir).select("doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

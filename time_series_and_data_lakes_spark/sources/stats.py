@@ -19,6 +19,35 @@ import os
 import pyarrow.parquet as pq
 
 
+def parquet_footer_rows(path: str) -> int | None:
+    """Total row count of ``path`` (a ``.parquet`` file or a directory of
+    part files) from footer metadata only — no Spark job, a few KB of
+    driver-side reads. Used to right-size Python-boundary stages (the
+    chained ``mapInPandas`` codec pipelines) by rows-per-task instead of
+    blindly spreading to ``defaultParallelism``: every Python stage task
+    pays a worker round trip even when near-empty, so task count should
+    track data volume, not core count. Same conservatism contract as
+    :func:`parquet_footer_max_micros`: ``None`` on any surprise — callers
+    fall back to the partition-count-only heuristic."""
+    try:
+        if os.path.isdir(path):
+            paths = []
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                paths += [
+                    os.path.join(root, f)
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+        else:
+            paths = [path]
+        if not paths:
+            return None
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return None
+
+
 def parquet_footer_max_micros(path: str, column: str) -> int | None:
     """Max of a timestamp ``column`` across all row groups of ``path`` (a
     ``.parquet`` file or a directory of part files), as epoch MICROSECONDS
