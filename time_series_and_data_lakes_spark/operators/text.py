@@ -367,6 +367,13 @@ def repetition_stats(
     grams = base.filter(F.size("__toks") >= 2).select(
         id_col, F.explode(bigrams).alias("bigram")
     )
+    # Keep the row_number() formulation deliberately (r11 negative result):
+    # an argmax rewrite as min(struct(-n, bigram)) was measured and
+    # REVERTED — struct-typed min is not hash-aggregable, so it planned as
+    # Sort + SortAggregate twice, while this window gets Spark 4's
+    # WindowGroupLimit pushdown: a map-side top-1 per doc BELOW the
+    # exchange (only ~1 row per (doc, map partition) crosses the wire),
+    # which is already the minimal shuffle for a per-doc argmax.
     w = Window.partitionBy(id_col).orderBy(F.desc("n"), F.asc("bigram"))
     top = (
         grams.groupBy(id_col, "bigram")

@@ -44,14 +44,21 @@ def get_spark(
         # fold stages are compute-dense per byte (a 3 MB sensor exchange is
         # seconds of window work), and the default 1m floor collapsed them
         # to 1-3 tasks on MB-scale inputs (r10: -24% on the window-heavy
-        # bench subset at 64k, results conf-independent). Inert at cluster
-        # scale, where post-shuffle partitions are 100 MB-1 GB (guide-sized
-        # via spark.sql.adaptive.advisoryPartitionSizeInBytes) and the
+        # bench subset at 64k, results conf-independent). r11 re-adjudicated
+        # the value on clean matched pairs (bench.py --matched-pairs, 4
+        # alternating A/B runs per query per arm): 64k's extra tiny tasks
+        # cost the multi-join/doc-agg family real time (tpch_q21 0.88 s at
+        # 256k vs 1.42-1.50 s at 64k — 4/4 pairs; text_repetition ~flat)
+        # while 256k keeps the window-family wins 64k bought (g5/q1/lttb/
+        # semdedup/f3 all still beat the 1m arm). 256k is the measured
+        # optimum of the global trade. Inert at cluster scale, where
+        # post-shuffle partitions are 100 MB-1 GB (guide-sized via
+        # spark.sql.adaptive.advisoryPartitionSizeInBytes) and the
         # parallelismFirst cap is shuffle.partitions anyway; override for
         # byte-bound workloads via TSDL_AQE_MIN_PARTITION.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("TSDL_AQE_MIN_PARTITION", "64k"),
+            os.environ.get("TSDL_AQE_MIN_PARTITION", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas interchange (toPandas, pandas UDFs).
