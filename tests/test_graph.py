@@ -96,8 +96,15 @@ def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
         map(tuple, connected_components(df, checkpoint_dir=ckpt).collect())
     )
     assert reliable == local
+    # the checkpoint root is app-global and set-once: when an earlier test
+    # in the session already set it (e.g. kmeans with checkpoint_dir=), the
+    # files land under THAT root, not this test's tmp_path — walk the real
+    # root so the assertion is order-independent (r11: failed under an
+    # ad-hoc test ordering that ran test_llm_ops first)
+    root = spark.sparkContext.getCheckpointDir() or ckpt
+    root = root.removeprefix("file:")
     written = [
-        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+        os.path.join(r, f) for r, _, fs in os.walk(root) for f in fs
     ]
     assert written, "reliable mode wrote no checkpoint files"
 

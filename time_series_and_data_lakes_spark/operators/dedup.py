@@ -25,6 +25,7 @@ count — not corpus² — bounds the quadratic stage, which is the point of LSH
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -282,6 +283,17 @@ def minhash_lsh_dedup(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if int(os.environ.get("TSDL_MINHASH_VERIFY_SPREAD", "1")):
+        # Verify-stage width (r11): the dedup exchange's output is a few
+        # bytes per pair, so AQE's byte-based coalescing lands the exact-
+        # Jaccard verify — heavy array_intersect work per row once the
+        # shingle arrays are joined in below — on 1-2 tasks. Re-spread the
+        # DEDUPED pairs (ids only, the smallest frame in the query) so the
+        # verify runs at cluster width; user-numbered repartitions are
+        # exempt from AQE coalescing, which is the point.
+        cands = cands.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     # Verify only the candidates: shingle arrays join in here, bounded by the
     # candidate count, not corpus².
     sh = sigs.select("doc_id", "sh")
