@@ -175,3 +175,44 @@ def test_label_propagation_matches_python_reference(spark):
         for r in label_propagation(e_df, s_df, iters=iters).collect()
     }
     assert got == want
+
+
+def test_assume_distinct_is_optimization_only_identical_on_messy_edges(spark):
+    # r11: assume_distinct=True skips the ingress dedup exchange. It must be
+    # a pure optimization, NEVER a semantics switch: the first _large_star
+    # round ends in its own distinct and drops self-loops via the v > u
+    # filter, so even a WRONG caller (duplicates, flips, self-loops) gets
+    # the identical component labeling.
+    messy = [
+        ("a", "b"), ("a", "b"), ("b", "a"),      # duplicates + a flip
+        ("c", "c"),                               # self-loop
+        ("b", "c"), ("x", "y"), ("y", "x"),
+    ]
+    df = spark.createDataFrame(messy, "src string, dst string")
+    base = sorted(map(tuple, connected_components(df).collect()))
+    fast = sorted(
+        map(tuple, connected_components(df, assume_distinct=True).collect())
+    )
+    assert fast == base
+    assert base  # non-degenerate fixture
+
+
+def test_large_star_output_invariants(spark):
+    # ADVICE r10: _small_star(normalized=True) silently depends on
+    # _large_star emitting distinct, non-self, strictly u > v rows. Pin the
+    # invariant at the operator level so a future edit to _large_star (e.g.
+    # relaxing v > u to >=) trips here instead of corrupting components.
+    from time_series_and_data_lakes_spark.operators.graph import _large_star
+
+    messy = [
+        ("a", "b"), ("b", "a"), ("a", "b"),      # flips + duplicates
+        ("c", "c"),                               # self-loop
+        ("b", "c"), ("x", "y"), ("m", "a"),
+    ]
+    df = spark.createDataFrame(messy, "src string, dst string").selectExpr(
+        "src AS u", "dst AS v"
+    )
+    rows = [(r["u"], r["v"]) for r in _large_star(df).collect()]
+    assert rows, "non-degenerate fixture"
+    assert all(u > v for u, v in rows), rows        # strict orientation
+    assert len(rows) == len(set(rows)), rows        # distinctness

@@ -98,6 +98,12 @@ def test_rollup_is_one_expand_one_exchange(spark, sf_dir):
     assert _nodes(plan, "Expand") == 1
     assert len(_hash_keys(plan)) == 1
     assert _nodes(plan, "Exchange") <= 2
+    # the permitted second exchange must BE spread_small's round-robin —
+    # `<= 2` alone would also admit a rangepartitioning sort leak
+    # (ADVICE r10)
+    if _nodes(plan, "Exchange") == 2:
+        assert "RoundRobinPartitioning" in plan
+    assert "rangepartitioning" not in plan.lower()
     assert _nodes(plan, "Scan parquet") == 1
 
 

@@ -35,7 +35,12 @@ def truncate_lineage(
     next-round broadcast build) folds the checkpoint job into that action —
     halving the driver job round trips per round. Use eager only when no
     action follows promptly (blocks would otherwise materialize at an
-    unpredictable later point).
+    unpredictable later point). The job-folding applies to
+    ``localCheckpoint`` ONLY: a lazy reliable ``checkpoint`` still runs a
+    dedicated checkpoint-write job after the first action and RECOMPUTES
+    the (un-cached) lineage to write it — every round would compute twice
+    (ADVICE r10) — so reliable mode pins ``eager=True`` below regardless
+    of the argument.
 
     ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-memory blocks);
     a directory → reliable ``checkpoint`` into it. The SparkContext keeps
@@ -56,4 +61,7 @@ def truncate_lineage(
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=eager)
+    # eager pinned True: see docstring — lazy reliable checkpoints recompute
+    # their lineage in the deferred checkpoint-write job, doubling each
+    # round's work instead of saving a barrier.
+    return df.checkpoint(eager=True)

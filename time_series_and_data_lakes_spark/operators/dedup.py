@@ -35,14 +35,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: spread_small ceiling: above this input size the scan's own split math
+#: (maxPartitionBytes) is authoritative and a round-robin of raw rows before
+#: any aggregation is the wrong trade (guide §2.3 — aggregate before you
+#: shuffle). Local fixtures are KB-MB scale, so this never fires locally.
+_SPREAD_MAX_BYTES = 1 << 30
+
+
 def spread_small(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the scan yields fewer partitions than cores —
     small reference files otherwise serialize heavy per-row expressions onto
-    one core. No-op (no added shuffle) on properly-sized inputs at scale."""
+    one core. No-op (no added shuffle) on properly-sized inputs at scale.
+
+    Guarded twice (r11 added the bytes bound): by partition count (a
+    properly-split scan is never touched) AND by input bytes — on a large
+    cluster a mid-size table (say 10 GB in 80 partitions on 8000 cores)
+    passes the count guard, but round-robinning 10 GB of raw rows ahead of
+    an aggregation shuffles the full payload for nothing. Unknown input
+    size (non-file sources) keeps the small-reference-file assumption."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    try:
+        size = sum(
+            os.path.getsize(p.removeprefix("file:")) for p in df.inputFiles()
+        )
+    except Exception:
+        size = None
+    if size is not None and size > _SPREAD_MAX_BYTES:
+        return df
+    return df.repartition(target)
 
 
 def h64(col: Column, seed: int | str = 0) -> Column:

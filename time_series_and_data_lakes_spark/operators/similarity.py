@@ -685,6 +685,12 @@ def pq_topk(
     the only shuffle is the per-query top-k window — same skeleton as
     :func:`cosine_topk`, ~dim/M× less join-side compute and ~16x less
     corpus I/O than scanning raw float32 vectors.
+
+    ``queries`` contract (ADVICE r10): the query side must be
+    broadcast-small (tens-to-thousands of rows) AND cheap to compute — the
+    LUT pass collapses it to one task (``coalesce(1)`` narrows, pulling any
+    narrow pipeline above it onto one core). A caller with a heavy query
+    pipeline (decode/UDF chains) should materialize it first.
     """
     m_subspaces = len(codebooks)
     q = _pq_lut_frame(queries, codebooks, id_col, vec_col).select("query_id", "lut")
@@ -737,7 +743,9 @@ def ivf_pq_topk(
     (fused Arrow pass) together; the probe join is broadcast; the only real
     shuffle is the per-query top-k window. With ``n_probe`` equal to the
     number of centroids this is exactly :func:`pq_topk` (every list
-    probed) — the equivalence the tests pin."""
+    probed) — the equivalence the tests pin. ``queries`` carries the same
+    broadcast-small-and-cheap contract as :func:`pq_topk` (the LUT pass
+    runs it on one task)."""
     cent = centroids.select(
         F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
     )

@@ -207,7 +207,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_dedup(_load_docs(spark, sf_dir), threshold=0.8).select(
         "doc_a", "doc_b"
     )
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    labels = connected_components(
+        pairs,
+        "doc_a",
+        "doc_b",
+        # the verify path already emits deduplicated strict doc_a < doc_b
+        # pairs (dropDuplicates + the a < b filter): skip the ingress
+        # edge-set dedup exchange (r11; gated TSDL_CC_ASSUME_DISTINCT=0
+        # for matched-pairs re-adjudication)
+        assume_distinct=bool(int(os.environ.get("TSDL_CC_ASSUME_DISTINCT", "1"))),
+    )
     # No final orderBy: a global presentation sort over the full label set
     # is a range-partitioning exchange that buys nothing at scale (the
     # driver's correctness hash is order-insensitive; a writer that needs
@@ -351,7 +360,16 @@ def dedup_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load_docs(spark, sf_dir)
     pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    labels = connected_components(
+        pairs,
+        "doc_a",
+        "doc_b",
+        # the verify path already emits deduplicated strict doc_a < doc_b
+        # pairs (dropDuplicates + the a < b filter): skip the ingress
+        # edge-set dedup exchange (r11; gated TSDL_CC_ASSUME_DISTINCT=0
+        # for matched-pairs re-adjudication)
+        assume_distinct=bool(int(os.environ.get("TSDL_CC_ASSUME_DISTINCT", "1"))),
+    )
     dropped = labels.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
